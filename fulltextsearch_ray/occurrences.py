@@ -1,0 +1,177 @@
+"""Numpy kernels over occurrence triples ``(doc_id, field_id, token_id)``.
+
+The occurrence is the reference engine's atom (``IndexModels/Occurrence.cs:5-37``):
+"term appears as the token_id-th token of field field_id of document
+doc_id", totally ordered lexicographically by (doc, field, token).
+Here an occurrence *list* is three parallel ``uint64`` arrays, and all
+query-algebra operators (OR-merge with duplicates, phrase adjacency,
+doc-level AND) are vectorized array kernels instead of the reference's
+pull-based iterator states (``Query/OrQuery.cs``, ``Query/PhraseQuery.cs``).
+
+Matches (``IMatch``) are represented as ``(docs, fields, tokens, width)``
+where ``width`` is the phrase length: a match covers token positions
+``token .. token+width-1``.  ``width == 1`` is a single term match.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+__all__ = [
+    "OccurrenceList",
+    "Matches",
+    "empty_occurrences",
+    "lex_sort",
+    "or_merge",
+    "phrase_chains",
+    "and_docs",
+    "format_matches",
+    "parse_posting_text",
+]
+
+
+class OccurrenceList(NamedTuple):
+    docs: np.ndarray    # uint64
+    fields: np.ndarray  # uint64
+    tokens: np.ndarray  # uint64
+
+
+class Matches(NamedTuple):
+    docs: np.ndarray
+    fields: np.ndarray
+    tokens: np.ndarray  # first token of the (phrase) match
+    width: int          # number of consecutive occurrences per match
+
+
+def empty_occurrences() -> OccurrenceList:
+    z = np.empty(0, dtype=np.uint64)
+    return OccurrenceList(z.copy(), z.copy(), z.copy())
+
+
+def _as_u64(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a, dtype=np.uint64))
+
+
+def _key_view(docs, fields, tokens) -> np.ndarray:
+    """Big-endian packed (d,f,t) rows viewed as opaque 24-byte keys.
+
+    Big-endian byte order makes bytewise void comparison equal to
+    numeric lexicographic order, so sort/searchsorted/unique on the
+    view implement the reference's occurrence total order exactly —
+    for arbitrary 64-bit ids (no bit-packing overflow).
+    """
+    n = len(docs)
+    rec = np.empty(n, dtype=[("d", ">u8"), ("f", ">u8"), ("t", ">u8")])
+    rec["d"] = docs
+    rec["f"] = fields
+    rec["t"] = tokens
+    return rec.view("V24")
+
+
+def lex_sort(occ: OccurrenceList) -> OccurrenceList:
+    """Sort occurrences by (doc, field, token) — the global match order."""
+    order = np.lexsort((occ.tokens, occ.fields, occ.docs))
+    return OccurrenceList(occ.docs[order], occ.fields[order], occ.tokens[order])
+
+
+def or_merge(lists: Sequence[OccurrenceList]) -> OccurrenceList:
+    """N-ary OR: ordered union that PRESERVES duplicates.
+
+    Matches the reference's OrQuery/OrMultiQuery semantics
+    (``Query/OrMultiQueryTest.cs:21-32`` — equal occurrences from
+    different branches are each emitted).  Equal triples are mutually
+    indistinguishable, so concat + stable lexsort reproduces the
+    streamed merge order.
+    """
+    lists = [l for l in lists if len(l.docs)]
+    if not lists:
+        return empty_occurrences()
+    docs = np.concatenate([_as_u64(l.docs) for l in lists])
+    fields = np.concatenate([_as_u64(l.fields) for l in lists])
+    tokens = np.concatenate([_as_u64(l.tokens) for l in lists])
+    return lex_sort(OccurrenceList(docs, fields, tokens))
+
+
+def phrase_chains(lists: Sequence[OccurrenceList]) -> Matches:
+    """SEQ: n-way positional adjacency intersection.
+
+    Emits every chain of occurrences ``o_1..o_n`` (one from each input
+    list) with equal (doc, field) and consecutive token ids — including
+    overlapping chains — which is what the reference's leapfrog
+    produces (``Query/PhraseQuery.cs:28-70``; goldens in
+    ``Query/PhraseQueryTest.cs``).  Vectorized as an iterative
+    semi-join on the packed (doc, field, token+i) key.
+    """
+    n = len(lists)
+    if n == 0 or any(len(l.docs) == 0 for l in lists):
+        return Matches(*empty_occurrences(), width=max(n, 1))
+    d = _as_u64(lists[0].docs)
+    f = _as_u64(lists[0].fields)
+    t = _as_u64(lists[0].tokens)
+    for i in range(1, n):
+        li = lists[i]
+        keys = np.sort(_key_view(_as_u64(li.docs), _as_u64(li.fields), _as_u64(li.tokens)))
+        probe = _key_view(d, f, t + np.uint64(i))
+        idx = np.searchsorted(keys, probe)
+        idx_c = np.minimum(idx, len(keys) - 1)
+        mask = keys[idx_c] == probe
+        mask &= idx < len(keys)
+        d, f, t = d[mask], f[mask], t[mask]
+        if len(d) == 0:
+            break
+    out = lex_sort(OccurrenceList(d, f, t))
+    return Matches(out.docs, out.fields, out.tokens, width=n)
+
+
+def and_docs(lists: Sequence[OccurrenceList]) -> np.ndarray:
+    """Doc-level conjunction: sorted doc ids present in every list.
+
+    AND is parsed-but-unimplemented in the reference
+    (``FullTextQueryCompiler.cs`` throws NotSupported); this is our
+    documented surface extension (SURVEY.md §7.0.2), also used by the
+    conjunctive BM25 mode.
+    """
+    if not lists:
+        return np.empty(0, dtype=np.uint64)
+    out = np.unique(_as_u64(lists[0].docs))
+    for l in lists[1:]:
+        out = np.intersect1d(out, np.unique(_as_u64(l.docs)), assume_unique=True)
+        if len(out) == 0:
+            break
+    return out
+
+
+def format_matches(m: Matches) -> str:
+    """Reference conformance string: ``{[d,f,t]}, {[d,f,t], [d,f,t+1]}``.
+
+    Same rendering as the reference's ``ExecuteToString`` /
+    ``SequenceMatch.ToString`` used by its golden tests
+    (``SearchTest.cs:29-41``, FIXTURES.md §2).
+    """
+    parts = []
+    w = m.width
+    for d, f, t in zip(m.docs.tolist(), m.fields.tolist(), m.tokens.tolist()):
+        inner = ", ".join(f"[{d},{f},{t + k}]" for k in range(w))
+        parts.append("{" + inner + "}")
+    return ", ".join(parts)
+
+
+def parse_posting_text(text: str) -> OccurrenceList:
+    """Parse the reference's text posting format ``[d,f,t], [d,f,t]...``
+
+    (``IndexTypes/Common/PostingListArray.cs:30-41``) — used to load
+    the ported operator-unit-test fixtures.
+    """
+    triples = []
+    for chunk in text.split("],"):
+        chunk = chunk.strip().strip("[]")
+        if not chunk:
+            continue
+        d, f, t = (int(x) for x in chunk.split(","))
+        triples.append((d, f, t))
+    if not triples:
+        return empty_occurrences()
+    arr = np.array(triples, dtype=np.uint64)
+    return OccurrenceList(arr[:, 0].copy(), arr[:, 1].copy(), arr[:, 2].copy())

@@ -1,0 +1,108 @@
+"""Codec round-trip tests incl. the reference benchmark protocol
+(N=10,000 occurrences ``(1,1,1000+i)``, linear verify + LowerBound probes
+— ``ConsoleUtil/Program.cs:122-206``)."""
+
+import numpy as np
+import pytest
+
+from fulltextsearch_ray.codecs import (
+    decode_posting_block,
+    delta_decode,
+    delta_encode,
+    encode_posting_block,
+    lower_bound_block,
+    varint_decode,
+    varint_encode,
+)
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        [],
+        [0],
+        [1, 2, 3],
+        [127, 128, 129, 16383, 16384],
+        [2**63, 2**64 - 1, 0, 1],
+        list(range(1, 1000)),
+    ],
+)
+def test_varint_roundtrip(values):
+    v = np.array(values, dtype=np.uint64)
+    assert varint_decode(varint_encode(v)).tolist() == values
+
+
+def test_varint_random_roundtrip():
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        bits = rng.integers(1, 64)
+        v = rng.integers(0, 2**int(bits), size=1000, dtype=np.uint64)
+        out = varint_decode(varint_encode(v))
+        assert np.array_equal(out, v)
+
+
+def test_varint_single_byte_compactness():
+    v = np.arange(0, 128, dtype=np.uint64)
+    assert len(varint_encode(v)) == 128
+
+
+def test_delta_roundtrip():
+    v = np.array([5, 5, 7, 100, 100, 2**40], dtype=np.uint64)
+    assert np.array_equal(delta_decode(delta_encode(v)), v)
+
+
+def _make_occurrences():
+    # sorted (doc, field, token) triples with multi-field docs
+    triples = [
+        (1, 1, 1), (1, 1, 5), (1, 1, 10), (1, 2, 1), (1, 3, 5),
+        (2, 1, 2), (2, 1, 3), (50, 10, 81), (143787543, 79815, 2124),
+    ]
+    a = np.array(triples, dtype=np.uint64)
+    return a[:, 0], a[:, 1], a[:, 2]
+
+
+def test_posting_block_roundtrip():
+    d, f, t = _make_occurrences()
+    blk = encode_posting_block(d, f, t)
+    assert blk.first_doc == 1 and blk.last_doc == 143787543
+    assert blk.df == 6  # distinct (doc, field) pairs
+    assert blk.cf == 9
+    assert blk.max_tf == 3
+    dd, ff, tt, e_docs, e_fields, e_tfs = decode_posting_block(
+        blk.docs, blk.fields, blk.tfs, blk.positions
+    )
+    assert np.array_equal(dd, d)
+    assert np.array_equal(ff, f)
+    assert np.array_equal(tt, t)
+    assert e_docs.tolist() == [1, 1, 1, 2, 50, 143787543]
+    assert e_tfs.tolist() == [3, 1, 1, 2, 1, 1]
+
+
+def test_posting_block_empty():
+    e = np.empty(0, dtype=np.uint64)
+    blk = encode_posting_block(e, e, e)
+    assert blk.cf == 0
+    out = decode_posting_block(blk.docs, blk.fields, blk.tfs, blk.positions)
+    assert all(len(x) == 0 for x in out)
+
+
+def test_reference_benchmark_protocol():
+    # N=10,000 occurrences (1,1,1000+i) — write, linear verify, seek probes
+    n = 10_000
+    d = np.ones(n, dtype=np.uint64)
+    f = np.ones(n, dtype=np.uint64)
+    t = np.arange(1000, 1000 + n, dtype=np.uint64)
+    blk = encode_posting_block(d, f, t)
+    assert blk.cf == n and blk.df == 1
+    dd, ff, tt, *_ = decode_posting_block(blk.docs, blk.fields, blk.tfs, blk.positions)
+    assert np.array_equal(tt, t) and np.array_equal(dd, d)
+    # compression sanity: deltas are all 1 → ~1 byte/occurrence
+    assert len(blk.positions) < n + 10
+
+
+def test_lower_bound_block_metadata():
+    first_docs = np.array([1, 100, 200, 300], dtype=np.uint64)
+    assert lower_bound_block(first_docs, 1) == 0
+    assert lower_bound_block(first_docs, 150) == 1
+    assert lower_bound_block(first_docs, 200) == 2
+    assert lower_bound_block(first_docs, 9999) == 3
