@@ -1,0 +1,186 @@
+"""build_index — the distributed inverted-index construction pipeline.
+
+    read_parquet(corpus)
+      → [assign deterministic doc ids]               (sources.corpus)
+      → map_batches(DocStatsStage)  → docs parquet   (doc_len, sha256)
+      → map_batches(InvertStage)                     (local invert, encoded runs)
+      → groupby("term").map_groups(merge_posting_runs)
+      → write_parquet(term-sorted posting blocks)
+      → catalog = per-term aggregate of block stats  (small)
+      → manifest.json + meta.json                    (driver)
+
+Streaming throughout: nothing materializes the corpus; the only
+all-to-all exchange is the groupby on ``term`` over compressed partial
+runs.  Each build session appends a new SEGMENT; query merges segments
+(the reference's posting-chain semantic, ``PostingListWriter.cs:114-159``).
+Completed segments are checkpoints: re-running a multi-segment build
+skips any segment whose manifest validates (resume unit = segment).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..sources.corpus import normalize_corpus, sha256_hex
+from ..stages.invert import DEFAULT_BLOCK_CF, InvertStage, merge_posting_runs
+from ..state.index import (
+    IndexMeta,
+    SegmentManifest,
+    load_meta,
+    save_manifest,
+    save_meta,
+    segment_dir,
+    segment_is_complete,
+)
+from ..tokenizer import token_counts
+
+
+class DocStatsStage:
+    """Per-doc stats batch stage: doc_len (token count) + sha256(content).
+
+    The sha256 column is the per-row invariant the baseline requires
+    (BASELINE.json ``input_hint``): it must equal a recomputation from
+    the original input table.
+    """
+
+    def __init__(self, text_col: str, meta_cols: tuple[str, ...] = ()):
+        self.text_col = text_col
+        self.meta_cols = meta_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t if t is not None else "" for t in batch[self.text_col].to_pylist()]
+        out = {
+            "doc_id": batch["doc_id"],
+            "doc_len": pa.array(token_counts(texts), type=pa.int64()),
+            "sha256": pa.array(sha256_hex(texts), type=pa.string()),
+        }
+        for c in self.meta_cols:
+            out[c] = batch[c]
+        return pa.table(out)
+
+
+def build_index(
+    source: ray.data.Dataset | str,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    doc_id_col: str | None = None,
+    id_cols: list[str] | None = None,
+    meta_cols: tuple[str, ...] = (),
+    segment: str | None = None,
+    num_buckets: int = 64,
+    block_cf: int = DEFAULT_BLOCK_CF,
+    batch_size: int | None = None,
+    overwrite: bool = False,
+) -> IndexMeta:
+    """Build (or incrementally extend) a persistent index.
+
+    ``source`` is a Dataset or a parquet path.  When ``doc_id_col`` is
+    None, deterministic ids are assigned from ``id_cols`` rank starting
+    at the index's ``next_doc_id`` (incremental sessions continue the
+    id space, mirroring the reference header contract,
+    ``PersistentIndexInfo.cs:36-51``).
+    """
+    if isinstance(source, str):
+        cols = None
+        if doc_id_col or id_cols:
+            cols = sorted({text_col, *(meta_cols or ()), *( [doc_id_col] if doc_id_col else []), *(id_cols or [])})
+        source = ray.data.read_parquet(source, columns=cols)
+
+    if overwrite and os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+
+    try:
+        meta = load_meta(index_dir)
+    except FileNotFoundError:
+        meta = IndexMeta(created_at=time.time())
+
+    if segment is None:
+        segment = f"seg-{len(meta.segments):05d}"
+    if segment in meta.segments and segment_is_complete(index_dir, segment):
+        return meta  # checkpoint hit: segment already built
+
+    seg_path = segment_dir(index_dir, segment)
+    if os.path.exists(seg_path):
+        shutil.rmtree(seg_path)  # incomplete previous attempt
+    os.makedirs(seg_path, exist_ok=True)
+
+    ds = normalize_corpus(source, text_col, doc_id_col=doc_id_col, id_cols=id_cols, start_id=meta.next_doc_id)
+
+    # --- docs table (doc_len for BM25, sha256 invariant, metadata) ---
+    docs_stage = DocStatsStage(text_col, meta_cols)
+    docs_ds = ds.map_batches(docs_stage, batch_format="pyarrow", batch_size=batch_size)
+    docs_ds.write_parquet(os.path.join(seg_path, "docs"))
+
+    # --- postings: local invert → term shuffle → merge → write ---
+    invert = InvertStage(
+        text_col=text_col, doc_id_col="doc_id", num_buckets=num_buckets, block_cf=block_cf
+    )
+    runs = ds.map_batches(invert, batch_format="pyarrow", batch_size=batch_size)
+    merged = runs.groupby("term").map_groups(
+        lambda g: merge_posting_runs(g, block_cf=block_cf), batch_format="pyarrow"
+    )
+    merged.write_parquet(os.path.join(seg_path, "postings"))
+
+    # --- catalog: per-term totals over blocks (metadata-sized) ---
+    postings = ray.data.read_parquet(
+        os.path.join(seg_path, "postings"),
+        columns=["term", "bucket", "df", "cf", "max_tf", "first_doc", "last_doc"],
+    )
+    catalog = (
+        postings.groupby("term")
+        .aggregate(
+            ray.data.aggregate.Sum("df", alias_name="df"),
+            ray.data.aggregate.Sum("cf", alias_name="cf"),
+            ray.data.aggregate.Max("max_tf", alias_name="max_tf"),
+            ray.data.aggregate.Min("first_doc", alias_name="first_doc"),
+            ray.data.aggregate.Max("last_doc", alias_name="last_doc"),
+            ray.data.aggregate.Count(alias_name="n_blocks"),
+        )
+        .sort("term")
+    )
+    catalog.write_parquet(os.path.join(seg_path, "catalog"))
+
+    # --- per-segment counters (same aggregates as the reference's
+    #     IndexBuilderStatistics) + lineage manifest ---
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    doc_stats = ray.data.read_parquet(os.path.join(seg_path, "docs"), columns=["doc_id", "doc_len"]).aggregate(
+        Count(alias_name="n"), Sum("doc_len", alias_name="tokens"),
+        Min("doc_id", alias_name="min_id"), Max("doc_id", alias_name="max_id"),
+    )
+    cat_stats = ray.data.read_parquet(os.path.join(seg_path, "catalog"), columns=["term", "cf"]).aggregate(
+        Count(alias_name="terms"), Sum("cf", alias_name="occ"),
+    )
+    n_docs = int(doc_stats["n"] or 0)
+    total_tokens = int(doc_stats["tokens"] or 0)
+
+    lineage = source.input_files() if hasattr(source, "input_files") else []
+    manifest = SegmentManifest(
+        name=segment,
+        num_docs=n_docs,
+        num_terms=int(cat_stats["terms"] or 0),
+        num_occurrences=int(cat_stats["occ"] or 0),
+        total_tokens=total_tokens,
+        min_doc_id=int(doc_stats["min_id"] or 0),
+        max_doc_id=int(doc_stats["max_id"] or 0),
+        input_lineage=list(lineage or []),
+        created_at=time.time(),
+        complete=True,
+    )
+    save_manifest(index_dir, manifest)
+
+    if segment not in meta.segments:
+        meta.segments.append(segment)
+    meta.num_docs += n_docs
+    meta.total_tokens += total_tokens
+    meta.next_doc_id = max(meta.next_doc_id, manifest.max_doc_id + 1)
+    save_meta(index_dir, meta)
+    return meta

@@ -1,0 +1,392 @@
+"""Query evaluation: Boolean/phrase/pattern search + BM25 top-k.
+
+``IndexSearcher`` is the warm per-worker query state (the analog of the
+reference's open index: dictionary + posting readers + header,
+``PersistentIndex.cs:19-72``): it loads the term catalog and doc-length
+table once, then serves queries by fetching + decoding posting blocks
+on demand (term-pruned parquet reads, LRU block cache).
+
+Semantics reproduce the reference exactly (goldens ported in
+tests/test_search_golden.py):
+
+* WORD/WILD/EDIT expand over the catalog in sorted term order and union
+  their posting streams with duplicates preserved (OrQuery/OrMultiQuery);
+* OR merges child streams, duplicates preserved;
+* SEQ is the n-way positional adjacency intersection over WORD args;
+* AND (surface extension — parsed but unimplemented in the reference,
+  ``FullTextQueryCompiler.cs``) intersects at doc level and emits the
+  children's occurrences within the surviving docs, in global order.
+
+BM25 (new layer, SURVEY.md §7.0.3): Robertson idf
+``ln((N-df+0.5)/(df+0.5)+1)``, k1=1.2, b=0.75, tf per (doc, field=all),
+dl from the docs table, deterministic tie-break (score desc, doc asc).
+
+For distributed query serving, ``SearcherStage`` wraps IndexSearcher as
+an actor-pool ``map_batches`` class: the index loads once per actor
+(``__init__``), batches of query strings score in ``__call__``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from functools import lru_cache
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..codecs import decode_posting_block
+from ..matchers import expand_pattern
+from ..occurrences import (
+    Matches,
+    OccurrenceList,
+    and_docs,
+    empty_occurrences,
+    format_matches,
+    lex_sort,
+    or_merge,
+    phrase_chains,
+)
+from ..parser import (
+    AstQuery,
+    EditQuery,
+    FunctionQuery,
+    TermQueryAst,
+    WildQuery,
+    WordQuery,
+    parse_query,
+)
+from ..state.index import load_meta, segment_dir
+
+K1 = 1.2
+B = 0.75
+
+
+class IndexSearcher:
+    """Warm query state over a persistent index directory."""
+
+    def __init__(self, index_dir: str, cache_blocks: int = 4096):
+        self.index_dir = index_dir
+        self.meta = load_meta(index_dir)
+        self.segments = list(self.meta.segments)
+        # merged catalog across segments: term → (df, cf) totals;
+        # terms kept as ONE sorted arrow column for matcher kernels.
+        cats = []
+        for seg in self.segments:
+            t = pq.read_table(
+                os.path.join(segment_dir(index_dir, seg), "catalog"),
+                columns=["term", "df", "cf"],
+            )
+            cats.append(t)
+        if cats:
+            cat = pa.concat_tables(cats)
+            agg = cat.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+            agg = agg.sort_by("term")
+            self.terms: pa.Array = agg["term"].combine_chunks()
+            self._df = np.asarray(agg["df_sum"].to_numpy(zero_copy_only=False))
+            self._cf = np.asarray(agg["cf_sum"].to_numpy(zero_copy_only=False))
+        else:
+            self.terms = pa.array([], type=pa.string())
+            self._df = np.empty(0, dtype=np.int64)
+            self._cf = np.empty(0, dtype=np.int64)
+        # doc lengths for BM25 (doc_id-indexed lookup arrays)
+        dl = []
+        for seg in self.segments:
+            dl.append(
+                pq.read_table(
+                    os.path.join(segment_dir(index_dir, seg), "docs"),
+                    columns=["doc_id", "doc_len"],
+                )
+            )
+        if dl:
+            dl_t = pa.concat_tables(dl)
+            self._dl_docs = np.asarray(dl_t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+            self._dl_lens = np.asarray(dl_t["doc_len"].to_numpy(zero_copy_only=False), dtype=np.float64)
+            o = np.argsort(self._dl_docs, kind="stable")
+            self._dl_docs = self._dl_docs[o]
+            self._dl_lens = self._dl_lens[o]
+        else:
+            self._dl_docs = np.empty(0, dtype=np.uint64)
+            self._dl_lens = np.empty(0, dtype=np.float64)
+        self._postings_ds = {
+            seg: pads.dataset(os.path.join(segment_dir(index_dir, seg), "postings"))
+            for seg in self.segments
+        }
+        self._cache: OrderedDict[str, OccurrenceList] = OrderedDict()
+        self._cache_entries: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
+        self._cache_blocks = cache_blocks
+
+    # -- statistics ---------------------------------------------------------
+
+    @property
+    def num_docs(self) -> int:
+        return self.meta.num_docs
+
+    @property
+    def avgdl(self) -> float:
+        return self.meta.avgdl
+
+    def term_stats(self, term: str) -> tuple[int, int]:
+        """(df, cf) for a term, summed across segments; (0, 0) if absent."""
+        i = pc.index(self.terms, term).as_py()
+        if i < 0:
+            return (0, 0)
+        return int(self._df[i]), int(self._cf[i])
+
+    # -- dictionary ---------------------------------------------------------
+
+    def lookup(self, pattern: str) -> list[str]:
+        """Pattern → matching terms in sorted order (the `lookup` verb,
+        ``ConsoleUtil/Program.cs:208-226``)."""
+        ast = parse_query(pattern)
+        if not isinstance(ast, TermQueryAst):
+            raise ValueError("lookup expects WORD/WILD/EDIT pattern")
+        return expand_pattern(ast, self.terms)
+
+    # -- posting fetch ------------------------------------------------------
+
+    def _fetch_term_rows(self, term: str) -> list[pa.Table]:
+        tables = []
+        for seg in self.segments:
+            t = self._postings_ds[seg].to_table(
+                columns=["term", "block_id", "first_doc", "docs", "fields", "tfs", "positions"],
+                filter=pads.field("term") == term,
+            )
+            if t.num_rows:
+                tables.append(t)
+        return tables
+
+    def get_postings(self, term: str) -> OccurrenceList:
+        """Full decoded occurrence list of a term, global (d,f,t) order."""
+        hit = self._cache.get(term)
+        if hit is not None:
+            self._cache.move_to_end(term)
+            return hit
+        parts_d, parts_f, parts_t = [], [], []
+        for t in self._fetch_term_rows(term):
+            order = np.lexsort(
+                (
+                    np.asarray(t["block_id"].to_numpy(zero_copy_only=False)),
+                    np.asarray(t["first_doc"].to_numpy(zero_copy_only=False)),
+                )
+            )
+            for i in order:
+                d, f, tok, *_ = decode_posting_block(
+                    t["docs"][i].as_py(), t["fields"][i].as_py(),
+                    t["tfs"][i].as_py(), t["positions"][i].as_py(),
+                )
+                parts_d.append(d)
+                parts_f.append(f)
+                parts_t.append(tok)
+        if not parts_d:
+            occ = empty_occurrences()
+        else:
+            occ = lex_sort(
+                OccurrenceList(
+                    np.concatenate(parts_d), np.concatenate(parts_f), np.concatenate(parts_t)
+                )
+            )
+        self._cache[term] = occ
+        if len(self._cache) > 64:
+            self._cache.popitem(last=False)
+        return occ
+
+    def get_doc_tfs(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, tfs) per doc for BM25 — decodes docs/tfs only,
+        skipping position payloads (the scoring fast path)."""
+        hit = self._cache_entries.get(term)
+        if hit is not None:
+            self._cache_entries.move_to_end(term)
+            return hit
+        from ..codecs import delta_decode, varint_decode
+
+        docs_parts, tf_parts = [], []
+        for seg in self.segments:
+            t = self._postings_ds[seg].to_table(
+                columns=["docs", "tfs"], filter=pads.field("term") == term
+            )
+            for i in range(t.num_rows):
+                docs_parts.append(delta_decode(varint_decode(t["docs"][i].as_py())))
+                tf_parts.append(varint_decode(t["tfs"][i].as_py()))
+        if docs_parts:
+            d = np.concatenate(docs_parts)
+            tf = np.concatenate(tf_parts)
+            # multi-field/block duplicates: aggregate tf per doc
+            o = np.argsort(d, kind="stable")
+            d, tf = d[o], tf[o]
+            uniq, idx = np.unique(d, return_index=True)
+            tf_sum = np.add.reduceat(tf, idx)
+            out = (uniq, tf_sum)
+        else:
+            out = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64))
+        self._cache_entries[term] = out
+        if len(self._cache_entries) > self._cache_blocks:
+            self._cache_entries.popitem(last=False)
+        return out
+
+    # -- query algebra ------------------------------------------------------
+
+    def evaluate(self, query: str | AstQuery) -> Matches:
+        ast = parse_query(query) if isinstance(query, str) else query
+        return self._eval(ast)
+
+    def _eval(self, ast: AstQuery) -> Matches:
+        if isinstance(ast, TermQueryAst):
+            terms = expand_pattern(ast, self.terms)
+            occ = or_merge([self.get_postings(t) for t in terms])
+            return Matches(occ.docs, occ.fields, occ.tokens, 1)
+        if isinstance(ast, FunctionQuery):
+            if ast.name == "OR":
+                subs = [self._eval(a) for a in ast.args]
+                widths = {m.width for m in subs}
+                if widths <= {1}:
+                    occ = or_merge([OccurrenceList(m.docs, m.fields, m.tokens) for m in subs])
+                    return Matches(occ.docs, occ.fields, occ.tokens, 1)
+                raise NotImplementedError("OR over phrase matches not supported")
+            if ast.name == "SEQ":
+                if not all(isinstance(a, WordQuery) for a in ast.args):
+                    raise ValueError("Unexpected query take in phrase")  # reference behavior
+                lists = []
+                for a in ast.args:
+                    m = self._eval(a)
+                    lists.append(OccurrenceList(m.docs, m.fields, m.tokens))
+                return phrase_chains(lists)
+            if ast.name == "AND":
+                subs = [self._eval(a) for a in ast.args]
+                docs = and_docs([OccurrenceList(m.docs, m.fields, m.tokens) for m in subs])
+                kept = []
+                for m in subs:
+                    mask = np.isin(m.docs, docs)
+                    kept.append(OccurrenceList(m.docs[mask], m.fields[mask], m.tokens[mask]))
+                occ = or_merge(kept)
+                return Matches(occ.docs, occ.fields, occ.tokens, 1)
+            raise ValueError(f"Function {ast.name} is not supported")
+        raise TypeError(f"unsupported ast {ast!r}")
+
+    def search_to_string(self, query: str) -> str:
+        """Conformance output — reference ``ExecuteToString`` format."""
+        return format_matches(self.evaluate(query))
+
+    def search_table(self, query: str) -> pa.Table:
+        m = self.evaluate(query)
+        return pa.table(
+            {
+                "doc_id": pa.array(m.docs, type=pa.uint64()),
+                "field_id": pa.array(m.fields, type=pa.uint64()),
+                "token_id": pa.array(m.tokens, type=pa.uint64()),
+            }
+        )
+
+    # -- BM25 ---------------------------------------------------------------
+
+    def _doc_lens(self, doc_ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self._dl_docs, doc_ids)
+        idx = np.minimum(idx, max(len(self._dl_docs) - 1, 0))
+        return self._dl_lens[idx]
+
+    def bm25_scores(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, scores) for OR-mode BM25 over the given terms.
+
+        Contributions accumulate per doc in sorted doc order with
+        float64 math — the fixed summation order that makes scores
+        reproducible at any partition count (SURVEY.md §7.2).
+        """
+        N = float(self.num_docs)
+        avgdl = self.avgdl or 1.0
+        all_docs: list[np.ndarray] = []
+        all_contrib: list[np.ndarray] = []
+        for term in terms:
+            docs, tfs = self.get_doc_tfs(term)
+            if len(docs) == 0:
+                continue
+            df = float(len(docs))
+            idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
+            tf = tfs.astype(np.float64)
+            dl = self._doc_lens(docs)
+            contrib = idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            all_docs.append(docs)
+            all_contrib.append(contrib)
+        if not all_docs:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        d = np.concatenate(all_docs)
+        c = np.concatenate(all_contrib)
+        o = np.argsort(d, kind="stable")
+        d, c = d[o], c[o]
+        uniq, idx = np.unique(d, return_index=True)
+        scores = np.add.reduceat(c, idx)
+        return uniq, scores
+
+    def bm25_topk(self, query: str | list[str], k: int = 10, mode: str = "or") -> pa.Table:
+        """Top-k docs by BM25. ``query`` is a raw text (tokenized with
+        the index tokenizer) or an explicit term list.  mode='and'
+        restricts to docs containing every term (conjunctive)."""
+        if isinstance(query, str):
+            from ..tokenizer import tokenize
+
+            terms = tokenize(query)
+        else:
+            terms = list(query)
+        docs, scores = self.bm25_scores(terms)
+        if mode == "and" and len(docs):
+            lists = []
+            for t in terms:
+                td, _ = self.get_doc_tfs(t)
+                lists.append(OccurrenceList(td, td, td))
+            keep = and_docs(lists)
+            mask = np.isin(docs, keep)
+            docs, scores = docs[mask], scores[mask]
+        if len(docs) > 4 * k and k > 0:
+            # prune to the k-th-largest score threshold, KEEPING all
+            # boundary ties so the deterministic tie-break below stays
+            # exact (no arbitrary argpartition boundary cut).
+            thresh = np.partition(scores, len(scores) - k)[len(scores) - k]
+            mask = scores >= thresh
+            docs, scores = docs[mask], scores[mask]
+        # deterministic tie-break: (score desc, doc_id asc)
+        order = np.lexsort((docs, -scores))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[order], type=pa.uint64()),
+                "score": pa.array(scores[order], type=pa.float64()),
+            }
+        )
+
+
+@lru_cache(maxsize=8)
+def get_searcher(index_dir: str) -> IndexSearcher:
+    """Process-local searcher cache (one warm searcher per index)."""
+    return IndexSearcher(index_dir)
+
+
+class SearcherStage:
+    """Actor-pool query stage: batches of query strings → top-k tables.
+
+    Use: ``queries_ds.map_batches(SearcherStage, fn_constructor_args=(index_dir,),
+    concurrency=N, batch_size=B)`` — the index opens once per actor.
+    """
+
+    def __init__(self, index_dir: str, k: int = 10, mode: str = "or"):
+        self.searcher = IndexSearcher(index_dir)
+        self.k = k
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, scores, ranks = [], [], [], []
+        for qid, q in zip(batch["query_id"].to_pylist(), batch["query"].to_pylist()):
+            top = self.searcher.bm25_topk(q, k=self.k, mode=self.mode)
+            n = top.num_rows
+            qids.extend([qid] * n)
+            docs.extend(top["doc_id"].to_pylist())
+            scores.extend(top["score"].to_pylist())
+            ranks.extend(range(1, n + 1))
+        return pa.table(
+            {
+                "query_id": pa.array(qids),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(docs, type=pa.uint64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )

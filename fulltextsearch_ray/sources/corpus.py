@@ -1,0 +1,204 @@
+"""Corpus sources: schema normalization, deterministic doc ids, and a
+deterministic synthetic source-code corpus generator.
+
+The engine's native input (BASELINE.json ``input_hint``) is a Parquet
+table of source-code rows ``(repo, path, commit, lang, content)``.  Any
+table with a text column can be indexed; ``normalize_corpus`` maps it to
+the canonical ``(doc_id, text, …meta)`` shape.
+
+Deterministic doc ids (SURVEY.md §7.0.4): the reference assigns
+``docID = arrival order starting at 1`` (atomic increment,
+``FullTextIndexBuilder.cs:35,45,54``).  Under distributed, retry-prone
+execution "arrival order" is not stable, so ids here are the GLOBAL
+RANK of the sort key ``(repo, path, commit)`` — permutation-invariant
+and retry-safe.  Implementation is a scalable two-stage ranking: range
+partition by sampled key boundaries, count per range, driver prefix-sum
+(#ranges values only), then per-range local rank + broadcast offset.
+No full materialization on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+KEY_SEP = "\x00"
+
+
+def _composite_key(batch: pa.Table, id_cols: list[str]) -> pa.Array:
+    key = pc.cast(batch.column(id_cols[0]), pa.string())
+    for c in id_cols[1:]:
+        key = pc.binary_join_element_wise(key, pc.cast(batch.column(c), pa.string()), KEY_SEP)
+    return key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+
+
+def sample_key_boundaries(ds: ray.data.Dataset, id_cols: list[str], num_ranges: int) -> list[str]:
+    """Deterministic range boundaries: every batch contributes a fixed
+    per-batch systematic sample of its sorted keys; the driver sorts the
+    (small) sample and takes quantiles."""
+
+    def sample_batch(batch: pa.Table) -> pa.Table:
+        key = _composite_key(batch, id_cols)
+        ks = sorted(key.to_pylist())
+        step = max(len(ks) // 32, 1)
+        return pa.table({"k": pa.array(ks[::step], type=pa.string())})
+
+    sample = ds.map_batches(sample_batch, batch_format="pyarrow")
+    keys = sorted(r["k"] for r in sample.take_all())  # small: ≤32 per block
+    if not keys or num_ranges <= 1:
+        return []
+    idx = np.linspace(0, len(keys) - 1, num_ranges + 1).astype(int)[1:-1]
+    # dedupe while keeping order
+    out: list[str] = []
+    for i in idx:
+        if not out or keys[i] != out[-1]:
+            out.append(keys[i])
+    return out
+
+
+def assign_doc_ids(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    start_id: int = 1,
+    num_ranges: int | None = None,
+) -> ray.data.Dataset:
+    """Add a ``doc_id`` column = start_id + global rank of (id_cols).
+
+    Requires keys to be unique (they identify documents).  Two passes
+    over the data, one small driver-side prefix sum, one groupby-range
+    shuffle — the retry-safe re-expression of the reference's
+    "enumeration order defines ids" contract.
+    """
+    n_blocks = ds.num_blocks() if ds.num_blocks() is not None else 64
+    if num_ranges is None:
+        num_ranges = max(int(n_blocks), 1)
+    boundaries = sample_key_boundaries(ds, id_cols, num_ranges)
+    bounds_ref = ray.put(np.array(boundaries, dtype=object))
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        key = _composite_key(batch, id_cols)
+        keys = np.asarray(key.to_pylist(), dtype=object)
+        rid = np.searchsorted(b, keys, side="right") if len(b) else np.zeros(len(keys), dtype=np.int64)
+        return batch.append_column("_key", key).append_column(
+            "_range", pa.array(rid.astype(np.int64))
+        )
+
+    with_range = ds.map_batches(add_range, batch_format="pyarrow")
+
+    # pass 1: per-range counts → driver prefix sum (num_ranges values)
+    counts_tbl = with_range.groupby("_range").count().take_all()
+    counts = {int(r["_range"]): int(r["count()"]) for r in counts_tbl}
+    offsets = np.zeros(len(boundaries) + 2, dtype=np.int64)
+    for rid in range(len(boundaries) + 1):
+        offsets[rid + 1] = offsets[rid] + counts.get(rid, 0)
+    offsets_ref = ray.put(offsets)
+
+    # pass 2: local rank within range + broadcast offset
+    def rank_group(group: pa.Table) -> pa.Table:
+        offs = ray.get(offsets_ref)
+        rid = int(group["_range"][0].as_py())
+        keys = np.asarray(group["_key"].to_pylist(), dtype=object)
+        order = np.argsort(keys, kind="stable")
+        rank = np.empty(len(keys), dtype=np.int64)
+        rank[order] = np.arange(len(keys))
+        doc_id = (start_id + offs[rid] + rank).astype(np.uint64)
+        out = group.append_column("doc_id", pa.array(doc_id, type=pa.uint64()))
+        return out.drop_columns(["_key", "_range"])
+
+    return with_range.groupby("_range").map_groups(rank_group, batch_format="pyarrow")
+
+
+def normalize_corpus(
+    ds: ray.data.Dataset,
+    text_col: str,
+    doc_id_col: str | None = None,
+    id_cols: list[str] | None = None,
+    start_id: int = 1,
+) -> ray.data.Dataset:
+    """Canonicalize any corpus to have a ``doc_id`` uint64 column."""
+    if doc_id_col is not None:
+        if doc_id_col != "doc_id":
+            ds = ds.rename_columns({doc_id_col: "doc_id"})
+        return ds
+    if not id_cols:
+        raise ValueError("need doc_id_col or id_cols for deterministic ids")
+    return assign_doc_ids(ds, id_cols, start_id=start_id)
+
+
+def sha256_hex(texts: list[str]) -> list[str]:
+    return [hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic source-code corpus (FIXTURES.md §1)
+# ---------------------------------------------------------------------------
+
+_LANGS = ["py", "cs", "js", "go", "java", "txt"]
+_KEYWORDS = [
+    "def", "class", "return", "import", "public", "static", "void", "var",
+    "function", "package", "interface", "struct", "импорт", "über",
+    "self", "this", "new", "for", "while", "if", "else", "try", "except",
+]
+_IDENT_PARTS = [
+    "index", "builder", "query", "parser", "token", "stream", "buffer",
+    "cache", "merge", "block", "codec", "posting", "field", "doc", "term",
+    "full-text", "read_write", "lower_bound", "max_size",
+]
+
+
+def synth_code_row(i: int, *, heavy_term: str | None = None, heavy_every: int = 2) -> dict:
+    """One deterministic source-code-like row (seeded by row index)."""
+    rng = np.random.default_rng(42 + i)
+    repo = f"org{i % 97}/repo{i % 13}"
+    path = f"src/module_{i % 41}/file_{i}.{_LANGS[i % len(_LANGS)]}"
+    commit = hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
+    n_lines = int(rng.integers(5, 40))
+    lines = []
+    for _ in range(n_lines):
+        n_tok = int(rng.integers(3, 12))
+        words = rng.choice(len(_KEYWORDS) + len(_IDENT_PARTS), size=n_tok)
+        toks = [
+            _KEYWORDS[w] if w < len(_KEYWORDS) else _IDENT_PARTS[w - len(_KEYWORDS)] + str(int(rng.integers(0, 30)))
+            for w in words
+        ]
+        lines.append(" ".join(toks) + (";" if i % 2 else ""))
+    if heavy_term is not None and i % heavy_every == 0:
+        lines.append(f"{heavy_term} {heavy_term} {heavy_term}")
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": _LANGS[i % len(_LANGS)],
+        "content": "\n".join(lines),
+    }
+
+
+def synth_code_corpus(n_rows: int, **kw) -> pa.Table:
+    rows = [synth_code_row(i, **kw) for i in range(n_rows)]
+    return pa.Table.from_pylist(rows)
+
+
+def write_synth_corpus(path: str, n_rows: int, rows_per_file: int = 10_000, **kw) -> str:
+    """Write the synthetic corpus as partitioned Parquet (driver-side,
+    used by bench.py; deterministic, seeded)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    part = 0
+    for start in range(0, n_rows, rows_per_file):
+        fn = os.path.join(path, f"part-{part:05d}.parquet")
+        if not os.path.exists(fn):
+            tbl = pa.Table.from_pylist(
+                [synth_code_row(i, **kw) for i in range(start, min(start + rows_per_file, n_rows))]
+            )
+            pq.write_table(tbl, fn)
+        part += 1
+    return path

@@ -1,0 +1,211 @@
+"""map_batches stages for inverted-index construction.
+
+The build shape (SURVEY.md §3.4):
+
+    read_parquet → map_batches(InvertStage)        # tokenize + LOCAL invert
+      → groupby("term").map_groups(merge_runs)     # THE shuffle, key=term
+      → write_parquet (term-sorted posting blocks)
+
+``InvertStage`` is the crucial scale lever: instead of exploding one
+row per occurrence into the shuffle (10×+ the corpus size), each input
+batch is inverted LOCALLY into one encoded posting run per distinct
+term — the partial/combiner pattern.  A stop-word term then contributes
+one compressed run per batch (not one row per occurrence), which also
+bounds the skew a single groupby key can see: the merge of a hot term
+handles ~#batches compressed runs, not raw occurrences.
+
+This replaces the reference's single-threaded in-RAM
+``SortedDictionary<string, List<Occurrence>>`` accumulation
+(``FullTextIndexBuilder.cs:11,104-140``) with per-batch bounded state.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import PostingBlock, decode_posting_block, encode_posting_block
+from ..state.index import POSTINGS_SCHEMA
+from ..tokenizer import DEFAULT_FIELD_ID, tokenize_batch
+
+# Target occurrences per encoded posting block. Bounds both the decode
+# unit at query time and row size in the shuffle.
+DEFAULT_BLOCK_CF = 1 << 16
+
+
+def term_bucket(term: str, num_buckets: int) -> int:
+    """Stable term → partition bucket (crc32 — deterministic across
+    processes/nodes, unlike Python's salted hash())."""
+    return zlib.crc32(term.encode("utf-8")) % num_buckets
+
+
+def _posting_rows(
+    terms_sorted: np.ndarray,
+    bounds: np.ndarray,
+    occ_docs: np.ndarray,
+    occ_fields: np.ndarray,
+    occ_tokens: np.ndarray,
+    num_buckets: int,
+    block_cf: int,
+) -> pa.Table:
+    """Encode per-term occurrence slices into posting block rows."""
+    cols: dict[str, list] = {k: [] for k in POSTINGS_SCHEMA.names}
+    for i, term in enumerate(terms_sorted):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        bucket = term_bucket(term, num_buckets)
+        block_id = 0
+        for s in range(lo, hi, block_cf):
+            e = min(s + block_cf, hi)
+            blk: PostingBlock = encode_posting_block(
+                occ_docs[s:e], occ_fields[s:e], occ_tokens[s:e]
+            )
+            cols["term"].append(term)
+            cols["bucket"].append(bucket)
+            cols["block_id"].append(block_id)
+            cols["first_doc"].append(blk.first_doc)
+            cols["last_doc"].append(blk.last_doc)
+            cols["df"].append(blk.df)
+            cols["cf"].append(blk.cf)
+            cols["max_tf"].append(blk.max_tf)
+            cols["docs"].append(blk.docs)
+            cols["fields"].append(blk.fields)
+            cols["tfs"].append(blk.tfs)
+            cols["positions"].append(blk.positions)
+            block_id += 1
+    return pa.table(
+        {name: pa.array(cols[name], type=POSTINGS_SCHEMA.field(name).type) for name in POSTINGS_SCHEMA.names}
+    )
+
+
+class InvertStage:
+    """Callable batch stage: (doc_id, text) batch → posting run rows.
+
+    Stateless w.r.t. the corpus, so it runs as Ray tasks; written as a
+    class so the compiled regex / config live once per worker.
+    """
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        doc_id_col: str = "doc_id",
+        num_buckets: int = 64,
+        block_cf: int = DEFAULT_BLOCK_CF,
+        field_id: int = DEFAULT_FIELD_ID,
+    ):
+        self.text_col = text_col
+        self.doc_id_col = doc_id_col
+        self.num_buckets = num_buckets
+        self.block_cf = block_cf
+        self.field_id = field_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        doc_ids = np.asarray(batch[self.doc_id_col].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        tok = tokenize_batch(t if t is not None else "" for t in texts)
+        if len(tok.doc_index) == 0:
+            return POSTINGS_SCHEMA.empty_table()
+
+        occ_docs = doc_ids[tok.doc_index]
+        occ_tokens = tok.token_ids
+        occ_fields = np.full(len(occ_tokens), self.field_id, dtype=np.uint64)
+
+        # Local invert: stable sort by term only — tokenize emits in
+        # (doc, token) order, so a stable term sort yields full
+        # (term, doc, field, token) order without a 3-key lexsort.
+        terms = tok.terms
+        dict_arr = terms.dictionary_encode()
+        codes = np.asarray(dict_arr.indices.to_numpy(zero_copy_only=False))
+        vocab = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+        vocab_order = np.argsort(vocab, kind="stable")
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[vocab_order] = np.arange(len(vocab))
+        order = np.argsort(rank[codes], kind="stable")
+
+        occ_docs = occ_docs[order]
+        occ_fields = occ_fields[order]
+        occ_tokens = occ_tokens[order]
+        sorted_codes = rank[codes][order]
+        # term boundaries in the sorted occurrence stream
+        counts = np.bincount(sorted_codes, minlength=len(vocab))
+        present = counts > 0
+        bounds = np.zeros(int(present.sum()) + 1, dtype=np.int64)
+        np.cumsum(counts[present], out=bounds[1:])
+        terms_sorted = vocab[vocab_order][present]
+        return _posting_rows(
+            terms_sorted, bounds, occ_docs, occ_fields, occ_tokens,
+            self.num_buckets, self.block_cf,
+        )
+
+
+def merge_posting_runs(group: pa.Table, block_cf: int = DEFAULT_BLOCK_CF) -> pa.Table:
+    """Merge all partial runs of ONE term into canonical blocks.
+
+    Fast path: when runs cover pairwise-disjoint doc ranges (the normal
+    case — doc ids are assigned contiguously per input block), merged
+    output = runs ordered by first_doc with renumbered block ids; the
+    encoded payloads are reused as-is (zero re-encode), and small
+    adjacent runs are coalesced up to ``block_cf``.
+
+    Slow path (overlapping ranges, e.g. multi-field or out-of-order
+    ingest): decode, lexsort, re-encode.
+    """
+    order = np.lexsort(
+        (
+            np.asarray(group["block_id"].to_numpy(zero_copy_only=False)),
+            np.asarray(group["first_doc"].to_numpy(zero_copy_only=False)),
+        )
+    )
+    group = group.take(pa.array(order))
+    first = np.asarray(group["first_doc"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    last = np.asarray(group["last_doc"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    cfs = np.asarray(group["cf"].to_numpy(zero_copy_only=False))
+    n = len(first)
+    disjoint = bool((last[:-1] <= first[1:]).all()) if n > 1 else True
+    # NOTE: equal boundary docs (last[i] == first[i+1]) can only happen
+    # for multi-field docs split across batches; conservative: treat as
+    # overlap and take the slow path.
+    if n > 1:
+        disjoint = bool((last[:-1] < first[1:]).all())
+
+    term = group["term"][0].as_py()
+    bucket = group["bucket"][0].as_py()
+
+    if disjoint:
+        small = cfs < (block_cf // 4)
+        if not small.any():
+            # reuse rows, renumber blocks
+            return group.set_column(
+                group.schema.get_field_index("block_id"),
+                "block_id",
+                pa.array(np.arange(n, dtype=np.int32)),
+            )
+        # coalesce small runs: decode only the small neighbours
+    # slow path: decode everything, re-sort, re-encode
+    docs_l, fields_l, tokens_l = [], [], []
+    for i in range(n):
+        d, f, t, *_ = decode_posting_block(
+            group["docs"][i].as_py(),
+            group["fields"][i].as_py(),
+            group["tfs"][i].as_py(),
+            group["positions"][i].as_py(),
+        )
+        docs_l.append(d)
+        fields_l.append(f)
+        tokens_l.append(t)
+    occ_docs = np.concatenate(docs_l)
+    occ_fields = np.concatenate(fields_l)
+    occ_tokens = np.concatenate(tokens_l)
+    if not disjoint:
+        o = np.lexsort((occ_tokens, occ_fields, occ_docs))
+        occ_docs, occ_fields, occ_tokens = occ_docs[o], occ_fields[o], occ_tokens[o]
+    bounds = np.array([0, len(occ_docs)], dtype=np.int64)
+    return _posting_rows(
+        np.array([term], dtype=object), bounds, occ_docs, occ_fields, occ_tokens,
+        num_buckets=max(bucket + 1, 1), block_cf=block_cf,
+    ).set_column(1, "bucket", pa.array([bucket] * _count_blocks(len(occ_docs), block_cf), type=pa.int32()))
+
+
+def _count_blocks(cf: int, block_cf: int) -> int:
+    return max(1, (cf + block_cf - 1) // block_cf)

@@ -1,0 +1,130 @@
+"""Persistent index layout: segments, catalogs, manifests, meta.
+
+Replaces the reference's five fixed files per index directory
+(``IndexTypes/Persistent/PersistentIndex.cs:10-16`` — header,
+dictionary, posting lists, fields, positions/text) with a
+Parquet-native, *segmented* layout designed for distributed builds and
+per-partition resume:
+
+    index_dir/
+      meta.json                      # header: doc counts, avgdl, segments
+      segments/<seg>/
+        manifest.json                # per-segment lineage + counters
+        docs/*.parquet               # doc_id, doc_len, sha256, meta cols
+        postings/*.parquet           # term-sorted posting block rows
+        catalog/*.parquet            # term, df, cf, n_blocks (sorted)
+
+Each build session writes a NEW segment (append-only), mirroring the
+reference's incremental-session model where repeated terms chain a new
+posting list onto the old one (``PersistentBuilder.cs:69-80``,
+``PostingListWriter.cs:114-159``): here the "chain" is simply the
+per-segment posting rows for the same term, merged at query time in
+segment order.  The manifest carries the same counters the reference's
+``IndexBuilderStatistics`` exposes (terms, occurrences) plus lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+import pyarrow as pa
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("bucket", pa.int32()),
+        ("block_id", pa.int32()),
+        ("first_doc", pa.uint64()),
+        ("last_doc", pa.uint64()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("max_tf", pa.int64()),
+        ("docs", pa.binary()),
+        ("fields", pa.binary()),
+        ("tfs", pa.binary()),
+        ("positions", pa.binary()),
+    ]
+)
+
+META_FILE = "meta.json"
+SEGMENTS_DIR = "segments"
+
+
+@dataclass
+class SegmentManifest:
+    name: str
+    num_docs: int = 0
+    num_terms: int = 0
+    num_occurrences: int = 0
+    total_tokens: int = 0
+    min_doc_id: int = 0
+    max_doc_id: int = 0
+    input_lineage: list[str] = field(default_factory=list)
+    created_at: float = 0.0
+    complete: bool = False
+
+
+@dataclass
+class IndexMeta:
+    """The index header — analog of ``index-info.pms``
+    (``PersistentIndexInfo.cs:22-51``): persists ``next_doc_id`` across
+    incremental sessions plus corpus-level BM25 statistics."""
+
+    version: int = 1
+    next_doc_id: int = 1
+    num_docs: int = 0
+    total_tokens: int = 0
+    segments: list[str] = field(default_factory=list)
+    max_token_size: int = 64
+    created_at: float = 0.0
+    modified_at: float = 0.0
+
+    @property
+    def avgdl(self) -> float:
+        return self.total_tokens / self.num_docs if self.num_docs else 0.0
+
+
+def segment_dir(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, SEGMENTS_DIR, name)
+
+
+def load_meta(index_dir: str) -> IndexMeta:
+    with open(os.path.join(index_dir, META_FILE)) as f:
+        d = json.load(f)
+    return IndexMeta(**d)
+
+
+def save_meta(index_dir: str, meta: IndexMeta) -> None:
+    meta.modified_at = time.time()
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, META_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(asdict(meta), f, indent=2)
+    os.replace(tmp, os.path.join(index_dir, META_FILE))
+
+
+def load_manifest(index_dir: str, name: str) -> SegmentManifest:
+    with open(os.path.join(segment_dir(index_dir, name), "manifest.json")) as f:
+        return SegmentManifest(**json.load(f))
+
+
+def save_manifest(index_dir: str, m: SegmentManifest) -> None:
+    d = segment_dir(index_dir, m.name)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(asdict(m), f, indent=2)
+    os.replace(tmp, os.path.join(d, "manifest.json"))
+
+
+def segment_is_complete(index_dir: str, name: str) -> bool:
+    """Checkpoint check: a segment whose manifest validates is skipped
+    on resume (SURVEY.md §4.2 — the partition-granular analog of the
+    reference's reopen-and-append model)."""
+    try:
+        return load_manifest(index_dir, name).complete
+    except (FileNotFoundError, json.JSONDecodeError, TypeError):
+        return False
