@@ -1,44 +1,584 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native full-text engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes every implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data extensions) over the driver's
+testdata tables; ``oracle_sql()`` gives the DuckDB twin for each
+SQL-expressible one.  Column names and float rounding (floor(x*1e6+.5)/1e6)
+are matched pairwise so the driver's order-insensitive value-hash
+comparison is exact.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/shutdown() anywhere in the library or these callables.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+TOKENS_CTE = """
+tokens AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9_-]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_-]+'), 1) AS token_id
+    FROM documents
+)
+"""
+
+
+def _r6(expr: str) -> str:
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
+
+
+# ---------------------------------------------------------------------------
+# index cache (one build per sf_dir per process)
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    cached = _INDEX_CACHE.get(sf_dir)
+    if cached:
+        return cached
+    from fulltextsearch_ray.pipelines.build import build_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = os.path.join("/tmp", "ftsray_cache", f"docs-{tag}")
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        build_index(ds, idx, text_col="text", doc_id_col="doc_id", num_buckets=8, overwrite=True)
+    _INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def _searcher(sf_dir: str):
+    from fulltextsearch_ray.pipelines.query import get_searcher
+
+    return get_searcher(_index_dir_for(sf_dir))
+
+
+def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=list(columns))
+
+
+def _occ_table(searcher, query: str) -> pa.Table:
+    t = searcher.search_table(query)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "field_id": t["field_id"].cast(pa.int64()),
+            "token_id": t["token_id"].cast(pa.int64()),
+        }
+    )
+
+
+def _terms_table(searcher, pattern: str) -> pa.Table:
+    return pa.table({"term": pa.array(searcher.lookup(pattern), pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# individual query implementations (Ray side)
+# ---------------------------------------------------------------------------
+
+
+def _q_postings_dump(sf_dir: str):
+    from fulltextsearch_ray.pipelines.query import dump_postings_dataset
+
+    return dump_postings_dataset(_index_dir_for(sf_dir))
+
+
+def _q_term_stats(sf_dir: str):
+    s = _searcher(sf_dir)
+    return pa.table(
+        {
+            "term": s.terms,
+            "df": pa.array(np.asarray(s._df, dtype=np.int64)),
+            "cf": pa.array(np.asarray(s._cf, dtype=np.int64)),
+        }
+    )
+
+
+def _q_doc_stats(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from fulltextsearch_ray.state.index import load_meta, segment_dir
+
+    idx = _index_dir_for(sf_dir)
+    meta = load_meta(idx)
+    tables = [
+        pq.read_table(os.path.join(segment_dir(idx, seg), "docs"), columns=["doc_id", "doc_len", "sha256"])
+        for seg in meta.segments
+    ]
+    t = pa.concat_tables(tables)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "doc_len": t["doc_len"].cast(pa.int64()),
+            "sha256": t["sha256"],
+        }
+    )
+
+
+def _q_top_terms(sf_dir: str):
+    t = _q_term_stats(sf_dir)
+    cf = np.asarray(t["cf"].to_numpy(zero_copy_only=False))
+    terms = np.asarray(t["term"].to_pylist(), dtype=object)
+    df = np.asarray(t["df"].to_numpy(zero_copy_only=False))
+    order = np.lexsort((terms, -cf))[:20]
+    return pa.table(
+        {
+            "term": pa.array(terms[order].tolist(), pa.string()),
+            "df": pa.array(df[order]),
+            "cf": pa.array(cf[order]),
+        }
+    )
+
+
+def _q_bm25(sf_dir: str):
+    from fulltextsearch_ray.functions.common import round6
+
+    s = _searcher(sf_dir)
+    docs, scores = s.bm25_scores(["table", "key", "scan"])
+    scores = round6(scores)
+    order = np.lexsort((docs, -scores))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order].astype(np.int64)),
+            "score": pa.array(scores[order], pa.float64()),
+        }
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    from fulltextsearch_ray.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs_ds(sf_dir))
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from fulltextsearch_ray.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_ds(sf_dir), n=3, threshold=0.02)
+
+
+def _q_simhash(sf_dir: str):
+    from fulltextsearch_ray.functions.dedup import simhash_batch
+
+    return _docs_ds(sf_dir).map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def _q_minhash(sf_dir: str):
+    from fulltextsearch_ray.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_ds(sf_dir), num_perm=64, bands=16, threshold=0.5)
+
+
+def _q_embed_neardup(sf_dir: str):
+    import ray.data
+
+    from fulltextsearch_ray.functions.dedup import embedding_neardup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_neardup_pairs(ds, threshold=0.35)
+
+
+def _q_ann(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from fulltextsearch_ray.functions.similarity import brute_force_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, filters=[("vec_id", "<", 5)])
+    q_ids = np.asarray(qt["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    return brute_force_topk(ray.data.read_parquet(path), q_ids, q_mat, k=10)
+
+
+def _q_ann_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from fulltextsearch_ray.functions.similarity import lsh_bucketed_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, filters=[("vec_id", "<", 5)])
+    q_ids = np.asarray(qt["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    return lsh_bucketed_topk(ray.data.read_parquet(path), q_ids, q_mat, k=10, bits=4)
+
+
+def _q_lang_id(sf_dir: str):
+    from fulltextsearch_ray.functions.text import lang_id_batch
+
+    return _docs_ds(sf_dir).map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def _q_quality(sf_dir: str):
+    from fulltextsearch_ray.functions.text import quality_batch
+
+    return _docs_ds(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+
+
+def _q_token_count(sf_dir: str):
+    from fulltextsearch_ray.functions.text import token_count_batch
+
+    return _docs_ds(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def _q_fingerprint(sf_dir: str):
+    from fulltextsearch_ray.functions.text import fingerprint_batch
+
+    return _docs_ds(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _q_multimodal(sf_dir: str):
+    from fulltextsearch_ray.functions.multimodal import DecodeStage, text_as_media
+
+    media = _docs_ds(sf_dir, ("doc_id", "text", "source")).map_batches(
+        text_as_media, batch_format="pyarrow"
+    )
+    return media.map_batches(
+        DecodeStage, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", batch_size=64, concurrency=2,
+    )
+
+
+def _q_events_window(sf_dir: str):
+    import ray.data
+
+    from fulltextsearch_ray.functions.common import round6
+    from fulltextsearch_ray.functions.windows import tumbling_window_agg
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    agg = tumbling_window_agg(ds, window="1h")
+
+    def post(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": batch["window_start"],
+                "event_type": batch["event_type"],
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "sum_value": pa.array(
+                    round6(np.asarray(batch["sum_value"].to_numpy(zero_copy_only=False))), pa.float64()
+                ),
+                "avg_value": pa.array(
+                    round6(np.asarray(batch["avg_value"].to_numpy(zero_copy_only=False))), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(post, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the inverted index over the
+    documents corpus, run BM25 top-10 for a query set, return results."""
+    sf_dir = "/root/testdata/sf0.001"
+    s = _searcher(sf_dir)
+    out = []
+    for qid, q in enumerate(["table key scan", "spark stream window", "customer order group"]):
+        top = s.bm25_topk(q, k=10)
+        for rank in range(top.num_rows):
+            out.append(
+                {
+                    "query_id": qid,
+                    "rank": rank + 1,
+                    "doc_id": int(top["doc_id"][rank].as_py()),
+                    "score": float(top["score"][rank].as_py()),
+                }
+            )
+    import pandas as pd
+
+    return pd.DataFrame(out)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    base: dict[str, Callable[[str], Any]] = {
+        # — fulltext engine core (SURVEY.md §2) —
+        "postings_dump": _q_postings_dump,
+        "term_stats": _q_term_stats,
+        "doc_stats": _q_doc_stats,
+        "top_terms": _q_top_terms,
+        "word_search": lambda sf: _occ_table(_searcher(sf), "WORD(table)"),
+        "or_search": lambda sf: _occ_table(_searcher(sf), "OR(WORD(table),WORD(key))"),
+        "and_search": lambda sf: _occ_table(_searcher(sf), "AND(WORD(table),WORD(key))"),
+        "phrase_search": lambda sf: _occ_table(_searcher(sf), "SEQ(WORD(table),WORD(part))"),
+        "wild_search": lambda sf: _occ_table(_searcher(sf), "WILD(ta*)"),
+        "edit_search": lambda sf: _occ_table(_searcher(sf), "EDIT(tabel,1)"),
+        "lookup_wild": lambda sf: _terms_table(_searcher(sf), "WILD(s*)"),
+        "lookup_edit": lambda sf: _terms_table(_searcher(sf), "EDIT(scan,1)"),
+        "bm25_topk": _q_bm25,
+        # — training-data operators —
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_simhash": _q_simhash,
+        "dedup_minhash_lsh": _q_minhash,
+        "embed_neardup": _q_embed_neardup,
+        "ann_cosine": _q_ann,
+        "ann_lsh": _q_ann_lsh,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality,
+        "token_count": _q_token_count,
+        "fingerprint": _q_fingerprint,
+        "multimodal_meta": _q_multimodal,
+        "events_window": _q_events_window,
+    }
+    return base
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_en = "('the','a','is','and','of','to','in','that','it','for')"
+    stop_de = "('der','die','das','und','ist','nicht','ein','mit','für')"
+    stop_es = "('el','la','es','y','de','que','en','un','por','los')"
+    stop_fr = "('le','la','est','et','de','que','un','une','pour','les')"
+    stop_zh = "('的','是','了','在','我','有','和','不','人','这')"
+
+    return {
+        "postings_dump": f"""
+            WITH {TOKENS_CTE}
+            SELECT doc_id, term, 1::BIGINT AS field_id, token_id::BIGINT AS token_id FROM tokens
+        """,
+        "term_stats": f"""
+            WITH {TOKENS_CTE}
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+            FROM tokens GROUP BY term
+        """,
+        "doc_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[a-z0-9_-]+'))::BIGINT AS doc_len,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        "top_terms": f"""
+            WITH {TOKENS_CTE}
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+            FROM tokens GROUP BY term
+            ORDER BY cf DESC, term ASC LIMIT 20
+        """,
+        "word_search": f"""
+            WITH {TOKENS_CTE}
+            SELECT doc_id, 1::BIGINT AS field_id, token_id::BIGINT AS token_id
+            FROM tokens WHERE term = 'table'
+        """,
+        "or_search": f"""
+            WITH {TOKENS_CTE}
+            SELECT doc_id, 1::BIGINT AS field_id, token_id::BIGINT AS token_id
+            FROM tokens WHERE term IN ('table', 'key')
+        """,
+        "and_search": f"""
+            WITH {TOKENS_CTE}
+            SELECT doc_id, 1::BIGINT AS field_id, token_id::BIGINT AS token_id
+            FROM tokens
+            WHERE term IN ('table', 'key')
+              AND doc_id IN (
+                SELECT doc_id FROM tokens WHERE term = 'table'
+                INTERSECT
+                SELECT doc_id FROM tokens WHERE term = 'key')
+        """,
+        "phrase_search": f"""
+            WITH {TOKENS_CTE}
+            SELECT t1.doc_id, 1::BIGINT AS field_id, t1.token_id::BIGINT AS token_id
+            FROM tokens t1 JOIN tokens t2
+              ON t1.doc_id = t2.doc_id AND t2.token_id = t1.token_id + 1
+            WHERE t1.term = 'table' AND t2.term = 'part'
+        """,
+        "wild_search": f"""
+            WITH {TOKENS_CTE}
+            SELECT doc_id, 1::BIGINT AS field_id, token_id::BIGINT AS token_id
+            FROM tokens WHERE regexp_full_match(term, 'ta.*')
+        """,
+        "edit_search": f"""
+            WITH {TOKENS_CTE}
+            SELECT doc_id, 1::BIGINT AS field_id, token_id::BIGINT AS token_id
+            FROM tokens WHERE levenshtein(term, 'tabel') <= 1
+        """,
+        "lookup_wild": f"""
+            WITH {TOKENS_CTE}
+            SELECT DISTINCT term FROM tokens WHERE regexp_full_match(term, 's.*')
+        """,
+        "lookup_edit": f"""
+            WITH {TOKENS_CTE}
+            SELECT DISTINCT term FROM tokens WHERE levenshtein(term, 'scan') <= 1
+        """,
+        "bm25_topk": f"""
+            WITH {TOKENS_CTE},
+            doclen AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokens
+                   WHERE term IN ('table','key','scan') GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokens
+                   WHERE term IN ('table','key','scan') GROUP BY term),
+            scores AS (
+              SELECT tf.doc_id,
+                     sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                         * tf.tf * (1.2 + 1)
+                         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.dl / stats.avgdl))) AS s
+              FROM tf
+              JOIN df USING (term)
+              JOIN doclen ON doclen.doc_id = tf.doc_id
+              CROSS JOIN stats
+              GROUP BY tf.doc_id)
+            SELECT doc_id, {_r6('s')} AS score
+            FROM scores ORDER BY {_r6('s')} DESC, doc_id ASC LIMIT 10
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {TOKENS_CTE},
+            agg AS (SELECT doc_id, list(term ORDER BY token_id) AS toks FROM tokens GROUP BY doc_id),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+                    FROM agg)),
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*)::DOUBLE AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT common.a::BIGINT AS a, common.b::BIGINT AS b,
+                   {_r6('common.c / (sa.n + sb.n - common.c)')} AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = common.a
+            JOIN sizes sb ON sb.doc_id = common.b
+            WHERE {_r6('common.c / (sa.n + sb.n - common.c)')} >= 0.02
+        """,
+        "dedup_simhash": f"""
+            WITH {TOKENS_CTE},
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokens GROUP BY doc_id, term),
+            bits AS (
+              SELECT doc_id, b.b,
+                     sum(CASE WHEN ((('0x' || substr(md5(term), 1, 16))::UBIGINT >> b.b) & 1) = 1
+                              THEN tf ELSE -tf END) AS s
+              FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+              GROUP BY doc_id, b.b),
+            nib AS (SELECT doc_id, b // 4 AS nibble,
+                           sum(CASE WHEN s > 0 THEN (1 << (b % 4)) ELSE 0 END) AS v
+                    FROM bits GROUP BY doc_id, b // 4)
+            SELECT doc_id, lower(string_agg(to_hex(v), '' ORDER BY nibble DESC)) AS simhash
+            FROM nib GROUP BY doc_id
+        """,
+        "embed_neardup": f"""
+            WITH pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT a::BIGINT AS a, b::BIGINT AS b, {_r6('c')} AS cosine
+            FROM pairs WHERE c >= 0.35
+        """,
+        "ann_cosine": f"""
+            WITH qv AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                               generate_subscripts(embedding, 1) AS i
+                        FROM embeddings WHERE vec_id < 5),
+                 ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                               generate_subscripts(embedding, 1) AS i
+                        FROM embeddings),
+            sims AS (
+              SELECT qv.vec_id AS query_id, ev.vec_id AS neighbor_id,
+                     sum(qv.v * ev.v)
+                       / (sqrt(sum(qv.v * qv.v)) * sqrt(sum(ev.v * ev.v))) AS c
+              FROM qv JOIN ev USING (i)
+              WHERE qv.vec_id != ev.vec_id
+              GROUP BY qv.vec_id, ev.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, c,
+                     row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+              FROM sims)
+            SELECT query_id::BIGINT AS query_id, rank::INTEGER AS rank,
+                   neighbor_id::BIGINT AS neighbor_id, {_r6('c')} AS cosine
+            FROM ranked WHERE rank <= 10
+        """,
+        "lang_id": f"""
+            WITH {TOKENS_CTE},
+            c AS (SELECT d.doc_id,
+                    count(CASE WHEN term IN {stop_en} THEN 1 END) AS c_en,
+                    count(CASE WHEN term IN {stop_de} THEN 1 END) AS c_de,
+                    count(CASE WHEN term IN {stop_es} THEN 1 END) AS c_es,
+                    count(CASE WHEN term IN {stop_fr} THEN 1 END) AS c_fr,
+                    count(CASE WHEN term IN {stop_zh} THEN 1 END) AS c_zh
+                  FROM documents d LEFT JOIN tokens USING (doc_id)
+                  GROUP BY d.doc_id)
+            SELECT doc_id,
+                   CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                        WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                        WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                        WHEN c_fr >= c_zh THEN 'fr'
+                        ELSE 'zh' END AS pred_lang,
+                   greatest(c_en, c_de, c_es, c_fr, c_zh)::BIGINT AS stopword_hits
+            FROM c
+        """,
+        "quality_score": f"""
+            WITH {TOKENS_CTE},
+            f AS (SELECT d.doc_id,
+                    count(term)::DOUBLE AS n_tokens,
+                    count(CASE WHEN term IN {stop_en} THEN 1 END)::DOUBLE AS n_stop,
+                    coalesce(sum(length(term)), 0)::DOUBLE AS tok_chars
+                  FROM documents d LEFT JOIN tokens USING (doc_id)
+                  GROUP BY d.doc_id),
+            r AS (SELECT doc_id, n_tokens,
+                    n_stop / greatest(n_tokens, 1) AS stop_ratio_raw,
+                    tok_chars / greatest(n_tokens, 1) AS mean_len_raw
+                  FROM f)
+            SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+                   {_r6('stop_ratio_raw')} AS stop_ratio,
+                   {_r6('mean_len_raw')} AS mean_token_len,
+                   {_r6('0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - stop_ratio_raw) + 0.3 * least(mean_len_raw / 8.0, 1.0)')} AS quality
+            FROM r
+        """,
+        "token_count": f"""
+            WITH {TOKENS_CTE}
+            SELECT d.doc_id, count(term)::BIGINT AS n_tokens,
+                   count(DISTINCT term)::BIGINT AS n_distinct
+            FROM documents d LEFT JOIN tokens USING (doc_id)
+            GROUP BY d.doc_id
+        """,
+        "fingerprint": f"""
+            WITH {TOKENS_CTE},
+            agg AS (SELECT doc_id, list(term ORDER BY token_id) AS toks FROM tokens GROUP BY doc_id),
+            sh AS (SELECT doc_id, md5(array_to_string(toks[i:i+2], ' ')) AS m
+                   FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+                         FROM agg))
+            SELECT doc_id, min(m) AS fingerprint FROM sh GROUP BY doc_id
+        """,
+        "multimodal_meta": """
+            SELECT doc_id::BIGINT AS media_id,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   md5(text) AS md5,
+                   (16 + (('0x' || substr(md5(text), 1, 4))::INTEGER % 4080))::INTEGER AS width,
+                   (16 + (('0x' || substr(md5(text), 5, 4))::INTEGER % 4080))::INTEGER AS height
+            FROM documents
+        """,
+        "events_window": f"""
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*)::BIGINT AS n_events,
+                   {_r6('sum(value)')} AS sum_value,
+                   {_r6('avg(value)')} AS avg_value
+            FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+    }

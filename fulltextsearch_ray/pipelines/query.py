@@ -355,6 +355,46 @@ class IndexSearcher:
         )
 
 
+def dump_postings_dataset(index_dir: str) -> "ray.data.Dataset":
+    """Distributed conformance dump (the reference `print` verb,
+    ``ConsoleUtil/Program.cs:228-238``): every occurrence as a row
+    (term, doc_id, field_id, token_id) — a map_batches decode over the
+    posting-block parquet, no driver-side loop."""
+    import ray
+    import ray.data
+
+    meta = load_meta(index_dir)
+    paths = [os.path.join(segment_dir(index_dir, s), "postings") for s in meta.segments]
+
+    def decode_rows(batch: pa.Table) -> pa.Table:
+        terms_out, d_out, f_out, t_out = [], [], [], []
+        for i in range(batch.num_rows):
+            d, f, tok, *_ = decode_posting_block(
+                batch["docs"][i].as_py(), batch["fields"][i].as_py(),
+                batch["tfs"][i].as_py(), batch["positions"][i].as_py(),
+            )
+            terms_out.append(np.full(len(d), batch["term"][i].as_py(), dtype=object))
+            d_out.append(d)
+            f_out.append(f)
+            t_out.append(tok)
+        if not d_out:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64()),
+                 "field_id": pa.array([], pa.int64()), "token_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "term": pa.array(np.concatenate(terms_out), pa.string()),
+                "doc_id": pa.array(np.concatenate(d_out).astype(np.int64)),
+                "field_id": pa.array(np.concatenate(f_out).astype(np.int64)),
+                "token_id": pa.array(np.concatenate(t_out).astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(paths, columns=["term", "docs", "fields", "tfs", "positions"])
+    return ds.map_batches(decode_rows, batch_format="pyarrow")
+
+
 @lru_cache(maxsize=8)
 def get_searcher(index_dir: str) -> IndexSearcher:
     """Process-local searcher cache (one warm searcher per index)."""
