@@ -1,0 +1,235 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Phases (all run by default):
+  build    — inverted-index build over the deterministic synthetic
+             source-code corpus (docs/s, occurrences/s) with
+             deterministic doc-id assignment.
+  docs     — index build over the sf dir's ``documents.parquet``.
+  query    — BM25 top-10 p50/p99 latency over 200 generated queries
+             against the warm searcher + distributed SearcherStage
+             throughput.
+  ops      — representative training-data operators at the sf dir.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), GRAFT_BENCH_DOCS (synthetic corpus rows, default 20000).
+
+``--scaling`` runs the build phase twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs plus efficiency = T(32) / (4 * T(8)) — the sandbox
+evidence protocol for the two-cluster-size criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+
+def bench_build(num_cpus: int, n_docs: int) -> dict:
+    import ray.data
+
+    from fulltextsearch_ray.pipelines.build import build_index
+    from fulltextsearch_ray.sources.corpus import write_synth_corpus
+    from fulltextsearch_ray.state.index import load_manifest, load_meta
+
+    rows_per_file = max(min(n_docs // 16, 10_000), 1000)
+    corpus = write_synth_corpus(
+        f"/tmp/ftsray_bench/corpus-{n_docs}", n_docs, rows_per_file=rows_per_file
+    )
+    idx = f"/tmp/ftsray_bench/idx-{n_docs}-{num_cpus}-{time.time_ns()}"
+    t0 = time.perf_counter()
+    meta = build_index(
+        corpus,
+        idx,
+        text_col="content",
+        num_buckets=64,
+        overwrite=True,
+    )
+    dt = time.perf_counter() - t0
+    man = load_manifest(idx, meta.segments[-1])
+    return {
+        "sec": round(dt, 3),
+        "docs": meta.num_docs,
+        "docs_per_sec": round(meta.num_docs / dt, 1),
+        "occurrences": man.num_occurrences,
+        "occ_per_sec": round(man.num_occurrences / dt, 0),
+        "index_dir": idx,
+    }
+
+
+def bench_docs_table(sf_dir: str) -> dict:
+    import ray.data
+
+    from fulltextsearch_ray.pipelines.build import build_index
+
+    idx = f"/tmp/ftsray_bench/docs-idx-{time.time_ns()}"
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    meta = build_index(ds, idx, text_col="text", doc_id_col="doc_id", num_buckets=16, overwrite=True)
+    dt = time.perf_counter() - t0
+    return {"sec": round(dt, 3), "docs": meta.num_docs, "index_dir": idx}
+
+
+def _query_set(searcher, n: int = 200) -> list[str]:
+    rng = np.random.default_rng(7)
+    terms = searcher.terms.to_pylist()
+    top = sorted(terms)[: min(len(terms), 500)]
+    out = []
+    for _ in range(n):
+        k = int(rng.integers(1, 4))
+        out.append(" ".join(rng.choice(top, size=k, replace=False)))
+    return out
+
+def bench_query(index_dir: str, num_cpus: int) -> dict:
+    import pyarrow as pa
+    import ray.data
+
+    from fulltextsearch_ray.pipelines.query import IndexSearcher, SearcherStage
+
+    s = IndexSearcher(index_dir)
+    qs = _query_set(s)
+    # warm the posting cache with one pass, then measure per-query
+    lat = []
+    for q in qs:
+        t0 = time.perf_counter()
+        s.bm25_topk(q, k=10)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.array(lat) * 1000
+    # distributed: queries as a Dataset through the actor-pool stage
+    qt = pa.table({"query_id": pa.array(range(len(qs)), pa.int64()), "query": pa.array(qs, pa.string())})
+    t0 = time.perf_counter()
+    n_out = (
+        ray.data.from_arrow(qt)
+        .map_batches(
+            SearcherStage,
+            fn_constructor_args=(index_dir,),
+            batch_format="pyarrow",
+            concurrency=min(4, num_cpus),
+            batch_size=32,
+        )
+        .count()
+    )
+    pool_dt = time.perf_counter() - t0
+    return {
+        "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+        "queries": len(qs),
+        "pool_sec": round(pool_dt, 3),
+        "pool_qps": round(len(qs) / pool_dt, 1),
+        "rows_out": n_out,
+    }
+
+
+def bench_ops(sf_dir: str) -> dict:
+    import __ray_entry__ as e
+
+    names = [
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "ann_cosine",
+        "lang_id", "quality_score", "fingerprint", "events_window",
+    ]
+    qs = e.queries()
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        r = qs[name](sf_dir)
+        if hasattr(r, "count") and not isinstance(r, (int, float)):
+            try:
+                r.count()
+            except AttributeError:
+                pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_scaling(n_docs: int) -> dict:
+    """Fresh-process build bench at num_cpus=8 and 32 (same input)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_BENCH_DOCS"] = str(n_docs)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", "build"],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["queries"]["build_docs_per_sec"]
+    t32 = results[32]["queries"]["build_docs_per_sec"]
+    eff = t32 / (4 * t8)
+    return {
+        "docs": n_docs,
+        "docs_per_sec_8cpus": t8,
+        "docs_per_sec_32cpus": t32,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "20000"))
+    args = sys.argv[1:]
+
+    if "--scaling" in args:
+        out = run_scaling(n_docs)
+        print(json.dumps({"metric": "scaling_efficiency", "value": out["scaling_efficiency"],
+                          "unit": "ratio", "queries": out, "sf": sf_dir, "num_cpus": [8, 32]}))
+        return
+
+    phase = None
+    if "--phase" in args:
+        phase = args[args.index("--phase") + 1]
+
+    import ray
+
+    _init_ray(num_cpus)
+    t_start = time.perf_counter()
+    q: dict = {}
+
+    if phase in (None, "build"):
+        b = bench_build(num_cpus, n_docs)
+        q["build_sec"] = b["sec"]
+        q["build_docs_per_sec"] = b["docs_per_sec"]
+        q["build_occ_per_sec"] = b["occ_per_sec"]
+        build_idx = b["index_dir"]
+    if phase in (None, "query"):
+        if phase == "query":
+            b = bench_build(num_cpus, n_docs)
+            build_idx = b["index_dir"]
+        qq = bench_query(build_idx, num_cpus)
+        q["bm25_p50_ms"] = qq["p50_ms"]
+        q["bm25_p99_ms"] = qq["p99_ms"]
+        q["bm25_pool_qps"] = qq["pool_qps"]
+    if phase is None:
+        d = bench_docs_table(sf_dir)
+        q["docs_table_sec"] = d["sec"]
+        for k, v in bench_ops(sf_dir).items():
+            q[f"op_{k}_sec"] = v
+
+    total = round(time.perf_counter() - t_start, 3)
+    print(json.dumps({
+        "metric": "e2e_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": q,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

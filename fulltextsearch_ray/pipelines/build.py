@@ -25,10 +25,11 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..sources.corpus import normalize_corpus, sha256_hex
+from ..sources.corpus import normalize_corpus, read_corpus_with_ids, sha256_hex
 from ..stages.invert import DEFAULT_BLOCK_CF, InvertStage, merge_posting_runs
 from ..state.index import (
     IndexMeta,
@@ -88,12 +89,6 @@ def build_index(
     id space, mirroring the reference header contract,
     ``PersistentIndexInfo.cs:36-51``).
     """
-    if isinstance(source, str):
-        cols = None
-        if doc_id_col or id_cols:
-            cols = sorted({text_col, *(meta_cols or ()), *( [doc_id_col] if doc_id_col else []), *(id_cols or [])})
-        source = ray.data.read_parquet(source, columns=cols)
-
     if overwrite and os.path.exists(index_dir):
         shutil.rmtree(index_dir)
 
@@ -112,7 +107,21 @@ def build_index(
         shutil.rmtree(seg_path)  # incomplete previous attempt
     os.makedirs(seg_path, exist_ok=True)
 
-    ds = normalize_corpus(source, text_col, doc_id_col=doc_id_col, id_cols=id_cols, start_id=meta.next_doc_id)
+    if isinstance(source, str):
+        cols = sorted({text_col, *(meta_cols or ()), *([doc_id_col] if doc_id_col else []), *(id_cols or [])})
+        if doc_id_col is None and id_cols is None:
+            # positional deterministic ids straight from the parquet
+            # layout — no extra data pass, no shuffle
+            ds = read_corpus_with_ids(source, columns=cols, start_id=meta.next_doc_id)
+        else:
+            src = ray.data.read_parquet(source, columns=cols)
+            ds = normalize_corpus(src, text_col, doc_id_col=doc_id_col, id_cols=id_cols, start_id=meta.next_doc_id)
+    else:
+        ds = normalize_corpus(source, text_col, doc_id_col=doc_id_col, id_cols=id_cols, start_id=meta.next_doc_id)
+    # The normalized corpus feeds TWO passes (doc stats + invert);
+    # materialize once into the (spillable) object store so the
+    # read/normalize chain doesn't re-execute per consumer.
+    ds = ds.materialize()
 
     # --- docs table (doc_len for BM25, sha256 invariant, metadata) ---
     docs_stage = DocStatsStage(text_col, meta_cols)
@@ -129,38 +138,60 @@ def build_index(
     )
     merged.write_parquet(os.path.join(seg_path, "postings"))
 
-    # --- catalog: per-term totals over blocks (metadata-sized) ---
-    postings = ray.data.read_parquet(
-        os.path.join(seg_path, "postings"),
-        columns=["term", "bucket", "df", "cf", "max_tf", "first_doc", "last_doc"],
-    )
-    catalog = (
-        postings.groupby("term")
-        .aggregate(
-            ray.data.aggregate.Sum("df", alias_name="df"),
-            ray.data.aggregate.Sum("cf", alias_name="cf"),
-            ray.data.aggregate.Max("max_tf", alias_name="max_tf"),
-            ray.data.aggregate.Min("first_doc", alias_name="first_doc"),
-            ray.data.aggregate.Max("last_doc", alias_name="last_doc"),
-            ray.data.aggregate.Count(alias_name="n_blocks"),
+    # --- catalog: per-term totals over blocks (metadata-sized).
+    # The block-stat columns are tiny relative to the corpus, so the
+    # aggregate runs driver-side in Arrow; a Ray groupby fallback
+    # covers catalogs too large for one process (>~50M block rows).
+    import pyarrow.parquet as pq
+
+    post_meta_cols = ["term", "bucket", "df", "cf", "max_tf", "first_doc", "last_doc"]
+    post_dir = os.path.join(seg_path, "postings")
+    try:
+        blocks_tbl = pq.read_table(post_dir, columns=post_meta_cols)
+        if blocks_tbl.num_rows > 50_000_000:
+            raise MemoryError("catalog too large for driver-side aggregate")
+        catalog_tbl = (
+            blocks_tbl.group_by("term")
+            .aggregate(
+                [("df", "sum"), ("cf", "sum"), ("max_tf", "max"),
+                 ("first_doc", "min"), ("last_doc", "max"), ("term", "count")]
+            )
+            .rename_columns(["term", "df", "cf", "max_tf", "first_doc", "last_doc", "n_blocks"])
+            .sort_by("term")
         )
-        .sort("term")
-    )
-    catalog.write_parquet(os.path.join(seg_path, "catalog"))
+        os.makedirs(os.path.join(seg_path, "catalog"), exist_ok=True)
+        pq.write_table(catalog_tbl, os.path.join(seg_path, "catalog", "part-0.parquet"))
+    except MemoryError:
+        postings = ray.data.read_parquet(post_dir, columns=post_meta_cols)
+        catalog = (
+            postings.groupby("term")
+            .aggregate(
+                ray.data.aggregate.Sum("df", alias_name="df"),
+                ray.data.aggregate.Sum("cf", alias_name="cf"),
+                ray.data.aggregate.Max("max_tf", alias_name="max_tf"),
+                ray.data.aggregate.Min("first_doc", alias_name="first_doc"),
+                ray.data.aggregate.Max("last_doc", alias_name="last_doc"),
+                ray.data.aggregate.Count(alias_name="n_blocks"),
+            )
+            .sort("term")
+        )
+        catalog.write_parquet(os.path.join(seg_path, "catalog"))
+        catalog_tbl = pq.read_table(os.path.join(seg_path, "catalog"), columns=["term", "cf"])
 
     # --- per-segment counters (same aggregates as the reference's
-    #     IndexBuilderStatistics) + lineage manifest ---
-    from ray.data.aggregate import Count, Max, Min, Sum
-
-    doc_stats = ray.data.read_parquet(os.path.join(seg_path, "docs"), columns=["doc_id", "doc_len"]).aggregate(
-        Count(alias_name="n"), Sum("doc_len", alias_name="tokens"),
-        Min("doc_id", alias_name="min_id"), Max("doc_id", alias_name="max_id"),
-    )
-    cat_stats = ray.data.read_parquet(os.path.join(seg_path, "catalog"), columns=["term", "cf"]).aggregate(
-        Count(alias_name="terms"), Sum("cf", alias_name="occ"),
-    )
-    n_docs = int(doc_stats["n"] or 0)
-    total_tokens = int(doc_stats["tokens"] or 0)
+    #     IndexBuilderStatistics) + lineage manifest; computed from the
+    #     already-written small columns, no extra Ray jobs ---
+    dl_tbl = pq.read_table(os.path.join(seg_path, "docs"), columns=["doc_id", "doc_len"])
+    n_docs = dl_tbl.num_rows
+    total_tokens = int(pc.sum(dl_tbl["doc_len"]).as_py() or 0)
+    doc_stats = {
+        "min_id": int(pc.min(dl_tbl["doc_id"]).as_py() or 0),
+        "max_id": int(pc.max(dl_tbl["doc_id"]).as_py() or 0),
+    }
+    cat_stats = {
+        "terms": catalog_tbl.num_rows,
+        "occ": int(pc.sum(catalog_tbl["cf"]).as_py() or 0),
+    }
 
     lineage = source.input_files() if hasattr(source, "input_files") else []
     manifest = SegmentManifest(
@@ -169,8 +200,8 @@ def build_index(
         num_terms=int(cat_stats["terms"] or 0),
         num_occurrences=int(cat_stats["occ"] or 0),
         total_tokens=total_tokens,
-        min_doc_id=int(doc_stats["min_id"] or 0),
-        max_doc_id=int(doc_stats["max_id"] or 0),
+        min_doc_id=doc_stats["min_id"],
+        max_doc_id=doc_stats["max_id"],
         input_lineage=list(lineage or []),
         created_at=time.time(),
         complete=True,

@@ -48,7 +48,8 @@ def sample_key_boundaries(ds: ray.data.Dataset, id_cols: list[str], num_ranges: 
         step = max(len(ks) // 32, 1)
         return pa.table({"k": pa.array(ks[::step], type=pa.string())})
 
-    sample = ds.map_batches(sample_batch, batch_format="pyarrow")
+    # projection pushdown: the sampling pass reads ONLY the key columns
+    sample = ds.select_columns(id_cols).map_batches(sample_batch, batch_format="pyarrow")
     keys = sorted(r["k"] for r in sample.take_all())  # small: ≤32 per block
     if not keys or num_ranges <= 1:
         return []
@@ -74,9 +75,11 @@ def assign_doc_ids(
     shuffle — the retry-safe re-expression of the reference's
     "enumeration order defines ids" contract.
     """
-    n_blocks = ds.num_blocks() if ds.num_blocks() is not None else 64
     if num_ranges is None:
-        num_ranges = max(int(n_blocks), 1)
+        try:
+            num_ranges = max(int(ds.num_blocks()), 1)
+        except (NotImplementedError, AttributeError):
+            num_ranges = 64
     boundaries = sample_key_boundaries(ds, id_cols, num_ranges)
     bounds_ref = ray.put(np.array(boundaries, dtype=object))
 
@@ -89,11 +92,22 @@ def assign_doc_ids(
             "_range", pa.array(rid.astype(np.int64))
         )
 
-    with_range = ds.map_batches(add_range, batch_format="pyarrow")
+    # Materialize the keyed dataset ONCE (object store, spillable):
+    # it feeds both the count pass and the rank shuffle — without this
+    # the upstream read+key executes once per consumer.  At cluster
+    # scale this would instead be a persisted intermediate parquet.
+    with_range = ds.map_batches(add_range, batch_format="pyarrow").materialize()
 
-    # pass 1: per-range counts → driver prefix sum (num_ranges values)
-    counts_tbl = with_range.groupby("_range").count().take_all()
-    counts = {int(r["_range"]): int(r["count()"]) for r in counts_tbl}
+    # per-range counts: map_batches partials + driver sum — no shuffle
+    def count_batch(batch: pa.Table) -> pa.Table:
+        rid, cnt = np.unique(
+            np.asarray(batch["_range"].to_numpy(zero_copy_only=False)), return_counts=True
+        )
+        return pa.table({"_range": pa.array(rid), "n": pa.array(cnt)})
+
+    counts: dict[int, int] = {}
+    for r in with_range.select_columns(["_range"]).map_batches(count_batch, batch_format="pyarrow").take_all():
+        counts[int(r["_range"])] = counts.get(int(r["_range"]), 0) + int(r["n"])
     offsets = np.zeros(len(boundaries) + 2, dtype=np.int64)
     for rid in range(len(boundaries) + 1):
         offsets[rid + 1] = offsets[rid] + counts.get(rid, 0)
@@ -112,6 +126,52 @@ def assign_doc_ids(
         return out.drop_columns(["_key", "_range"])
 
     return with_range.groupby("_range").map_groups(rank_group, batch_format="pyarrow")
+
+
+def read_corpus_with_ids(
+    path: str,
+    columns: list[str] | None = None,
+    start_id: int = 1,
+) -> ray.data.Dataset:
+    """Read a parquet corpus with POSITIONAL deterministic doc ids.
+
+    ``doc_id = start_id + (rows in all preceding files) + row index``
+    over the sorted file listing — the direct analog of the reference's
+    "file enumeration order defines docIDs" (``Program.cs:327-362``),
+    made retry-safe: ids depend only on the (sorted) file list and the
+    parquet footers' row counts, which the driver reads WITHOUT a data
+    pass.  One read task per file; no shuffle, no sampling.  Use
+    ``assign_doc_ids`` instead when ids must be content-deterministic
+    (sorted-key rank) rather than layout-deterministic.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    offsets = [start_id]
+    for f in files:
+        offsets.append(offsets[-1] + pq.ParquetFile(f).metadata.num_rows)
+
+    items = [{"file": f, "offset": o} for f, o in zip(files, offsets[:-1])]
+
+    def read_file(batch: pa.Table) -> pa.Table:
+        out = []
+        for f, off in zip(batch["file"].to_pylist(), batch["offset"].to_pylist()):
+            t = pq.read_table(f, columns=columns)
+            ids = pa.array(np.arange(off, off + t.num_rows, dtype=np.uint64), pa.uint64())
+            out.append(t.append_column("doc_id", ids))
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(items).map_batches(
+        read_file, batch_format="pyarrow", batch_size=1
+    )
 
 
 def normalize_corpus(
@@ -184,9 +244,52 @@ def synth_code_corpus(n_rows: int, **kw) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def synth_code_batch(start: int, count: int, *, tokens_per_doc: int = 220, heavy_term: str | None = None, heavy_every: int = 2) -> pa.Table:
+    """Vectorized deterministic batch of source-code-like rows.
+
+    One RNG draw for the whole batch (seeded by ``start``), so
+    generation is fast enough to build multi-GB bench corpora; content
+    for a given (start, count, params) is reproducible everywhere.
+    """
+    rng = np.random.default_rng(100_000 + start)
+    vocab = np.array(_KEYWORDS + [p + str(s) for p in _IDENT_PARTS for s in range(30)], dtype=object)
+    n_tok = rng.integers(tokens_per_doc // 2, tokens_per_doc + tokens_per_doc // 2, size=count)
+    total = int(n_tok.sum())
+    words = vocab[rng.integers(0, len(vocab), size=total)]
+    # newline every ~8 tokens for source-code shape
+    seps = np.where(rng.random(total) < 0.125, "\n", " ")
+    bounds = np.zeros(count + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=bounds[1:])
+    contents = []
+    for r in range(count):
+        lo, hi = bounds[r], bounds[r + 1]
+        parts = [None] * (2 * (hi - lo))
+        parts[0::2] = words[lo:hi]
+        parts[1::2] = seps[lo:hi]
+        text = "".join(parts[:-1])
+        i = start + r
+        if heavy_term is not None and i % heavy_every == 0:
+            text += f"\n{heavy_term} {heavy_term} {heavy_term}"
+        contents.append(text)
+    idx = np.arange(start, start + count)
+    repos = [f"org{i % 97}/repo{i % 13}" for i in idx]
+    paths = [f"src/module_{i % 41}/file_{i}.{_LANGS[i % len(_LANGS)]}" for i in idx]
+    commits = [hashlib.sha1(f"{r}:{p}".encode()).hexdigest() for r, p in zip(repos, paths)]
+    return pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array([_LANGS[i % len(_LANGS)] for i in idx], pa.string()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+
+
 def write_synth_corpus(path: str, n_rows: int, rows_per_file: int = 10_000, **kw) -> str:
     """Write the synthetic corpus as partitioned Parquet (driver-side,
-    used by bench.py; deterministic, seeded)."""
+    used by bench.py; deterministic, seeded; skips files that exist —
+    the resumable-output shape)."""
     import os
 
     import pyarrow.parquet as pq
@@ -196,9 +299,7 @@ def write_synth_corpus(path: str, n_rows: int, rows_per_file: int = 10_000, **kw
     for start in range(0, n_rows, rows_per_file):
         fn = os.path.join(path, f"part-{part:05d}.parquet")
         if not os.path.exists(fn):
-            tbl = pa.Table.from_pylist(
-                [synth_code_row(i, **kw) for i in range(start, min(start + rows_per_file, n_rows))]
-            )
+            tbl = synth_code_batch(start, min(rows_per_file, n_rows - start), **kw)
             pq.write_table(tbl, fn)
         part += 1
     return path
