@@ -39,18 +39,25 @@ def varint_encode(values: np.ndarray) -> bytes:
     7 value bits per byte, little-endian groups, high bit = continuation
     — the same wire idea as the reference's ``Common/VarInt.cs:27-101``.
     """
+    out, _ = varint_encode_offsets(np.asarray(values, dtype=np.uint64))
+    return out.tobytes()
+
+
+def varint_encode_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Like :func:`varint_encode` but returns (byte_array, ends) where
+    ``ends[i]`` is the byte offset just past value ``i`` — enabling one
+    global encode to be SLICED per term/run without re-encoding (the
+    multi-term vectorized encoder depends on this)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
-    # bytes needed per value: 1 + (#thresholds <= v)
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nb = np.ones(n, dtype=np.int64)
     for th in _THRESHOLDS:
         nb += (v >= th).astype(np.int64)
     ends = np.cumsum(nb)
-    total = int(ends[-1])
     starts = ends - nb
-    out = np.zeros(total, dtype=np.uint8)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
     mask7 = np.uint64(0x7F)
     for k in range(10):
         sel = nb > k
@@ -60,7 +67,7 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[sel] >> np.uint64(7 * k)) & mask7
         cont = (nb[sel] - 1 > k).astype(np.uint8) << 7
         out[idx] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out, ends
 
 
 def varint_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) -> np.ndarray:

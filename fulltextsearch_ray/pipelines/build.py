@@ -59,7 +59,7 @@ class DocStatsStage:
         texts = [t if t is not None else "" for t in batch[self.text_col].to_pylist()]
         out = {
             "doc_id": batch["doc_id"],
-            "doc_len": pa.array(token_counts(texts), type=pa.int64()),
+            "doc_len": pa.array(token_counts(batch[self.text_col]), type=pa.int64()),
             "sha256": pa.array(sha256_hex(texts), type=pa.string()),
         }
         for c in self.meta_cols:

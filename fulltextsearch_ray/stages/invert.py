@@ -26,7 +26,12 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from ..codecs import PostingBlock, decode_posting_block, encode_posting_block
+from ..codecs import (
+    PostingBlock,
+    decode_posting_block,
+    encode_posting_block,
+    varint_encode_offsets,
+)
 from ..state.index import POSTINGS_SCHEMA
 from ..tokenizer import DEFAULT_FIELD_ID, tokenize_batch
 
@@ -79,6 +84,96 @@ def _posting_rows(
     )
 
 
+def _binary_column(buf: np.ndarray, ends: np.ndarray, value_bounds: np.ndarray) -> pa.Array:
+    """Zero-copy Arrow binary column: slice one global varint buffer
+    into per-term payloads via an offsets buffer (no bytes copies)."""
+    byte_ends = np.r_[np.int64(0), ends]
+    offsets = byte_ends[value_bounds].astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(value_bounds) - 1,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+
+
+def _posting_rows_vectorized(
+    terms_sorted: np.ndarray,
+    bounds: np.ndarray,
+    occ_docs: np.ndarray,
+    occ_fields: np.ndarray,
+    occ_tokens: np.ndarray,
+    num_buckets: int,
+) -> pa.Table:
+    """Encode ALL terms of a batch in four global varint passes.
+
+    No per-term Python loop (except the trivial crc32 bucket pass):
+    entry detection, delta resets at term/entry starts, per-term stats
+    and the byte-slicing into per-term binary payloads are all numpy /
+    Arrow-buffer operations.  Emits ONE block row per (term, batch);
+    the merge stage renumbers/coalesces blocks.
+    """
+    T = len(terms_sorted)
+    n = len(occ_docs)
+    if n == 0:
+        return POSTINGS_SCHEMA.empty_table()
+    cf_per_term = np.diff(bounds)
+    term_of_occ = np.repeat(np.arange(T, dtype=np.int64), cf_per_term)
+
+    # entry = distinct (term, doc, field)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.logical_or(occ_docs[1:] != occ_docs[:-1], occ_fields[1:] != occ_fields[:-1], out=change[1:])
+    change[1:] |= term_of_occ[1:] != term_of_occ[:-1]
+    entry_starts = np.flatnonzero(change)
+    e_docs = occ_docs[entry_starts]
+    e_fields = occ_fields[entry_starts]
+    e_term = term_of_occ[entry_starts]
+    tfs = np.diff(np.r_[entry_starts, n]).astype(np.uint64)
+
+    df_per_term = np.bincount(e_term, minlength=T)
+    e_bounds = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(df_per_term, out=e_bounds[1:])
+
+    # doc gaps reset at term starts (gap vs 0 == absolute)
+    d_deltas = np.empty_like(e_docs)
+    d_deltas[0] = e_docs[0]
+    np.subtract(e_docs[1:], e_docs[:-1], out=d_deltas[1:])
+    d_deltas[e_bounds[:-1]] = e_docs[e_bounds[:-1]]
+    # token gaps reset at entry starts
+    t_deltas = np.empty_like(occ_tokens)
+    t_deltas[0] = occ_tokens[0]
+    np.subtract(occ_tokens[1:], occ_tokens[:-1], out=t_deltas[1:])
+    t_deltas[entry_starts] = occ_tokens[entry_starts]
+
+    docs_b, docs_ends = varint_encode_offsets(d_deltas)
+    fields_b, fields_ends = varint_encode_offsets(e_fields)
+    tfs_b, tfs_ends = varint_encode_offsets(tfs)
+    pos_b, pos_ends = varint_encode_offsets(t_deltas)
+
+    first_doc = e_docs[e_bounds[:-1]]
+    last_doc = e_docs[e_bounds[1:] - 1]
+    max_tf = np.maximum.reduceat(tfs, e_bounds[:-1]).astype(np.int64)
+    buckets = np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) % num_buckets for t in terms_sorted),
+        dtype=np.int32, count=T,
+    )
+    return pa.table(
+        {
+            "term": pa.array(terms_sorted, pa.string()),
+            "bucket": pa.array(buckets, pa.int32()),
+            "block_id": pa.array(np.zeros(T, dtype=np.int32)),
+            "first_doc": pa.array(first_doc, pa.uint64()),
+            "last_doc": pa.array(last_doc, pa.uint64()),
+            "df": pa.array(df_per_term.astype(np.int64)),
+            "cf": pa.array(cf_per_term.astype(np.int64)),
+            "max_tf": pa.array(max_tf),
+            "docs": _binary_column(docs_b, docs_ends, e_bounds),
+            "fields": _binary_column(fields_b, fields_ends, e_bounds),
+            "tfs": _binary_column(tfs_b, tfs_ends, e_bounds),
+            "positions": _binary_column(pos_b, pos_ends, bounds.astype(np.int64)),
+        }
+    )
+
+
 class InvertStage:
     """Callable batch stage: (doc_id, text) batch → posting run rows.
 
@@ -101,9 +196,8 @@ class InvertStage:
         self.field_id = field_id
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
         doc_ids = np.asarray(batch[self.doc_id_col].to_numpy(zero_copy_only=False), dtype=np.uint64)
-        tok = tokenize_batch(t if t is not None else "" for t in texts)
+        tok = tokenize_batch(batch[self.text_col])
         if len(tok.doc_index) == 0:
             return POSTINGS_SCHEMA.empty_table()
 
@@ -133,9 +227,8 @@ class InvertStage:
         bounds = np.zeros(int(present.sum()) + 1, dtype=np.int64)
         np.cumsum(counts[present], out=bounds[1:])
         terms_sorted = vocab[vocab_order][present]
-        return _posting_rows(
-            terms_sorted, bounds, occ_docs, occ_fields, occ_tokens,
-            self.num_buckets, self.block_cf,
+        return _posting_rows_vectorized(
+            terms_sorted, bounds, occ_docs, occ_fields, occ_tokens, self.num_buckets
         )
 
 

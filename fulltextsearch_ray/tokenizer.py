@@ -64,31 +64,58 @@ def tokenize_with_positions(text: str) -> list[tuple[str, int, int]]:
     return out
 
 
-def token_counts(texts: Iterable[str]) -> np.ndarray:
-    """Per-document token count (``doc_len`` for BM25), vectorized-ish."""
-    findall = TOKEN_RE.findall
-    return np.fromiter((len(findall(t)) for t in texts), dtype=np.int64)
+def token_counts(texts: "Iterable[str] | pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Per-document token count (``doc_len`` for BM25) — Arrow kernels only."""
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(list(texts), type=pa.string())
+    arr = pc.fill_null(arr, "")
+    parts = pc.split_pattern_regex(arr, SPLIT_PATTERN)
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False))
+    return np.bincount(parent[keep], minlength=len(arr)).astype(np.int64)
 
 
-def tokenize_batch(texts: Iterable[str]) -> TokenizedBatch:
+# RE2 (Arrow) splitter: complement of the token-char class.  \p{L}\p{N}
+# ≈ Python \w letters/digits; '_' and '-' added explicitly.
+SPLIT_PATTERN = r"[^\p{L}\p{N}_\-]+"
+
+
+def tokenize_batch(texts: "Iterable[str] | pa.Array | pa.ChunkedArray") -> TokenizedBatch:
     """Tokenize a batch of documents into parallel exploded arrays.
 
-    One ``findall`` call per document (C speed); term truncation is a
-    single vectorized Arrow kernel; ids/indices are numpy arithmetic.
+    Fully Arrow-native hot path: lowercasing, regex splitting,
+    flattening and term truncation are C++ kernels — no Python string
+    objects are created (the old per-doc ``findall`` path allocated
+    hundreds of Python strings per document, which destroyed
+    multi-worker scaling via allocator pressure).  Ids/indices are
+    numpy arithmetic.
     """
-    findall = TOKEN_RE.findall
-    per_doc = [findall(t.lower()) for t in texts]
-    n_docs = len(per_doc)
-    counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=n_docs)
-    total = int(counts.sum())
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(list(texts), type=pa.string())
+    arr = pc.fill_null(arr, "")
+    n_docs = len(arr)
 
-    flat: list[str] = []
-    for p in per_doc:
-        flat.extend(p)
-    terms = pa.array(flat, type=pa.string())
+    lowered = pc.utf8_lower(arr)
+    parts = pc.split_pattern_regex(lowered, SPLIT_PATTERN)  # keeps empty edge tokens
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False))
+    terms = flat.filter(pa.array(keep))
+    parent = parent[keep]
     # Truncate >64-char terms (vectorized; no-op for the common case).
     terms = pc.utf8_slice_codeunits(terms, 0, MAX_TOKEN_SIZE)
 
+    counts = np.bincount(parent, minlength=n_docs).astype(np.int64)
+    total = int(counts.sum())
     starts = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
     doc_index = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
