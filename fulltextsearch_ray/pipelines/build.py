@@ -52,8 +52,11 @@ class DocStatsStage:
     """
 
     def __init__(self, text_col: str, meta_cols: tuple[str, ...] = ()):
+        from ..stages.invert import _warm_heap
+
         self.text_col = text_col
         self.meta_cols = meta_cols
+        _warm_heap()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [t if t is not None else "" for t in batch[self.text_col].to_pylist()]
@@ -78,7 +81,7 @@ def build_index(
     segment: str | None = None,
     num_buckets: int = 64,
     block_cf: int = DEFAULT_BLOCK_CF,
-    batch_size: int | None = None,
+    batch_size: int | None = 1024,
     overwrite: bool = False,
 ) -> IndexMeta:
     """Build (or incrementally extend) a persistent index.
@@ -123,16 +126,32 @@ def build_index(
     # read/normalize chain doesn't re-execute per consumer.
     ds = ds.materialize()
 
+    # Stage parallelism: actor pools sized to the cluster so worker
+    # processes persist across batches (heap warm, setup amortized).
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    pool = max(2, min(n_cpus, 32))
+
     # --- docs table (doc_len for BM25, sha256 invariant, metadata) ---
-    docs_stage = DocStatsStage(text_col, meta_cols)
-    docs_ds = ds.map_batches(docs_stage, batch_format="pyarrow", batch_size=batch_size)
+    docs_ds = ds.map_batches(
+        DocStatsStage,
+        fn_constructor_args=(text_col, meta_cols),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool),
+    )
     docs_ds.write_parquet(os.path.join(seg_path, "docs"))
 
     # --- postings: local invert → term shuffle → merge → write ---
-    invert = InvertStage(
-        text_col=text_col, doc_id_col="doc_id", num_buckets=num_buckets, block_cf=block_cf
+    runs = ds.map_batches(
+        InvertStage,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, doc_id_col="doc_id",
+            num_buckets=num_buckets, block_cf=block_cf,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool),
     )
-    runs = ds.map_batches(invert, batch_format="pyarrow", batch_size=batch_size)
     merged = runs.groupby("term").map_groups(
         lambda g: merge_posting_runs(g, block_cf=block_cf), batch_format="pyarrow"
     )

@@ -40,6 +40,42 @@ from ..tokenizer import DEFAULT_FIELD_ID, tokenize_batch
 DEFAULT_BLOCK_CF = 1 << 16
 
 
+_HEAP_WARMED = False
+
+
+def _warm_heap(mb: int = 512) -> None:
+    """Keep worker heap pages resident and pre-fault them once.
+
+    This environment (like many virtualized hosts) provisions memory
+    lazily: the FIRST touch of fresh pages can be 10-40x slower than
+    warm pages, making per-task numpy time wildly bimodal (observed
+    1.2s vs 16s on identical blocks).  Two-part fix, applied once per
+    worker process:
+
+    * ``mallopt(M_MMAP_MAX=0)`` + huge ``M_TRIM_THRESHOLD`` so large
+      numpy allocations come from the persistent brk heap instead of
+      fresh (cold) mmaps that are unmapped on free;
+    * touch a scratch buffer so the heap is pre-faulted.
+
+    Stages run as actor pools, so the cost is paid once per actor.
+    """
+    global _HEAP_WARMED
+    if _HEAP_WARMED:
+        return
+    _HEAP_WARMED = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-4, 0)        # M_MMAP_MAX = 0
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD = 1 GiB
+    except OSError:  # non-glibc platform: warmup below still helps
+        pass
+    buf = np.empty(mb * 1024 * 1024 // 8, dtype=np.int64)
+    buf[::512] = 1  # touch every page
+    del buf
+
+
 def term_bucket(term: str, num_buckets: int) -> int:
     """Stable term → partition bucket (crc32 — deterministic across
     processes/nodes, unlike Python's salted hash())."""
@@ -55,14 +91,34 @@ def _posting_rows(
     num_buckets: int,
     block_cf: int,
 ) -> pa.Table:
-    """Encode per-term occurrence slices into posting block rows."""
+    """Encode per-term occurrence slices into posting block rows,
+    chunking long lists at ~``block_cf`` occurrences.  Chunk points
+    snap to ENTRY boundaries so a (doc, field) entry never spans two
+    blocks (which would double-count df in the catalog roll-up); the
+    only exception is a single entry larger than ``block_cf`` itself.
+    """
     cols: dict[str, list] = {k: [] for k in POSTINGS_SCHEMA.names}
     for i, term in enumerate(terms_sorted):
         lo, hi = int(bounds[i]), int(bounds[i + 1])
         bucket = term_bucket(term, num_buckets)
         block_id = 0
-        for s in range(lo, hi, block_cf):
-            e = min(s + block_cf, hi)
+        d = occ_docs[lo:hi]
+        f = occ_fields[lo:hi]
+        echange = np.empty(hi - lo, dtype=bool)
+        if hi > lo:
+            echange[0] = True
+            np.logical_or(d[1:] != d[:-1], f[1:] != f[:-1], out=echange[1:])
+        entry_starts = np.flatnonzero(echange) + lo
+        s = lo
+        while s < hi:
+            cap = s + block_cf
+            if cap >= hi:
+                e = hi
+            else:
+                j = int(np.searchsorted(entry_starts, cap, side="right")) - 1
+                e = int(entry_starts[j])
+                if e <= s:  # one entry exceeds block_cf: split mid-entry
+                    e = min(cap, hi)
             blk: PostingBlock = encode_posting_block(
                 occ_docs[s:e], occ_fields[s:e], occ_tokens[s:e]
             )
@@ -79,6 +135,7 @@ def _posting_rows(
             cols["tfs"].append(blk.tfs)
             cols["positions"].append(blk.positions)
             block_id += 1
+            s = e
     return pa.table(
         {name: pa.array(cols[name], type=POSTINGS_SCHEMA.field(name).type) for name in POSTINGS_SCHEMA.names}
     )
@@ -102,20 +159,49 @@ def _posting_rows_vectorized(
     occ_fields: np.ndarray,
     occ_tokens: np.ndarray,
     num_buckets: int,
+    block_cf: int = DEFAULT_BLOCK_CF,
 ) -> pa.Table:
     """Encode ALL terms of a batch in four global varint passes.
 
     No per-term Python loop (except the trivial crc32 bucket pass):
     entry detection, delta resets at term/entry starts, per-term stats
     and the byte-slicing into per-term binary payloads are all numpy /
-    Arrow-buffer operations.  Emits ONE block row per (term, batch);
-    the merge stage renumbers/coalesces blocks.
+    Arrow-buffer operations.  Emits ONE block row per (term, batch)
+    for terms within ``block_cf``; oversized (stop-word-heavy) terms
+    take the chunking loop path so every stored block stays bounded.
     """
     T = len(terms_sorted)
     n = len(occ_docs)
     if n == 0:
         return POSTINGS_SCHEMA.empty_table()
     cf_per_term = np.diff(bounds)
+    big = cf_per_term > block_cf
+    if big.any():
+        # split: vectorized path for normal terms, chunked loop for the
+        # few heavy ones (skew path — bounded block sizes)
+        occ_keep = np.repeat(~big, cf_per_term)
+        sub_bounds = np.zeros(int((~big).sum()) + 1, dtype=np.int64)
+        np.cumsum(cf_per_term[~big], out=sub_bounds[1:])
+        tables = []
+        if sub_bounds[-1] > 0:
+            tables.append(
+                _posting_rows_vectorized(
+                    terms_sorted[~big], sub_bounds,
+                    occ_docs[occ_keep], occ_fields[occ_keep], occ_tokens[occ_keep],
+                    num_buckets, block_cf,
+                )
+            )
+        big_keep = ~occ_keep
+        big_bounds = np.zeros(int(big.sum()) + 1, dtype=np.int64)
+        np.cumsum(cf_per_term[big], out=big_bounds[1:])
+        tables.append(
+            _posting_rows(
+                terms_sorted[big], big_bounds,
+                occ_docs[big_keep], occ_fields[big_keep], occ_tokens[big_keep],
+                num_buckets, block_cf,
+            )
+        )
+        return pa.concat_tables(tables).combine_chunks()
     term_of_occ = np.repeat(np.arange(T, dtype=np.int64), cf_per_term)
 
     # entry = distinct (term, doc, field)
@@ -194,6 +280,7 @@ class InvertStage:
         self.num_buckets = num_buckets
         self.block_cf = block_cf
         self.field_id = field_id
+        _warm_heap()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = np.asarray(batch[self.doc_id_col].to_numpy(zero_copy_only=False), dtype=np.uint64)
@@ -228,7 +315,8 @@ class InvertStage:
         np.cumsum(counts[present], out=bounds[1:])
         terms_sorted = vocab[vocab_order][present]
         return _posting_rows_vectorized(
-            terms_sorted, bounds, occ_docs, occ_fields, occ_tokens, self.num_buckets
+            terms_sorted, bounds, occ_docs, occ_fields, occ_tokens,
+            self.num_buckets, self.block_cf,
         )
 
 
@@ -266,15 +354,18 @@ def merge_posting_runs(group: pa.Table, block_cf: int = DEFAULT_BLOCK_CF) -> pa.
     bucket = group["bucket"][0].as_py()
 
     if disjoint:
-        small = cfs < (block_cf // 4)
-        if not small.any():
-            # reuse rows, renumber blocks
+        total_cf = int(cfs.sum())
+        fragmented = (cfs < block_cf // 4).any() and total_cf <= 4 * block_cf
+        if not fragmented:
+            # SKEW FAST PATH: reuse encoded rows untouched, renumber
+            # blocks — a stop-word term's merge touches only metadata,
+            # never the (potentially huge) occurrence payload.
             return group.set_column(
                 group.schema.get_field_index("block_id"),
                 "block_id",
                 pa.array(np.arange(n, dtype=np.int32)),
             )
-        # coalesce small runs: decode only the small neighbours
+        # small fragmented list: decode + coalesce into fewer blocks
     # slow path: decode everything, re-sort, re-encode
     docs_l, fields_l, tokens_l = [], [], []
     for i in range(n):
