@@ -110,6 +110,13 @@ def build_index(
         shutil.rmtree(seg_path)  # incomplete previous attempt
     os.makedirs(seg_path, exist_ok=True)
 
+    timing: dict[str, float] = {}
+    _t = time.perf_counter
+
+    def _mark(name: str, t0: float) -> None:
+        timing[name] = round(_t() - t0, 2)
+
+    t0 = _t()
     if isinstance(source, str):
         cols = sorted({text_col, *(meta_cols or ()), *([doc_id_col] if doc_id_col else []), *(id_cols or [])})
         if doc_id_col is None and id_cols is None:
@@ -121,32 +128,35 @@ def build_index(
             ds = normalize_corpus(src, text_col, doc_id_col=doc_id_col, id_cols=id_cols, start_id=meta.next_doc_id)
     else:
         ds = normalize_corpus(source, text_col, doc_id_col=doc_id_col, id_cols=id_cols, start_id=meta.next_doc_id)
-    # The normalized corpus feeds TWO passes (doc stats + invert);
-    # materialize once into the (spillable) object store so the
-    # read/normalize chain doesn't re-execute per consumer.
-    ds = ds.materialize()
+    _mark("read_ids", t0)
 
     # Stage parallelism: actor pools sized to the cluster so worker
     # processes persist across batches (heap warm, setup amortized).
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     pool = max(2, min(n_cpus, 32))
 
-    # --- docs table (doc_len for BM25, sha256 invariant, metadata) ---
-    docs_ds = ds.map_batches(
-        DocStatsStage,
-        fn_constructor_args=(text_col, meta_cols),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=(1, pool),
-    )
-    docs_ds.write_parquet(os.path.join(seg_path, "docs"))
+    if meta_cols:
+        # metadata projection pass (only when extra doc columns are
+        # requested — the common path fuses doc stats into the invert)
+        ds = ds.materialize()
+        docs_ds = ds.map_batches(
+            DocStatsStage,
+            fn_constructor_args=(text_col, meta_cols),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, pool),
+        )
+        t0 = _t()
+        docs_ds.write_parquet(os.path.join(seg_path, "docs_meta"))
+        _mark("docs_meta_write", t0)
 
-    # --- postings: local invert → term shuffle → merge → write ---
+    # --- single corpus pass: tokenize → local invert → fused doc
+    # stats sentinel rows → term shuffle → merge → write ---
     runs = ds.map_batches(
         InvertStage,
         fn_constructor_kwargs=dict(
             text_col=text_col, doc_id_col="doc_id",
-            num_buckets=num_buckets, block_cf=block_cf,
+            num_buckets=num_buckets, block_cf=block_cf, emit_docstats=True,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -155,7 +165,27 @@ def build_index(
     merged = runs.groupby("term").map_groups(
         lambda g: merge_posting_runs(g, block_cf=block_cf), batch_format="pyarrow"
     )
+    t0 = _t()
     merged.write_parquet(os.path.join(seg_path, "postings"))
+    _mark("postings_write", t0)
+
+    # --- split the fused doc-stats sentinel rows into the docs table
+    # (parquet filter pushdown on bucket == -1 reads only those rows)
+    import pyarrow.parquet as pq
+
+    t0 = _t()
+    from ..stages.invert import decode_docstats_rows
+
+    sentinel = pq.read_table(
+        os.path.join(seg_path, "postings"),
+        columns=["docs", "tfs", "positions"],
+        filters=[("bucket", "=", -1)],
+    )
+    docs_tbl = decode_docstats_rows(sentinel)
+    docs_tbl = docs_tbl.take(pa.array(np.argsort(docs_tbl["doc_id"].to_numpy(zero_copy_only=False))))
+    os.makedirs(os.path.join(seg_path, "docs"), exist_ok=True)
+    pq.write_table(docs_tbl, os.path.join(seg_path, "docs", "part-0.parquet"))
+    _mark("docs_split", t0)
 
     # --- catalog: per-term totals over blocks (metadata-sized).
     # The block-stat columns are tiny relative to the corpus, so the
@@ -163,10 +193,11 @@ def build_index(
     # covers catalogs too large for one process (>~50M block rows).
     import pyarrow.parquet as pq
 
+    t0 = _t()
     post_meta_cols = ["term", "bucket", "df", "cf", "max_tf", "first_doc", "last_doc"]
     post_dir = os.path.join(seg_path, "postings")
     try:
-        blocks_tbl = pq.read_table(post_dir, columns=post_meta_cols)
+        blocks_tbl = pq.read_table(post_dir, columns=post_meta_cols, filters=[("bucket", ">=", 0)])
         if blocks_tbl.num_rows > 50_000_000:
             raise MemoryError("catalog too large for driver-side aggregate")
         catalog_tbl = (
@@ -181,7 +212,9 @@ def build_index(
         os.makedirs(os.path.join(seg_path, "catalog"), exist_ok=True)
         pq.write_table(catalog_tbl, os.path.join(seg_path, "catalog", "part-0.parquet"))
     except MemoryError:
-        postings = ray.data.read_parquet(post_dir, columns=post_meta_cols)
+        postings = ray.data.read_parquet(post_dir, columns=post_meta_cols).filter(
+            expr="bucket >= 0"
+        )
         catalog = (
             postings.groupby("term")
             .aggregate(
@@ -197,6 +230,8 @@ def build_index(
         catalog.write_parquet(os.path.join(seg_path, "catalog"))
         catalog_tbl = pq.read_table(os.path.join(seg_path, "catalog"), columns=["term", "cf"])
 
+    _mark("catalog", t0)
+    t0 = _t()
     # --- per-segment counters (same aggregates as the reference's
     #     IndexBuilderStatistics) + lineage manifest; computed from the
     #     already-written small columns, no extra Ray jobs ---
@@ -232,5 +267,8 @@ def build_index(
     meta.num_docs += n_docs
     meta.total_tokens += total_tokens
     meta.next_doc_id = max(meta.next_doc_id, manifest.max_doc_id + 1)
+    _mark("manifest", t0)
+    if os.environ.get("FTSRAY_BUILD_TIMING"):
+        print("build_index timing:", timing)
     save_meta(index_dir, meta)
     return meta

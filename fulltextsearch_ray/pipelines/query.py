@@ -367,6 +367,9 @@ def dump_postings_dataset(index_dir: str) -> "ray.data.Dataset":
     paths = [os.path.join(segment_dir(index_dir, s), "postings") for s in meta.segments]
 
     def decode_rows(batch: pa.Table) -> pa.Table:
+        # drop fused doc-stats sentinel rows (term starts with '\x00')
+        keep = pc.invert(pc.starts_with(batch["term"], "\x00"))
+        batch = batch.filter(keep)
         terms_out, d_out, f_out, t_out = [], [], [], []
         for i in range(batch.num_rows):
             d, f, tok, *_ = decode_posting_block(

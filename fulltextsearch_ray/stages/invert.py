@@ -260,11 +260,69 @@ def _posting_rows_vectorized(
     )
 
 
-class InvertStage:
-    """Callable batch stage: (doc_id, text) batch → posting run rows.
+DOCSTATS_TERM_PREFIX = "\x00docs:"  # '\x00' can never appear in a token
 
-    Stateless w.r.t. the corpus, so it runs as Ray tasks; written as a
-    class so the compiled regex / config live once per worker.
+
+def encode_docstats_row(doc_ids: np.ndarray, doc_lens: np.ndarray, shas: list[str], num_occ: int) -> dict:
+    """Pack one batch's per-doc stats as a sentinel posting row.
+
+    Fusing doc stats into the invert pass halves the corpus passes
+    (one tokenize instead of two) and drops a whole actor pool; the
+    rows travel through the same shuffle/write (bucket = -1, term =
+    '\\x00docs:<first_doc>' so each batch stays its own group) and are
+    split back out into the docs table after the postings write.
+    """
+    from ..codecs import varint_encode
+
+    return {
+        "term": f"{DOCSTATS_TERM_PREFIX}{int(doc_ids[0]) if len(doc_ids) else 0}",
+        "bucket": -1,
+        "block_id": 0,
+        "first_doc": int(doc_ids[0]) if len(doc_ids) else 0,
+        "last_doc": int(doc_ids[-1]) if len(doc_ids) else 0,
+        "df": int(len(doc_ids)),
+        "cf": int(num_occ),
+        "max_tf": 0,
+        "docs": varint_encode(np.sort(doc_ids)) if len(doc_ids) else b"",
+        "fields": b"",
+        "tfs": varint_encode(doc_lens[np.argsort(doc_ids, kind="stable")]) if len(doc_ids) else b"",
+        "positions": "".join(shas).encode("ascii"),
+    }
+
+
+def decode_docstats_rows(tbl: pa.Table) -> pa.Table:
+    """Sentinel rows → docs table (doc_id, doc_len, sha256)."""
+    from ..codecs import varint_decode
+
+    ids, lens, shas = [], [], []
+    for i in range(tbl.num_rows):
+        d = varint_decode(tbl["docs"][i].as_py())
+        l = varint_decode(tbl["tfs"][i].as_py())
+        blob = tbl["positions"][i].as_py().decode("ascii")
+        ids.append(d)
+        lens.append(l)
+        shas.extend(blob[j : j + 64] for j in range(0, len(blob), 64))
+    if not ids:
+        return pa.table(
+            {"doc_id": pa.array([], pa.uint64()), "doc_len": pa.array([], pa.int64()),
+             "sha256": pa.array([], pa.string())}
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(ids), pa.uint64()),
+            "doc_len": pa.array(np.concatenate(lens).astype(np.int64)),
+            "sha256": pa.array(shas, pa.string()),
+        }
+    )
+
+
+class InvertStage:
+    """Callable batch stage: (doc_id, text) batch → posting run rows
+    plus one fused doc-stats sentinel row per batch (doc_len for BM25,
+    sha256 invariant).
+
+    Runs as an actor pool: regex/config state and the heap warmup
+    happen once per actor.
     """
 
     def __init__(
@@ -274,19 +332,36 @@ class InvertStage:
         num_buckets: int = 64,
         block_cf: int = DEFAULT_BLOCK_CF,
         field_id: int = DEFAULT_FIELD_ID,
+        emit_docstats: bool = False,
     ):
         self.text_col = text_col
         self.doc_id_col = doc_id_col
         self.num_buckets = num_buckets
         self.block_cf = block_cf
         self.field_id = field_id
+        self.emit_docstats = emit_docstats
         _warm_heap()
+
+    def _docstats_table(self, batch: pa.Table, doc_ids: np.ndarray, counts: np.ndarray) -> pa.Table:
+        import hashlib
+
+        shas = [
+            hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+            for t in batch[self.text_col].to_pylist()
+        ]
+        row = encode_docstats_row(doc_ids, counts, shas, int(counts.sum()))
+        return pa.table(
+            {k: pa.array([row[k]], type=POSTINGS_SCHEMA.field(k).type) for k in POSTINGS_SCHEMA.names}
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = np.asarray(batch[self.doc_id_col].to_numpy(zero_copy_only=False), dtype=np.uint64)
         tok = tokenize_batch(batch[self.text_col])
+        stats = (
+            self._docstats_table(batch, doc_ids, tok.counts) if self.emit_docstats else None
+        )
         if len(tok.doc_index) == 0:
-            return POSTINGS_SCHEMA.empty_table()
+            return stats if stats is not None else POSTINGS_SCHEMA.empty_table()
 
         occ_docs = doc_ids[tok.doc_index]
         occ_tokens = tok.token_ids
@@ -314,10 +389,13 @@ class InvertStage:
         bounds = np.zeros(int(present.sum()) + 1, dtype=np.int64)
         np.cumsum(counts[present], out=bounds[1:])
         terms_sorted = vocab[vocab_order][present]
-        return _posting_rows_vectorized(
+        rows = _posting_rows_vectorized(
             terms_sorted, bounds, occ_docs, occ_fields, occ_tokens,
             self.num_buckets, self.block_cf,
         )
+        if stats is not None:
+            rows = pa.concat_tables([rows, stats]).combine_chunks()
+        return rows
 
 
 def merge_posting_runs(group: pa.Table, block_cf: int = DEFAULT_BLOCK_CF) -> pa.Table:
@@ -332,6 +410,9 @@ def merge_posting_runs(group: pa.Table, block_cf: int = DEFAULT_BLOCK_CF) -> pa.
     Slow path (overlapping ranges, e.g. multi-field or out-of-order
     ingest): decode, lexsort, re-encode.
     """
+    term0 = group["term"][0].as_py()
+    if term0.startswith(DOCSTATS_TERM_PREFIX):
+        return group  # fused doc-stats sentinel rows pass through untouched
     order = np.lexsort(
         (
             np.asarray(group["block_id"].to_numpy(zero_copy_only=False)),
