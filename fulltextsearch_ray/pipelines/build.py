@@ -116,13 +116,34 @@ def build_index(
     def _mark(name: str, t0: float) -> None:
         timing[name] = round(_t() - t0, 2)
 
+    # Stage parallelism: actor pools sized to the cluster so worker
+    # processes persist across batches (heap warm, setup amortized).
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    pool = max(2, min(n_cpus, 32))
+
     t0 = _t()
+    ds = None
+    runs = None
     if isinstance(source, str):
         cols = sorted({text_col, *(meta_cols or ()), *([doc_id_col] if doc_id_col else []), *(id_cols or [])})
         if doc_id_col is None and id_cols is None:
             # positional deterministic ids straight from the parquet
-            # layout — no extra data pass, no shuffle
-            ds = read_corpus_with_ids(source, columns=cols, start_id=meta.next_doc_id)
+            # layout: fused read+invert, one task per file, no shuffle
+            # before the term groupby
+            from ..sources.corpus import corpus_file_items
+            from ..stages.invert import ReadInvertStage
+
+            items, n_files = corpus_file_items(source, start_id=meta.next_doc_id)
+            runs = items.map_batches(
+                ReadInvertStage,
+                fn_constructor_kwargs=dict(
+                    text_col=text_col, columns=cols,
+                    num_buckets=num_buckets, block_cf=block_cf,
+                ),
+                batch_format="pyarrow",
+                batch_size=1,
+                concurrency=(1, pool),
+            )
         else:
             src = ray.data.read_parquet(source, columns=cols)
             ds = normalize_corpus(src, text_col, doc_id_col=doc_id_col, id_cols=id_cols, start_id=meta.next_doc_id)
@@ -130,12 +151,7 @@ def build_index(
         ds = normalize_corpus(source, text_col, doc_id_col=doc_id_col, id_cols=id_cols, start_id=meta.next_doc_id)
     _mark("read_ids", t0)
 
-    # Stage parallelism: actor pools sized to the cluster so worker
-    # processes persist across batches (heap warm, setup amortized).
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    pool = max(2, min(n_cpus, 32))
-
-    if meta_cols:
+    if meta_cols and ds is not None:
         # metadata projection pass (only when extra doc columns are
         # requested — the common path fuses doc stats into the invert)
         ds = ds.materialize()
@@ -152,16 +168,17 @@ def build_index(
 
     # --- single corpus pass: tokenize → local invert → fused doc
     # stats sentinel rows → term shuffle → merge → write ---
-    runs = ds.map_batches(
-        InvertStage,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, doc_id_col="doc_id",
-            num_buckets=num_buckets, block_cf=block_cf, emit_docstats=True,
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=(1, pool),
-    )
+    if runs is None:
+        runs = ds.map_batches(
+            InvertStage,
+            fn_constructor_kwargs=dict(
+                text_col=text_col, doc_id_col="doc_id",
+                num_buckets=num_buckets, block_cf=block_cf, emit_docstats=True,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, pool),
+        )
     merged = runs.groupby("term").map_groups(
         lambda g: merge_posting_runs(g, block_cf=block_cf), batch_format="pyarrow"
     )

@@ -128,6 +128,28 @@ def assign_doc_ids(
     return with_range.groupby("_range").map_groups(rank_group, batch_format="pyarrow")
 
 
+def corpus_file_items(path: str, start_id: int = 1) -> "tuple[ray.data.Dataset, int]":
+    """File-item dataset (file, offset) for the fused read+invert path:
+    sorted listing, footer row counts → positional doc-id offsets, one
+    block per item (⇒ one downstream task per file at batch_size=1)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    offsets = [start_id]
+    for f in files:
+        offsets.append(offsets[-1] + pq.ParquetFile(f).metadata.num_rows)
+    items = [{"file": f, "offset": o} for f, o in zip(files, offsets[:-1])]
+    return ray.data.from_items(items, override_num_blocks=len(items)), len(files)
+
+
 def read_corpus_with_ids(
     path: str,
     columns: list[str] | None = None,
@@ -169,7 +191,10 @@ def read_corpus_with_ids(
             out.append(t.append_column("doc_id", ids))
         return pa.concat_tables(out)
 
-    return ray.data.from_items(items).map_batches(
+    # one block per file item — otherwise from_items packs every item
+    # into a single block and the whole downstream pipeline collapses
+    # into ONE task (no parallelism at all)
+    return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
         read_file, batch_format="pyarrow", batch_size=1
     )
 

@@ -43,7 +43,7 @@ DEFAULT_BLOCK_CF = 1 << 16
 _HEAP_WARMED = False
 
 
-def _warm_heap(mb: int = 512) -> None:
+def _warm_heap(mb: int = 0) -> None:
     """Keep worker heap pages resident and pre-fault them once.
 
     This environment (like many virtualized hosts) provisions memory
@@ -71,9 +71,10 @@ def _warm_heap(mb: int = 512) -> None:
         libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD = 1 GiB
     except OSError:  # non-glibc platform: warmup below still helps
         pass
-    buf = np.empty(mb * 1024 * 1024 // 8, dtype=np.int64)
-    buf[::512] = 1  # touch every page
-    del buf
+    if mb > 0:
+        buf = np.empty(mb * 1024 * 1024 // 8, dtype=np.int64)
+        buf[::512] = 1  # touch every page
+        del buf
 
 
 def term_bucket(term: str, num_buckets: int) -> int:
@@ -396,6 +397,42 @@ class InvertStage:
         if stats is not None:
             rows = pa.concat_tables([rows, stats]).combine_chunks()
         return rows
+
+
+class ReadInvertStage:
+    """Fused per-file stage: read one parquet file → positional doc ids
+    → tokenize → local invert (+ doc-stats sentinels).
+
+    Input batches are 1-row file items ``{file, offset}`` (batch_size=1
+    ⇒ exactly one task per file, sidestepping Ray's row-count bundling
+    which would otherwise pack ALL tiny item rows into one task).  Docs
+    are processed in ``chunk_rows`` slices to bound working memory.
+    """
+
+    def __init__(
+        self,
+        text_col: str,
+        columns: list[str] | None = None,
+        num_buckets: int = 64,
+        block_cf: int = DEFAULT_BLOCK_CF,
+        chunk_rows: int = 2048,
+    ):
+        self.inner = InvertStage(
+            text_col=text_col, doc_id_col="doc_id",
+            num_buckets=num_buckets, block_cf=block_cf, emit_docstats=True,
+        )
+        self.columns = columns
+        self.chunk_rows = chunk_rows
+
+    def __call__(self, batch: pa.Table):
+        import pyarrow.parquet as pq
+
+        for f, off in zip(batch["file"].to_pylist(), batch["offset"].to_pylist()):
+            t = pq.read_table(f, columns=self.columns)
+            ids = pa.array(np.arange(off, off + t.num_rows, dtype=np.uint64), pa.uint64())
+            t = t.append_column("doc_id", ids)
+            for s in range(0, t.num_rows, self.chunk_rows):
+                yield self.inner(t.slice(s, self.chunk_rows))
 
 
 def merge_posting_runs(group: pa.Table, block_cf: int = DEFAULT_BLOCK_CF) -> pa.Table:
