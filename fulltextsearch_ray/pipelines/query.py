@@ -78,20 +78,24 @@ class IndexSearcher:
         for seg in self.segments:
             t = pq.read_table(
                 os.path.join(segment_dir(index_dir, seg), "catalog"),
-                columns=["term", "df", "cf"],
+                columns=["term", "df", "cf", "max_tf"],
             )
             cats.append(t)
         if cats:
             cat = pa.concat_tables(cats)
-            agg = cat.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+            agg = cat.group_by("term").aggregate(
+                [("df", "sum"), ("cf", "sum"), ("max_tf", "max")]
+            )
             agg = agg.sort_by("term")
             self.terms: pa.Array = agg["term"].combine_chunks()
             self._df = np.asarray(agg["df_sum"].to_numpy(zero_copy_only=False))
             self._cf = np.asarray(agg["cf_sum"].to_numpy(zero_copy_only=False))
+            self._max_tf = np.asarray(agg["max_tf_max"].to_numpy(zero_copy_only=False))
         else:
             self.terms = pa.array([], type=pa.string())
             self._df = np.empty(0, dtype=np.int64)
             self._cf = np.empty(0, dtype=np.int64)
+            self._max_tf = np.empty(0, dtype=np.int64)
         # doc lengths for BM25 (doc_id-indexed lookup arrays)
         dl = []
         for seg in self.segments:
@@ -318,6 +322,106 @@ class IndexSearcher:
         uniq, idx = np.unique(d, return_index=True)
         scores = np.add.reduceat(c, idx)
         return uniq, scores
+
+    def _term_upper_bound(self, term: str) -> float:
+        """MaxScore upper bound of one term's per-doc contribution:
+        idf × bound(max_tf) with the dl→0 denominator bound — uses only
+        catalog metadata (df, max_tf), no posting decode."""
+        i = pc.index(self.terms, term).as_py()
+        if i < 0:
+            return 0.0
+        df = float(self._df[i])
+        N = float(self.num_docs)
+        idf = float(np.log((N - df + 0.5) / (df + 0.5) + 1.0))
+        mtf = float(self._max_tf[i]) if self._max_tf is not None else 1e9
+        return idf * (mtf * (K1 + 1.0)) / (mtf + K1 * (1.0 - B))
+
+    def bm25_topk_pruned(self, terms: list[str], k: int = 10) -> pa.Table:
+        """MAXSCORE-style pruned top-k (term-at-a-time).
+
+        Terms are processed in DECREASING upper-bound order; once the
+        sum of remaining terms' upper bounds cannot displace the
+        current k-th score, remaining terms can only refine docs
+        already seen — their posting blocks are decoded only where the
+        block's [first_doc, last_doc] range intersects the candidate
+        set (block-max skipping via the per-block metadata, the analog
+        of the reference's ``LowerBound`` block bisection,
+        ``PostingListVarIntDeltaReader.cs:163-222``).
+
+        Exact: produces the same top-k as :meth:`bm25_topk`.
+        """
+        ubs = [(self._term_upper_bound(t), t) for t in terms]
+        ubs.sort(key=lambda x: (-x[0], x[1]))
+        N = float(self.num_docs)
+        avgdl = self.avgdl or 1.0
+        acc_docs = np.empty(0, dtype=np.uint64)
+        acc_scores = np.empty(0, dtype=np.float64)
+        remaining = sum(u for u, _ in ubs)
+        candidates_only = False
+        for ub, term in ubs:
+            remaining -= ub
+            docs, tfs = self.get_doc_tfs_pruned(
+                term, None if not candidates_only else acc_docs
+            )
+            if len(docs):
+                df = float(self.term_stats(term)[0]) or float(len(docs))
+                idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
+                tf = tfs.astype(np.float64)
+                dl = self._doc_lens(docs)
+                contrib = idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+                # merge into accumulator (sorted by doc)
+                all_d = np.concatenate([acc_docs, docs])
+                all_s = np.concatenate([acc_scores, contrib])
+                o = np.argsort(all_d, kind="stable")
+                all_d, all_s = all_d[o], all_s[o]
+                uniq, idx = np.unique(all_d, return_index=True)
+                acc_docs = uniq
+                acc_scores = np.add.reduceat(all_s, idx)
+            if not candidates_only and len(acc_docs) > k:
+                kth = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
+                if remaining < kth:
+                    candidates_only = True  # no unseen doc can reach top-k
+        order = np.lexsort((acc_docs, -acc_scores))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(acc_docs[order], type=pa.uint64()),
+                "score": pa.array(acc_scores[order], type=pa.float64()),
+            }
+        )
+
+    def get_doc_tfs_pruned(self, term: str, candidates: np.ndarray | None) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, tfs) for a term; when ``candidates`` is given, decode
+        only blocks whose doc range intersects the candidate set."""
+        if candidates is None:
+            return self.get_doc_tfs(term)
+        from ..codecs import delta_decode, varint_decode
+
+        docs_parts, tf_parts = [], []
+        for seg in self.segments:
+            t = self._postings_ds[seg].to_table(
+                columns=["first_doc", "last_doc", "docs", "tfs"],
+                filter=pads.field("term") == term,
+            )
+            firsts = np.asarray(t["first_doc"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+            lasts = np.asarray(t["last_doc"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+            for i in range(t.num_rows):
+                lo = np.searchsorted(candidates, firsts[i], side="left")
+                hi = np.searchsorted(candidates, lasts[i], side="right")
+                if hi <= lo:
+                    continue  # block-max skip: no candidate in range
+                d = delta_decode(varint_decode(t["docs"][i].as_py()))
+                tf = varint_decode(t["tfs"][i].as_py())
+                mask = np.isin(d, candidates)
+                docs_parts.append(d[mask])
+                tf_parts.append(tf[mask])
+        if not docs_parts:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+        d = np.concatenate(docs_parts)
+        tf = np.concatenate(tf_parts)
+        o = np.argsort(d, kind="stable")
+        d, tf = d[o], tf[o]
+        uniq, idx = np.unique(d, return_index=True)
+        return uniq, np.add.reduceat(tf, idx)
 
     def bm25_topk(self, query: str | list[str], k: int = 10, mode: str = "or") -> pa.Table:
         """Top-k docs by BM25. ``query`` is a raw text (tokenized with

@@ -472,8 +472,12 @@ def merge_posting_runs(group: pa.Table, block_cf: int = DEFAULT_BLOCK_CF) -> pa.
     bucket = group["bucket"][0].as_py()
 
     if disjoint:
+        # Coalesce (decode + re-encode) ONLY cheap small lists; common
+        # terms keep their encoded runs untouched — merge cost must be
+        # metadata-only for big terms or the merge stage dominates the
+        # whole build (observed: 55s CPU vs 34s for tokenize+invert).
         total_cf = int(cfs.sum())
-        fragmented = (cfs < block_cf // 4).any() and total_cf <= 4 * block_cf
+        fragmented = n > 1 and total_cf <= 4096
         if not fragmented:
             # SKEW FAST PATH: reuse encoded rows untouched, renumber
             # blocks — a stop-word term's merge touches only metadata,

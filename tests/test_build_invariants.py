@@ -143,6 +143,21 @@ def test_bm25_matches_numpy_oracle(corpus_dir, built_index):
     )
 
 
+def test_bm25_pruned_equals_exhaustive(corpus_dir, built_index):
+    """MAXSCORE/block-max pruned top-k must equal the exhaustive TAAT."""
+    s = IndexSearcher(built_index)
+    for q in ["index builder query", "def class return token", "posting merge"]:
+        from fulltextsearch_ray.tokenizer import tokenize
+
+        terms = tokenize(q)
+        full = s.bm25_topk(terms, k=10)
+        pruned = s.bm25_topk_pruned(terms, k=10)
+        assert full["doc_id"].to_pylist() == pruned["doc_id"].to_pylist(), q
+        np.testing.assert_allclose(
+            full["score"].to_numpy(), pruned["score"].to_numpy(), rtol=0, atol=1e-12
+        )
+
+
 def test_skewed_term_build(ray_session, tmp_path_factory):
     """Stop-word-heavy corpus: a term present in >50% of docs must
     still produce a correct, block-chunked posting list."""
