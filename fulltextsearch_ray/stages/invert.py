@@ -175,6 +175,7 @@ def _posting_rows_vectorized(
     n = len(occ_docs)
     if n == 0:
         return POSTINGS_SCHEMA.empty_table()
+    const_field = occ_fields is None  # single-field corpus fast path
     cf_per_term = np.diff(bounds)
     big = cf_per_term > block_cf
     if big.any():
@@ -188,17 +189,24 @@ def _posting_rows_vectorized(
             tables.append(
                 _posting_rows_vectorized(
                     terms_sorted[~big], sub_bounds,
-                    occ_docs[occ_keep], occ_fields[occ_keep], occ_tokens[occ_keep],
+                    occ_docs[occ_keep],
+                    None if const_field else occ_fields[occ_keep],
+                    occ_tokens[occ_keep],
                     num_buckets, block_cf,
                 )
             )
         big_keep = ~occ_keep
         big_bounds = np.zeros(int(big.sum()) + 1, dtype=np.int64)
         np.cumsum(cf_per_term[big], out=big_bounds[1:])
+        big_fields = (
+            np.full(int(big_bounds[-1]), DEFAULT_FIELD_ID, dtype=np.uint64)
+            if const_field
+            else occ_fields[big_keep]
+        )
         tables.append(
             _posting_rows(
                 terms_sorted[big], big_bounds,
-                occ_docs[big_keep], occ_fields[big_keep], occ_tokens[big_keep],
+                occ_docs[big_keep], big_fields, occ_tokens[big_keep],
                 num_buckets, block_cf,
             )
         )
@@ -208,11 +216,12 @@ def _posting_rows_vectorized(
     # entry = distinct (term, doc, field)
     change = np.empty(n, dtype=bool)
     change[0] = True
-    np.logical_or(occ_docs[1:] != occ_docs[:-1], occ_fields[1:] != occ_fields[:-1], out=change[1:])
+    np.not_equal(occ_docs[1:], occ_docs[:-1], out=change[1:])
+    if not const_field:
+        change[1:] |= occ_fields[1:] != occ_fields[:-1]
     change[1:] |= term_of_occ[1:] != term_of_occ[:-1]
     entry_starts = np.flatnonzero(change)
     e_docs = occ_docs[entry_starts]
-    e_fields = occ_fields[entry_starts]
     e_term = term_of_occ[entry_starts]
     tfs = np.diff(np.r_[entry_starts, n]).astype(np.uint64)
 
@@ -232,7 +241,14 @@ def _posting_rows_vectorized(
     t_deltas[entry_starts] = occ_tokens[entry_starts]
 
     docs_b, docs_ends = varint_encode_offsets(d_deltas)
-    fields_b, fields_ends = varint_encode_offsets(e_fields)
+    if const_field and DEFAULT_FIELD_ID < 128:
+        # constant field id ⇒ every entry encodes to one identical
+        # varint byte; build the buffer directly, no uint64 array
+        E = len(e_docs)
+        fields_b = np.full(E, DEFAULT_FIELD_ID, dtype=np.uint8)
+        fields_ends = np.arange(1, E + 1, dtype=np.int64)
+    else:
+        fields_b, fields_ends = varint_encode_offsets(occ_fields[entry_starts])
     tfs_b, tfs_ends = varint_encode_offsets(tfs)
     pos_b, pos_ends = varint_encode_offsets(t_deltas)
 
@@ -366,7 +382,13 @@ class InvertStage:
 
         occ_docs = doc_ids[tok.doc_index]
         occ_tokens = tok.token_ids
-        occ_fields = np.full(len(occ_tokens), self.field_id, dtype=np.uint64)
+        # single-field corpora skip the fields array entirely (the
+        # constant is synthesized at encode time) — one less 8-byte
+        # stream through a memory-bandwidth-bound stage
+        const_field = self.field_id == DEFAULT_FIELD_ID
+        occ_fields = (
+            None if const_field else np.full(len(occ_tokens), self.field_id, dtype=np.uint64)
+        )
 
         # Local invert: stable sort by term only — tokenize emits in
         # (doc, token) order, so a stable term sort yields full
@@ -381,7 +403,8 @@ class InvertStage:
         order = np.argsort(rank[codes], kind="stable")
 
         occ_docs = occ_docs[order]
-        occ_fields = occ_fields[order]
+        if occ_fields is not None:
+            occ_fields = occ_fields[order]
         occ_tokens = occ_tokens[order]
         sorted_codes = rank[codes][order]
         # term boundaries in the sorted occurrence stream
