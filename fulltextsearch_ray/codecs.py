@@ -190,6 +190,39 @@ def decode_posting_block(docs: bytes, fields: bytes, tfs: bytes, positions: byte
     return occ_docs, occ_fields, occ_tokens, e_docs, e_fields, e_tfs
 
 
+def format_posting_text(docs: np.ndarray, fields: np.ndarray, tokens: np.ndarray) -> str:
+    """The reference's TEXT posting codec / conformance dump format:
+    ``[d,f,t], [d,f,t], …`` (``PostingListWriter.cs``, `print` verb).
+    Inverse of :func:`fulltextsearch_ray.occurrences.parse_posting_text`."""
+    return ", ".join(
+        f"[{d},{f},{t}]" for d, f, t in zip(docs.tolist(), fields.tolist(), tokens.tolist())
+    )
+
+
+class SkipList:
+    """Seek-capable view of a decoded posting list — the reference's
+    ``ISkipList.LowerBound(occurrence)`` contract
+    (``IndexModels/ISkipList.cs``, real impl
+    ``PostingListVarIntDeltaReader.cs:163-234``) over numpy arrays:
+    binary search on the packed (doc, field, token) order."""
+
+    def __init__(self, docs: np.ndarray, fields: np.ndarray, tokens: np.ndarray):
+        self.docs = np.ascontiguousarray(docs, dtype=np.uint64)
+        self.fields = np.ascontiguousarray(fields, dtype=np.uint64)
+        self.tokens = np.ascontiguousarray(tokens, dtype=np.uint64)
+
+    def lower_bound(self, doc: int, field: int = 0, token: int = 0) -> int:
+        """Index of the first occurrence >= (doc, field, token); len if none."""
+        i = int(np.searchsorted(self.docs, np.uint64(doc), side="left"))
+        # refine within the equal-doc run (runs are tiny)
+        n = len(self.docs)
+        while i < n and self.docs[i] == doc and (
+            self.fields[i] < field or (self.fields[i] == field and self.tokens[i] < token)
+        ):
+            i += 1
+        return i
+
+
 def lower_bound_block(first_docs: np.ndarray, target_doc: int) -> int:
     """Index of the first block that may contain ``doc >= target`` —
     binary search over per-block first_doc metadata, mirroring the

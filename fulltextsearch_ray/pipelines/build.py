@@ -75,6 +75,7 @@ def build_index(
     index_dir: str,
     *,
     text_col: str = "text",
+    text_cols: list[str] | None = None,
     doc_id_col: str | None = None,
     id_cols: list[str] | None = None,
     meta_cols: tuple[str, ...] = (),
@@ -125,7 +126,7 @@ def build_index(
     ds = None
     runs = None
     if isinstance(source, str):
-        cols = sorted({text_col, *(meta_cols or ()), *([doc_id_col] if doc_id_col else []), *(id_cols or [])})
+        cols = sorted({*(text_cols or [text_col]), *(meta_cols or ()), *([doc_id_col] if doc_id_col else []), *(id_cols or [])})
         if doc_id_col is None and id_cols is None:
             # positional deterministic ids straight from the parquet
             # layout: fused read+invert, one task per file, no shuffle
@@ -137,7 +138,7 @@ def build_index(
             runs = items.map_batches(
                 ReadInvertStage,
                 fn_constructor_kwargs=dict(
-                    text_col=text_col, columns=cols,
+                    text_col=text_col, text_cols=text_cols, columns=cols,
                     num_buckets=num_buckets, block_cf=block_cf,
                 ),
                 batch_format="pyarrow",
@@ -172,7 +173,7 @@ def build_index(
         runs = ds.map_batches(
             InvertStage,
             fn_constructor_kwargs=dict(
-                text_col=text_col, doc_id_col="doc_id",
+                text_col=text_col, text_cols=text_cols, doc_id_col="doc_id",
                 num_buckets=num_buckets, block_cf=block_cf, emit_docstats=True,
             ),
             batch_format="pyarrow",

@@ -350,7 +350,12 @@ class InvertStage:
         block_cf: int = DEFAULT_BLOCK_CF,
         field_id: int = DEFAULT_FIELD_ID,
         emit_docstats: bool = False,
+        text_cols: "list[str] | None" = None,
     ):
+        # text_cols: compound documents — field ids 1..N assigned in
+        # column order (the reference's AddCompound contract,
+        # FullTextIndexBuilder.cs:57-62); overrides text_col.
+        self.text_cols = list(text_cols) if text_cols else None
         self.text_col = text_col
         self.doc_id_col = doc_id_col
         self.num_buckets = num_buckets
@@ -362,17 +367,50 @@ class InvertStage:
     def _docstats_table(self, batch: pa.Table, doc_ids: np.ndarray, counts: np.ndarray) -> pa.Table:
         import hashlib
 
-        shas = [
-            hashlib.sha256((t or "").encode("utf-8")).hexdigest()
-            for t in batch[self.text_col].to_pylist()
-        ]
+        if self.text_cols:
+            cols = [batch[c].to_pylist() for c in self.text_cols]
+            texts = ["\x1f".join(v or "" for v in row) for row in zip(*cols)]
+        else:
+            texts = [t or "" for t in batch[self.text_col].to_pylist()]
+        shas = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
         row = encode_docstats_row(doc_ids, counts, shas, int(counts.sum()))
         return pa.table(
             {k: pa.array([row[k]], type=POSTINGS_SCHEMA.field(k).type) for k in POSTINGS_SCHEMA.names}
         )
 
+    def _tokenize_multi(self, batch: pa.Table, doc_ids: np.ndarray):
+        """Compound documents: tokenize each field column, assign field
+        ids 1..N in column order, lexsort to (doc, field, token)."""
+        parts = []
+        counts_total = np.zeros(batch.num_rows, dtype=np.int64)
+        for fid, col in enumerate(self.text_cols, start=1):
+            tok = tokenize_batch(batch[col])
+            counts_total += tok.counts
+            parts.append((fid, tok))
+        terms = pa.concat_arrays(
+            [t.terms.combine_chunks() if isinstance(t.terms, pa.ChunkedArray) else t.terms for _, t in parts]
+        )
+        occ_docs = np.concatenate([doc_ids[t.doc_index] for _, t in parts])
+        occ_fields = np.concatenate(
+            [np.full(len(t.token_ids), fid, dtype=np.uint64) for fid, t in parts]
+        )
+        occ_tokens = np.concatenate([t.token_ids for _, t in parts])
+        order = np.lexsort((occ_tokens, occ_fields, occ_docs))
+        return (
+            terms.take(pa.array(order)),
+            occ_docs[order], occ_fields[order], occ_tokens[order],
+            counts_total,
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = np.asarray(batch[self.doc_id_col].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        if self.text_cols:
+            terms, occ_docs, occ_fields, occ_tokens, counts = self._tokenize_multi(batch, doc_ids)
+            stats = self._docstats_table(batch, doc_ids, counts) if self.emit_docstats else None
+            if len(occ_docs) == 0:
+                return stats if stats is not None else POSTINGS_SCHEMA.empty_table()
+            const_field = False
+            return self._invert_sorted(terms, occ_docs, occ_fields, occ_tokens, const_field, stats)
         tok = tokenize_batch(batch[self.text_col])
         stats = (
             self._docstats_table(batch, doc_ids, tok.counts) if self.emit_docstats else None
@@ -390,10 +428,13 @@ class InvertStage:
             None if const_field else np.full(len(occ_tokens), self.field_id, dtype=np.uint64)
         )
 
-        # Local invert: stable sort by term only — tokenize emits in
-        # (doc, token) order, so a stable term sort yields full
-        # (term, doc, field, token) order without a 3-key lexsort.
-        terms = tok.terms
+        return self._invert_sorted(tok.terms, occ_docs, occ_fields, occ_tokens, const_field, stats)
+
+    def _invert_sorted(self, terms, occ_docs, occ_fields, occ_tokens, const_field, stats):
+        """Local invert of a (doc, field, token)-ordered token stream:
+        stable sort by term only — a stable term sort over an already
+        (doc, field, token)-ordered stream yields full
+        (term, doc, field, token) order without a 3-key lexsort."""
         dict_arr = terms.dictionary_encode()
         codes = np.asarray(dict_arr.indices.to_numpy(zero_copy_only=False))
         vocab = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
@@ -439,9 +480,10 @@ class ReadInvertStage:
         num_buckets: int = 64,
         block_cf: int = DEFAULT_BLOCK_CF,
         chunk_rows: int = 2048,
+        text_cols: list[str] | None = None,
     ):
         self.inner = InvertStage(
-            text_col=text_col, doc_id_col="doc_id",
+            text_col=text_col, text_cols=text_cols, doc_id_col="doc_id",
             num_buckets=num_buckets, block_cf=block_cf, emit_docstats=True,
         )
         self.columns = columns

@@ -1,0 +1,59 @@
+"""Compound (multi-field) documents — reference AddCompound semantics:
+field ids 1..N in field order (FullTextIndexBuilder.cs:57-62); phrase
+adjacency never crosses fields."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from fulltextsearch_ray.pipelines.build import build_index
+from fulltextsearch_ray.pipelines.query import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def multifield_index(ray_session, tmp_path_factory):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.uint64()),
+            "title": pa.array(["Hello World", "Petro search"]),
+            "body": pa.array(["This is hello world", "hello search engine"]),
+        }
+    )
+    idx = str(tmp_path_factory.mktemp("mfidx"))
+    build_index(
+        ray.data.from_arrow(tbl), idx,
+        text_cols=["title", "body"], doc_id_col="doc_id",
+        num_buckets=4, overwrite=True,
+    )
+    return IndexSearcher(idx)
+
+
+def test_field_ids_assigned_in_order(multifield_index):
+    s = multifield_index
+    assert s.search_to_string("WORD(hello)") == "{[1,1,1]}, {[1,2,3]}, {[2,2,1]}"
+    assert s.search_to_string("WORD(search)") == "{[2,1,2]}, {[2,2,2]}"
+
+
+def test_phrase_does_not_cross_fields(multifield_index):
+    s = multifield_index
+    # "hello world" appears in doc1 title (1,2) and doc1 body (3,4)
+    assert (
+        s.search_to_string("SEQ(WORD(hello),WORD(world))")
+        == "{[1,1,1], [1,1,2]}, {[1,2,3], [1,2,4]}"
+    )
+    # "world this" spans field boundary (title end → body start): no match
+    assert s.search_to_string("SEQ(WORD(world),WORD(this))") == ""
+
+
+def test_doc_len_sums_fields(multifield_index):
+    s = multifield_index
+    # doc1: 2 title + 4 body = 6; doc2: 2 + 3 = 5
+    import numpy as np
+
+    assert s._doc_lens(np.array([1, 2], dtype=np.uint64)).tolist() == [6.0, 5.0]
+
+
+def test_bm25_over_fields(multifield_index):
+    top = multifield_index.bm25_topk(["hello"], k=2)
+    # doc1 has tf=2 (both fields), doc2 tf=1 → doc1 first
+    assert top["doc_id"].to_pylist()[0] == 1
