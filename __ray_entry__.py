@@ -166,6 +166,46 @@ def _q_bm25(sf_dir: str):
     )
 
 
+def _q_search_docs(sf_dir: str):
+    t = _searcher(sf_dir).search_docs("WORD(table)")
+    toks = t["token_ids"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_matches": t["n_matches"],
+            "first_token": pa.array([min(l) for l in toks], pa.int64()),
+            "last_token": pa.array([max(l) for l in toks], pa.int64()),
+        }
+    )
+
+
+def _q_highlight(sf_dir: str):
+    import ray.data
+
+    from fulltextsearch_ray.functions.highlight import annotate
+
+    s = _searcher(sf_dir)
+    hits = s.search_docs("WORD(table)")
+    hit_map = {
+        int(d): l for d, l in zip(hits["doc_id"].to_pylist(), hits["token_ids"].to_pylist())
+    }
+    hit_ref = None
+
+    def hl(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        keep_ids, out = [], []
+        for i, t in zip(ids, texts):
+            if int(i) in hit_map:
+                keep_ids.append(i)
+                out.append(annotate(t or "", hit_map[int(i)]))
+        return pa.table(
+            {"doc_id": pa.array(keep_ids, pa.int64()), "annotated": pa.array(out, pa.string())}
+        )
+
+    return _docs_ds(sf_dir).map_batches(hl, batch_format="pyarrow")
+
+
 def _q_dedup_exact(sf_dir: str):
     from fulltextsearch_ray.functions.dedup import exact_dedup
 
@@ -331,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lookup_wild": lambda sf: _terms_table(_searcher(sf), "WILD(s*)"),
         "lookup_edit": lambda sf: _terms_table(_searcher(sf), "EDIT(scan,1)"),
         "bm25_topk": _q_bm25,
+        "search_doc_groups": _q_search_docs,
+        "highlight": _q_highlight,
         # — training-data operators —
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -443,6 +485,19 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tf.doc_id)
             SELECT doc_id, {_r6('s')} AS score
             FROM scores ORDER BY {_r6('s')} DESC, doc_id ASC LIMIT 10
+        """,
+        "search_doc_groups": f"""
+            WITH {TOKENS_CTE}
+            SELECT doc_id, count(*)::BIGINT AS n_matches,
+                   min(token_id)::BIGINT AS first_token,
+                   max(token_id)::BIGINT AS last_token
+            FROM tokens WHERE term = 'table' GROUP BY doc_id
+        """,
+        "highlight": """
+            SELECT doc_id,
+                   regexp_replace(text, '\\btable\\b', 'TABLE', 'g') AS annotated
+            FROM documents
+            WHERE regexp_matches(text, '\\btable\\b')
         """,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies

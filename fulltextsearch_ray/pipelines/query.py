@@ -284,6 +284,44 @@ class IndexSearcher:
             }
         )
 
+    def search_docs(self, query: str) -> pa.Table:
+        """The reference's search-driver output shape (Q8,
+        ``ConsoleUtil/Program.cs:240-295``): matches grouped by doc —
+        (doc_id, n_matches, token_ids:list) in doc order.  Join this
+        with the source table + ``functions.highlight`` for annotated
+        display."""
+        m = self.evaluate(query)
+        if len(m.docs) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.uint64()),
+                    "n_matches": pa.array([], pa.int64()),
+                    "token_ids": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        # matches stream in (doc, field, token) order already
+        docs = m.docs
+        change = np.empty(len(docs), dtype=bool)
+        change[0] = True
+        np.not_equal(docs[1:], docs[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.r_[starts, len(docs)])
+        # each match covers `width` consecutive token ids
+        tok_lists = []
+        toks = m.tokens.astype(np.int64)
+        for s, c in zip(starts, counts):
+            ids = []
+            for t in toks[s : s + c]:
+                ids.extend(range(int(t), int(t) + m.width))
+            tok_lists.append(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[starts], pa.uint64()),
+                "n_matches": pa.array(counts.astype(np.int64)),
+                "token_ids": pa.array(tok_lists, pa.list_(pa.int64())),
+            }
+        )
+
     # -- BM25 ---------------------------------------------------------------
 
     def _doc_lens(self, doc_ids: np.ndarray) -> np.ndarray:
