@@ -184,7 +184,14 @@ def build_index(
         lambda g: merge_posting_runs(g, block_cf=block_cf), batch_format="pyarrow"
     )
     t0 = _t()
-    merged.write_parquet(os.path.join(seg_path, "postings"))
+    # Hive-partition by bucket (term-hash) + small row groups: a query
+    # for one term then opens ONE bucket directory (1/num_buckets of
+    # the index) and prunes row groups via term min/max stats.
+    merged.write_parquet(
+        os.path.join(seg_path, "postings"),
+        partition_cols=["bucket"],
+        row_group_size=4096,
+    )
     _mark("postings_write", t0)
 
     # --- split the fused doc-stats sentinel rows into the docs table
@@ -268,6 +275,7 @@ def build_index(
     lineage = source.input_files() if hasattr(source, "input_files") else []
     manifest = SegmentManifest(
         name=segment,
+        num_buckets=num_buckets,
         num_docs=n_docs,
         num_terms=int(cat_stats["terms"] or 0),
         num_occurrences=int(cat_stats["occ"] or 0),

@@ -115,10 +115,18 @@ class IndexSearcher:
         else:
             self._dl_docs = np.empty(0, dtype=np.uint64)
             self._dl_lens = np.empty(0, dtype=np.float64)
-        self._postings_ds = {
-            seg: pads.dataset(os.path.join(segment_dir(index_dir, seg), "postings"))
-            for seg in self.segments
-        }
+        from ..state.index import load_manifest
+
+        self._postings_ds = {}
+        self._seg_buckets = {}
+        for seg in self.segments:
+            self._postings_ds[seg] = pads.dataset(
+                os.path.join(segment_dir(index_dir, seg), "postings"), partitioning="hive"
+            )
+            try:
+                self._seg_buckets[seg] = load_manifest(index_dir, seg).num_buckets or 0
+            except (FileNotFoundError, TypeError):
+                self._seg_buckets[seg] = 0
         self._cache: OrderedDict[str, OccurrenceList] = OrderedDict()
         self._cache_entries: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
         self._cache_blocks = cache_blocks
@@ -152,12 +160,24 @@ class IndexSearcher:
 
     # -- posting fetch ------------------------------------------------------
 
+    def _term_filter(self, seg: str, term: str):
+        """Predicate for one term: bucket-partition prune (opens 1 of
+        num_buckets hive directories) + term equality (row-group stats
+        prune within the bucket)."""
+        from ..stages.invert import term_bucket
+
+        filt = pads.field("term") == term
+        nb = self._seg_buckets.get(seg, 0)
+        if nb:
+            filt = (pads.field("bucket") == term_bucket(term, nb)) & filt
+        return filt
+
     def _fetch_term_rows(self, term: str) -> list[pa.Table]:
         tables = []
         for seg in self.segments:
             t = self._postings_ds[seg].to_table(
                 columns=["term", "block_id", "first_doc", "docs", "fields", "tfs", "positions"],
-                filter=pads.field("term") == term,
+                filter=self._term_filter(seg, term),
             )
             if t.num_rows:
                 tables.append(t)
@@ -210,7 +230,7 @@ class IndexSearcher:
         docs_parts, tf_parts = [], []
         for seg in self.segments:
             t = self._postings_ds[seg].to_table(
-                columns=["docs", "tfs"], filter=pads.field("term") == term
+                columns=["docs", "tfs"], filter=self._term_filter(seg, term)
             )
             for i in range(t.num_rows):
                 docs_parts.append(delta_decode(varint_decode(t["docs"][i].as_py())))
@@ -438,7 +458,7 @@ class IndexSearcher:
         for seg in self.segments:
             t = self._postings_ds[seg].to_table(
                 columns=["first_doc", "last_doc", "docs", "tfs"],
-                filter=pads.field("term") == term,
+                filter=self._term_filter(seg, term),
             )
             firsts = np.asarray(t["first_doc"].to_numpy(zero_copy_only=False), dtype=np.uint64)
             lasts = np.asarray(t["last_doc"].to_numpy(zero_copy_only=False), dtype=np.uint64)

@@ -65,6 +65,7 @@ class SegmentManifest:
     input_lineage: list[str] = field(default_factory=list)
     created_at: float = 0.0
     complete: bool = False
+    num_buckets: int = 0
 
 
 @dataclass
