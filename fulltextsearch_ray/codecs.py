@@ -190,6 +190,48 @@ def decode_posting_block(docs: bytes, fields: bytes, tfs: bytes, positions: byte
     return occ_docs, occ_fields, occ_tokens, e_docs, e_fields, e_tfs
 
 
+def decode_posting_columns(
+    docs_bufs: list[bytes],
+    fields_bufs: list[bytes],
+    tfs_bufs: list[bytes],
+    pos_bufs: list[bytes] | None,
+    dfs: np.ndarray,
+):
+    """Decode MANY posting blocks of one term in O(1) varint passes.
+
+    Buffers are concatenated and decoded once; block-boundary delta
+    resets (doc gaps are absolute at each block start) are restored by
+    a segmented prefix sum — so a term fragmented into hundreds of
+    per-batch runs decodes as cheaply as one big block.  Blocks must be
+    passed in (first_doc, block_id) order.
+
+    Returns (e_docs, e_fields, e_tfs[, occ_docs, occ_fields, occ_tokens])
+    — occurrence arrays only when ``pos_bufs`` is given.
+    """
+    dfs = np.asarray(dfs, dtype=np.int64)
+    e_deltas = varint_decode(b"".join(docs_bufs))
+    e_fields = varint_decode(b"".join(fields_bufs))
+    e_tfs = varint_decode(b"".join(tfs_bufs))
+    n_entries = len(e_deltas)
+    starts = np.zeros(len(dfs), dtype=np.int64)
+    np.cumsum(dfs[:-1], out=starts[1:])
+    csum = np.cumsum(e_deltas, dtype=np.uint64)
+    base = csum[starts] - e_deltas[starts]
+    e_docs = csum - np.repeat(base, dfs)
+    if pos_bufs is None:
+        return e_docs, e_fields, e_tfs
+    tok_d = varint_decode(b"".join(pos_bufs))
+    reps = e_tfs.astype(np.int64)
+    entry_starts = np.zeros(n_entries, dtype=np.int64)
+    np.cumsum(reps[:-1], out=entry_starts[1:])
+    tcsum = np.cumsum(tok_d, dtype=np.uint64)
+    tbase = tcsum[entry_starts] - tok_d[entry_starts]
+    occ_tokens = tcsum - np.repeat(tbase, reps)
+    occ_docs = np.repeat(e_docs, reps)
+    occ_fields = np.repeat(e_fields, reps)
+    return e_docs, e_fields, e_tfs, occ_docs, occ_fields, occ_tokens
+
+
 def format_posting_text(docs: np.ndarray, fields: np.ndarray, tokens: np.ndarray) -> str:
     """The reference's TEXT posting codec / conformance dump format:
     ``[d,f,t], [d,f,t], …`` (``PostingListWriter.cs``, `print` verb).

@@ -172,16 +172,28 @@ class IndexSearcher:
             filt = (pads.field("bucket") == term_bucket(term, nb)) & filt
         return filt
 
-    def _fetch_term_rows(self, term: str) -> list[pa.Table]:
+    def _fetch_term_blocks(self, term: str, with_positions: bool) -> pa.Table | None:
+        """All posting block rows of a term across segments, ordered by
+        (segment, first_doc, block_id) — the decode order."""
+        cols = ["term", "block_id", "first_doc", "df", "docs", "fields", "tfs"]
+        if with_positions:
+            cols.append("positions")
         tables = []
         for seg in self.segments:
             t = self._postings_ds[seg].to_table(
-                columns=["term", "block_id", "first_doc", "docs", "fields", "tfs", "positions"],
-                filter=self._term_filter(seg, term),
+                columns=cols, filter=self._term_filter(seg, term)
             )
             if t.num_rows:
-                tables.append(t)
-        return tables
+                order = np.lexsort(
+                    (
+                        np.asarray(t["block_id"].to_numpy(zero_copy_only=False)),
+                        np.asarray(t["first_doc"].to_numpy(zero_copy_only=False)),
+                    )
+                )
+                tables.append(t.take(pa.array(order)))
+        if not tables:
+            return None
+        return pa.concat_tables(tables)
 
     def get_postings(self, term: str) -> OccurrenceList:
         """Full decoded occurrence list of a term, global (d,f,t) order."""
@@ -189,30 +201,18 @@ class IndexSearcher:
         if hit is not None:
             self._cache.move_to_end(term)
             return hit
-        parts_d, parts_f, parts_t = [], [], []
-        for t in self._fetch_term_rows(term):
-            order = np.lexsort(
-                (
-                    np.asarray(t["block_id"].to_numpy(zero_copy_only=False)),
-                    np.asarray(t["first_doc"].to_numpy(zero_copy_only=False)),
-                )
-            )
-            for i in order:
-                d, f, tok, *_ = decode_posting_block(
-                    t["docs"][i].as_py(), t["fields"][i].as_py(),
-                    t["tfs"][i].as_py(), t["positions"][i].as_py(),
-                )
-                parts_d.append(d)
-                parts_f.append(f)
-                parts_t.append(tok)
-        if not parts_d:
+        t = self._fetch_term_blocks(term, with_positions=True)
+        if t is None:
             occ = empty_occurrences()
         else:
-            occ = lex_sort(
-                OccurrenceList(
-                    np.concatenate(parts_d), np.concatenate(parts_f), np.concatenate(parts_t)
-                )
+            from ..codecs import decode_posting_columns
+
+            *_, od, of, ot = decode_posting_columns(
+                t["docs"].to_pylist(), t["fields"].to_pylist(),
+                t["tfs"].to_pylist(), t["positions"].to_pylist(),
+                np.asarray(t["df"].to_numpy(zero_copy_only=False)),
             )
+            occ = lex_sort(OccurrenceList(od, of, ot))
         self._cache[term] = occ
         if len(self._cache) > 64:
             self._cache.popitem(last=False)
@@ -220,32 +220,28 @@ class IndexSearcher:
 
     def get_doc_tfs(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, tfs) per doc for BM25 — decodes docs/tfs only,
-        skipping position payloads (the scoring fast path)."""
+        skipping position payloads (the scoring fast path); all blocks
+        decode in two varint passes via the concat decoder."""
         hit = self._cache_entries.get(term)
         if hit is not None:
             self._cache_entries.move_to_end(term)
             return hit
-        from ..codecs import delta_decode, varint_decode
+        t = self._fetch_term_blocks(term, with_positions=False)
+        if t is None:
+            out = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64))
+        else:
+            from ..codecs import decode_posting_columns
 
-        docs_parts, tf_parts = [], []
-        for seg in self.segments:
-            t = self._postings_ds[seg].to_table(
-                columns=["docs", "tfs"], filter=self._term_filter(seg, term)
+            d, _f, tf = decode_posting_columns(
+                t["docs"].to_pylist(), t["fields"].to_pylist(),
+                t["tfs"].to_pylist(), None,
+                np.asarray(t["df"].to_numpy(zero_copy_only=False)),
             )
-            for i in range(t.num_rows):
-                docs_parts.append(delta_decode(varint_decode(t["docs"][i].as_py())))
-                tf_parts.append(varint_decode(t["tfs"][i].as_py()))
-        if docs_parts:
-            d = np.concatenate(docs_parts)
-            tf = np.concatenate(tf_parts)
             # multi-field/block duplicates: aggregate tf per doc
             o = np.argsort(d, kind="stable")
             d, tf = d[o], tf[o]
             uniq, idx = np.unique(d, return_index=True)
-            tf_sum = np.add.reduceat(tf, idx)
-            out = (uniq, tf_sum)
-        else:
-            out = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64))
+            out = (uniq, np.add.reduceat(tf, idx))
         self._cache_entries[term] = out
         if len(self._cache_entries) > self._cache_blocks:
             self._cache_entries.popitem(last=False)

@@ -537,12 +537,13 @@ def merge_posting_runs(group: pa.Table, block_cf: int = DEFAULT_BLOCK_CF) -> pa.
     bucket = group["bucket"][0].as_py()
 
     if disjoint:
-        # Coalesce (decode + re-encode) ONLY cheap small lists; common
-        # terms keep their encoded runs untouched — merge cost must be
-        # metadata-only for big terms or the merge stage dominates the
-        # whole build (observed: 55s CPU vs 34s for tokenize+invert).
+        # Coalesce (decode + re-encode) fragmented lists up to one
+        # block's worth of occurrences — keeps per-term block counts
+        # low for query-time fetches; genuinely hot terms (stop words
+        # at scale) stay metadata-only so a single merge task never
+        # re-encodes an unbounded list (skew safety).
         total_cf = int(cfs.sum())
-        fragmented = n > 1 and total_cf <= 4096
+        fragmented = n > 1 and total_cf <= block_cf
         if not fragmented:
             # SKEW FAST PATH: reuse encoded rows untouched, renumber
             # blocks — a stop-word term's merge touches only metadata,
