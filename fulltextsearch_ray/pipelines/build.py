@@ -184,15 +184,37 @@ def build_index(
         lambda g: merge_posting_runs(g, block_cf=block_cf), batch_format="pyarrow"
     )
     t0 = _t()
-    # Hive-partition by bucket (term-hash) + small row groups: a query
-    # for one term then opens ONE bucket directory (1/num_buckets of
-    # the index) and prunes row groups via term min/max stats.
-    merged.write_parquet(
-        os.path.join(seg_path, "postings"),
-        partition_cols=["bucket"],
-        row_group_size=4096,
-    )
+    # The groupby's output blocks are disjoint term ranges (sort-based
+    # shuffle) — written 1:1 as files they form an FST-style sorted-
+    # term run catalog: a term lookup binary-searches the per-file
+    # [term_min, term_max] ranges (recorded below from the parquet
+    # footers) and opens exactly ONE file, then row-group stats prune
+    # within it.
+    merged.write_parquet(os.path.join(seg_path, "postings"), row_group_size=4096)
     _mark("postings_write", t0)
+
+    # file → term-range catalog from footers only (no data read)
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    t0 = _t()
+    file_ranges = []
+    for f in sorted(_glob.glob(os.path.join(seg_path, "postings", "**", "*.parquet"), recursive=True)):
+        md = _pq.ParquetFile(f).metadata
+        tmins, tmaxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # 'term' is the first column
+            st = col.statistics
+            if st is not None and st.has_min_max:
+                tmins.append(st.min)
+                tmaxs.append(st.max)
+        if tmins:
+            file_ranges.append(
+                [os.path.relpath(f, seg_path), min(tmins), max(tmaxs)]
+            )
+    file_ranges.sort(key=lambda r: r[1])
+    _mark("file_ranges", t0)
 
     # --- split the fused doc-stats sentinel rows into the docs table
     # (parquet filter pushdown on bucket == -1 reads only those rows)
@@ -276,6 +298,7 @@ def build_index(
     manifest = SegmentManifest(
         name=segment,
         num_buckets=num_buckets,
+        file_ranges=file_ranges,
         num_docs=n_docs,
         num_terms=int(cat_stats["terms"] or 0),
         num_occurrences=int(cat_stats["occ"] or 0),

@@ -119,14 +119,24 @@ class IndexSearcher:
 
         self._postings_ds = {}
         self._seg_buckets = {}
+        self._seg_ranges: dict[str, tuple[list[str], list[str]]] = {}
         for seg in self.segments:
-            self._postings_ds[seg] = pads.dataset(
-                os.path.join(segment_dir(index_dir, seg), "postings"), partitioning="hive"
-            )
+            man = None
             try:
-                self._seg_buckets[seg] = load_manifest(index_dir, seg).num_buckets or 0
+                man = load_manifest(index_dir, seg)
+                self._seg_buckets[seg] = man.num_buckets or 0
             except (FileNotFoundError, TypeError):
                 self._seg_buckets[seg] = 0
+            if man is not None and man.file_ranges:
+                # FST-style run catalog: sorted file term-mins + paths
+                paths = [os.path.join(segment_dir(index_dir, seg), r[0]) for r in man.file_ranges]
+                mins = [r[1] for r in man.file_ranges]
+                self._seg_ranges[seg] = (mins, paths)
+            else:
+                # legacy layout fallback: full dataset with filters
+                self._postings_ds[seg] = pads.dataset(
+                    os.path.join(segment_dir(index_dir, seg), "postings"), partitioning="hive"
+                )
         self._cache: OrderedDict[str, OccurrenceList] = OrderedDict()
         self._cache_entries: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
         self._cache_blocks = cache_blocks
@@ -172,6 +182,23 @@ class IndexSearcher:
             filt = (pads.field("bucket") == term_bucket(term, nb)) & filt
         return filt
 
+    def _read_term_rows(self, seg: str, term: str, cols: list[str]) -> pa.Table:
+        """Read one term's rows from one segment: run-catalog path
+        (binary search file ranges → ONE file, row-group pruned) or the
+        legacy dataset-filter fallback."""
+        rng = self._seg_ranges.get(seg)
+        if rng is not None:
+            import bisect
+
+            from ..state.index import POSTINGS_SCHEMA
+
+            mins, paths = rng
+            i = bisect.bisect_right(mins, term) - 1
+            if i < 0:
+                return pa.schema([POSTINGS_SCHEMA.field(c) for c in cols]).empty_table()
+            return pq.read_table(paths[i], columns=cols, filters=[("term", "=", term)])
+        return self._postings_ds[seg].to_table(columns=cols, filter=self._term_filter(seg, term))
+
     def _fetch_term_blocks(self, term: str, with_positions: bool) -> pa.Table | None:
         """All posting block rows of a term across segments, ordered by
         (segment, first_doc, block_id) — the decode order."""
@@ -180,9 +207,7 @@ class IndexSearcher:
             cols.append("positions")
         tables = []
         for seg in self.segments:
-            t = self._postings_ds[seg].to_table(
-                columns=cols, filter=self._term_filter(seg, term)
-            )
+            t = self._read_term_rows(seg, term, cols)
             if t.num_rows:
                 order = np.lexsort(
                     (
@@ -452,10 +477,7 @@ class IndexSearcher:
 
         docs_parts, tf_parts = [], []
         for seg in self.segments:
-            t = self._postings_ds[seg].to_table(
-                columns=["first_doc", "last_doc", "docs", "tfs"],
-                filter=self._term_filter(seg, term),
-            )
+            t = self._read_term_rows(seg, term, ["first_doc", "last_doc", "docs", "tfs"])
             firsts = np.asarray(t["first_doc"].to_numpy(zero_copy_only=False), dtype=np.uint64)
             lasts = np.asarray(t["last_doc"].to_numpy(zero_copy_only=False), dtype=np.uint64)
             for i in range(t.num_rows):

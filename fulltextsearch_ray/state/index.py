@@ -66,6 +66,9 @@ class SegmentManifest:
     created_at: float = 0.0
     complete: bool = False
     num_buckets: int = 0
+    # sorted disjoint [relpath, term_min, term_max] per postings file —
+    # the FST-style run catalog used for single-file term lookups
+    file_ranges: list = field(default_factory=list)
 
 
 @dataclass
