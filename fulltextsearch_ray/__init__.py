@@ -22,3 +22,21 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level convenience exports (avoid importing ray at
+    # package import time)
+    if name == "build_index":
+        from .pipelines.build import build_index
+
+        return build_index
+    if name == "IndexSearcher":
+        from .pipelines.query import IndexSearcher
+
+        return IndexSearcher
+    if name == "parse_query":
+        from .parser import parse_query
+
+        return parse_query
+    raise AttributeError(name)

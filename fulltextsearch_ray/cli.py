@@ -1,0 +1,106 @@
+"""CLI verbs mirroring the reference ConsoleUtil surface
+(``ConsoleUtil/Program.cs``: index / search / lookup / print) plus the
+BM25 layer.
+
+    python -m fulltextsearch_ray.cli index  --input corpus_dir --index idx_dir [--text-col content]
+    python -m fulltextsearch_ray.cli search --index idx_dir --query "WORD(this)"
+    python -m fulltextsearch_ray.cli bm25   --index idx_dir --query "free text" [-k 10]
+    python -m fulltextsearch_ray.cli lookup --index idx_dir --pattern "WILD(pet*)"
+    python -m fulltextsearch_ray.cli print  --index idx_dir
+
+Owns its Ray session (guarded init) — library code never calls
+ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="fulltextsearch_ray")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    p_index = sub.add_parser("index", help="build an inverted index from parquet")
+    p_index.add_argument("--input", required=True)
+    p_index.add_argument("--index", required=True)
+    p_index.add_argument("--text-col", default="content")
+    p_index.add_argument("--num-buckets", type=int, default=64)
+
+    for verb, arg in (("search", "--query"), ("bm25", "--query"), ("lookup", "--pattern")):
+        sp = sub.add_parser(verb)
+        sp.add_argument("--index", required=True)
+        sp.add_argument(arg, required=True)
+        if verb == "bm25":
+            sp.add_argument("-k", type=int, default=10)
+
+    p_print = sub.add_parser("print", help="dump all postings in sorted term order")
+    p_print.add_argument("--index", required=True)
+
+    args = p.parse_args(argv)
+    t0 = time.time()
+
+    if args.verb == "index":
+        _ensure_ray()
+        from .pipelines.build import build_index
+
+        meta = build_index(
+            args.input, args.index, text_col=args.text_col, num_buckets=args.num_buckets
+        )
+        print(f"Indexed documents: {meta.num_docs}, time: {time.time() - t0:.3f}s")
+        return 0
+
+    from .pipelines.query import IndexSearcher, dump_postings_dataset
+
+    if args.verb == "print":
+        _ensure_ray()
+        from .codecs import format_posting_text
+
+        import numpy as np
+
+        for batch in dump_postings_dataset(args.index).sort("term").iter_batches(
+            batch_format="pyarrow"
+        ):
+            terms = batch["term"].to_pylist()
+            d = batch["doc_id"].to_numpy()
+            f = batch["field_id"].to_numpy()
+            t = batch["token_id"].to_numpy()
+            start = 0
+            for i in range(1, len(terms) + 1):
+                if i == len(terms) or terms[i] != terms[start]:
+                    print(
+                        f"{terms[start]} -> "
+                        + format_posting_text(
+                            np.asarray(d[start:i]), np.asarray(f[start:i]), np.asarray(t[start:i])
+                        )
+                    )
+                    start = i
+        return 0
+
+    s = IndexSearcher(args.index)
+    if args.verb == "search":
+        out = s.search_to_string(args.query)
+        print(out)
+        n = out.count("{")
+        print(f"Found {n} matches, time: {time.time() - t0:.3f}s")
+    elif args.verb == "lookup":
+        for term in s.lookup(args.pattern):
+            print(term)
+    elif args.verb == "bm25":
+        top = s.bm25_topk(args.query, k=args.k)
+        for i in range(top.num_rows):
+            print(f"{i + 1}\t{top['doc_id'][i].as_py()}\t{top['score'][i].as_py():.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,7 +55,7 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc
 # shingling + minhash
 # --------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+_MERSENNE31 = np.uint64((1 << 31) - 1)
 
 
 def _shingles(text: str, n: int) -> list[str]:
@@ -67,21 +67,25 @@ def _shingles(text: str, n: int) -> list[str]:
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    p = int(_MERSENNE31)
+    a = rng.integers(1, p, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, p, size=num_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
 def minhash_signature(shingles: list[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm minhash values via (a*h + b) mod Mersenne61 over the
-    64-bit md5-based shingle hashes (deterministic, seed-fixed)."""
+    """num_perm minhash values via (a*h + b) mod Mersenne31 over
+    md5-based shingle hashes (deterministic, seed-fixed).
+
+    Mersenne31 keeps every intermediate product < 2^62, so the whole
+    (num_perm × n_shingles) permutation grid is pure uint64 numpy —
+    no Python bignum fallback in the hot path.
+    """
     if not shingles:
-        return np.full(len(a), np.uint64(_MERSENNE), dtype=np.uint64)
-    h = np.array([md5_u64(s) for s in shingles], dtype=np.uint64) % np.uint64(_MERSENNE)
-    # (num_perm, n_shingles) — python ints avoid uint64 overflow; sizes
-    # here are num_perm × shingles per doc, fine at batch granularity.
-    vals = (h[None, :].astype(object) * a[:, None].astype(object) + b[:, None].astype(object)) % _MERSENNE
-    return np.min(vals.astype(np.uint64), axis=1)
+        return np.full(len(a), _MERSENNE31, dtype=np.uint64)
+    h = np.array([md5_u64(s) for s in shingles], dtype=np.uint64) % _MERSENNE31
+    vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE31
+    return np.min(vals, axis=1)
 
 
 class MinHashStage:
