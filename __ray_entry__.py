@@ -53,7 +53,7 @@ def _index_dir_for(sf_dir: str) -> str:
     from fulltextsearch_ray.pipelines.build import build_index
 
     # layout version busts stale caches when the index format evolves
-    tag = hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf_dir}:v3".encode()).hexdigest()[:10]
     idx = os.path.join("/tmp", "ftsray_cache", f"docs-{tag}")
     if not os.path.exists(os.path.join(idx, "meta.json")):
         import ray.data
