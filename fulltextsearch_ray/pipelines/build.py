@@ -43,6 +43,119 @@ from ..state.index import (
 from ..tokenizer import token_counts
 
 
+def compact_index(index_dir: str, *, block_cf: int = DEFAULT_BLOCK_CF) -> IndexMeta:
+    """Merge ALL segments into one — the batch analog of collapsing the
+    reference's per-session posting-list chains
+    (``PostingListWriter.cs:114-159``) into single lists.
+
+    Re-shuffles the (already compressed) posting rows of every segment
+    by term, merges runs, rewrites one segment, then swaps meta
+    atomically.  Query results are identical before/after (the chain
+    merge the searcher did at query time is now materialized).
+    """
+    import pyarrow.parquet as pq
+
+    meta = load_meta(index_dir)
+    if len(meta.segments) <= 1:
+        return meta
+    old_segments = list(meta.segments)
+    new_seg = f"compact-{len(old_segments):03d}-{int(meta.modified_at)}"
+    seg_path = segment_dir(index_dir, new_seg)
+    os.makedirs(seg_path, exist_ok=True)
+
+    import glob as _glob
+
+    post_files: list[str] = []
+    for s in old_segments:
+        post_files.extend(
+            sorted(
+                _glob.glob(
+                    os.path.join(segment_dir(index_dir, s), "postings", "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
+        )
+    runs = ray.data.read_parquet(post_files)
+    merged = runs.groupby("term").map_groups(
+        lambda g: merge_posting_runs(g, block_cf=block_cf), batch_format="pyarrow"
+    )
+    merged.write_parquet(os.path.join(seg_path, "postings"), row_group_size=4096)
+
+    # docs table: concat of per-segment docs (ids are disjoint)
+    docs = pa.concat_tables(
+        pq.read_table(os.path.join(segment_dir(index_dir, s), "docs")) for s in old_segments
+    )
+    docs = docs.take(pa.array(np.argsort(docs["doc_id"].to_numpy(zero_copy_only=False))))
+    os.makedirs(os.path.join(seg_path, "docs"), exist_ok=True)
+    pq.write_table(docs, os.path.join(seg_path, "docs", "part-0.parquet"))
+
+    _write_catalog_and_manifest(index_dir, new_seg, seg_path, num_buckets=0, lineage=old_segments)
+
+    meta.segments = [new_seg]
+    save_meta(index_dir, meta)
+    for s in old_segments:
+        shutil.rmtree(segment_dir(index_dir, s), ignore_errors=True)
+    return meta
+
+
+def _write_catalog_and_manifest(
+    index_dir: str, segment: str, seg_path: str, num_buckets: int, lineage: list[str]
+) -> "SegmentManifest":
+    """Catalog + file-range + counter/manifest writes shared by
+    build_index and compact_index (driver-side, footer/metadata reads
+    only — see build_index for the scale fallback discussion)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    file_ranges = []
+    for f in sorted(_glob.glob(os.path.join(seg_path, "postings", "**", "*.parquet"), recursive=True)):
+        md = pq.ParquetFile(f).metadata
+        tmins, tmaxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            if st is not None and st.has_min_max:
+                tmins.append(st.min)
+                tmaxs.append(st.max)
+        if tmins:
+            file_ranges.append([os.path.relpath(f, seg_path), min(tmins), max(tmaxs)])
+    file_ranges.sort(key=lambda r: r[1])
+
+    post_meta_cols = ["term", "bucket", "df", "cf", "max_tf", "first_doc", "last_doc"]
+    blocks_tbl = pq.read_table(
+        os.path.join(seg_path, "postings"), columns=post_meta_cols, filters=[("bucket", ">=", 0)]
+    )
+    catalog_tbl = (
+        blocks_tbl.group_by("term")
+        .aggregate(
+            [("df", "sum"), ("cf", "sum"), ("max_tf", "max"),
+             ("first_doc", "min"), ("last_doc", "max"), ("term", "count")]
+        )
+        .rename_columns(["term", "df", "cf", "max_tf", "first_doc", "last_doc", "n_blocks"])
+        .sort_by("term")
+    )
+    os.makedirs(os.path.join(seg_path, "catalog"), exist_ok=True)
+    pq.write_table(catalog_tbl, os.path.join(seg_path, "catalog", "part-0.parquet"))
+
+    dl_tbl = pq.read_table(os.path.join(seg_path, "docs"), columns=["doc_id", "doc_len"])
+    manifest = SegmentManifest(
+        name=segment,
+        num_docs=dl_tbl.num_rows,
+        num_terms=catalog_tbl.num_rows,
+        num_occurrences=int(pc.sum(catalog_tbl["cf"]).as_py() or 0),
+        total_tokens=int(pc.sum(dl_tbl["doc_len"]).as_py() or 0),
+        min_doc_id=int(pc.min(dl_tbl["doc_id"]).as_py() or 0),
+        max_doc_id=int(pc.max(dl_tbl["doc_id"]).as_py() or 0),
+        input_lineage=lineage,
+        created_at=time.time(),
+        complete=True,
+        num_buckets=num_buckets,
+        file_ranges=file_ranges,
+    )
+    save_manifest(index_dir, manifest)
+    return manifest
+
+
 class DocStatsStage:
     """Per-doc stats batch stage: doc_len (token count) + sha256(content).
 
@@ -143,7 +256,9 @@ def build_index(
                 ),
                 batch_format="pyarrow",
                 batch_size=1,
-                concurrency=(1, pool),
+                # fixed-size pool: all actors spawn up-front instead of
+                # ramping from 1 (ramp cost dominated small-N builds)
+                concurrency=pool,
             )
         else:
             src = ray.data.read_parquet(source, columns=cols)

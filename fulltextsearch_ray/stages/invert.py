@@ -146,6 +146,7 @@ def _binary_column(buf: np.ndarray, ends: np.ndarray, value_bounds: np.ndarray) 
     """Zero-copy Arrow binary column: slice one global varint buffer
     into per-term payloads via an offsets buffer (no bytes copies)."""
     byte_ends = np.r_[np.int64(0), ends]
+    assert len(buf) < (1 << 31), "batch payload exceeds int32 binary offsets — lower batch_size"
     offsets = byte_ends[value_bounds].astype(np.int32)
     return pa.Array.from_buffers(
         pa.binary(), len(value_bounds) - 1,

@@ -127,6 +127,29 @@ def test_lookup_verb(index_sessions):
     assert s1.lookup("EDIT(programing,1)") == ["programming"]
 
 
+def test_compaction_preserves_results(index_sessions, tmp_path_factory):
+    """Compacting 3 incremental segments into one must not change any
+    query result (the chain-collapse invariant)."""
+    import shutil
+
+    from fulltextsearch_ray.pipelines.build import compact_index
+    from fulltextsearch_ray.pipelines.query import IndexSearcher
+    from fulltextsearch_ray.state.index import load_meta
+
+    _, _, s3 = index_sessions
+    d2 = str(tmp_path_factory.mktemp("compacted"))
+    shutil.copytree(s3.index_dir, d2, dirs_exist_ok=True)
+    assert len(load_meta(d2).segments) == 3
+    compact_index(d2)
+    assert len(load_meta(d2).segments) == 1
+    sc = IndexSearcher(d2)
+    for q in ["WORD(this)", "WILD(th?s)", "EDIT(these,2)", "SEQ(WORD(this),WORD(is))",
+              "OR(WORD(this),WORD(is),WORD(and))"]:
+        assert sc.search_to_string(q) == s3.search_to_string(q), q
+    assert sc.num_docs == s3.num_docs
+    assert sc.term_stats("this") == s3.term_stats("this")
+
+
 def test_term_stats_and_meta(index_sessions):
     s1, _, s3 = index_sessions
     assert s1.num_docs == 6
