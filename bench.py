@@ -200,7 +200,7 @@ def run_scaling(n_docs: int, repeats: int = 2) -> dict:
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "20000"))
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "50000"))
     args = sys.argv[1:]
 
     if "--scaling" in args:
