@@ -238,6 +238,7 @@ def build_index(
     t0 = _t()
     ds = None
     runs = None
+    input_lineage = None
     if isinstance(source, str):
         cols = sorted({*(text_cols or [text_col]), *(meta_cols or ()), *([doc_id_col] if doc_id_col else []), *(id_cols or [])})
         if doc_id_col is None and id_cols is None:
@@ -248,6 +249,7 @@ def build_index(
             from ..stages.invert import ReadInvertStage
 
             items, n_files = corpus_file_items(source, start_id=meta.next_doc_id)
+            input_lineage = [r["file"] for r in items.take_all()]
             runs = items.map_batches(
                 ReadInvertStage,
                 fn_constructor_kwargs=dict(
@@ -409,7 +411,15 @@ def build_index(
         "occ": int(pc.sum(catalog_tbl["cf"]).as_py() or 0),
     }
 
-    lineage = source.input_files() if hasattr(source, "input_files") else []
+    if input_lineage is not None:
+        lineage = input_lineage
+    elif hasattr(source, "input_files"):
+        try:
+            lineage = source.input_files()
+        except Exception:
+            lineage = []
+    else:
+        lineage = []
     manifest = SegmentManifest(
         name=segment,
         num_buckets=num_buckets,

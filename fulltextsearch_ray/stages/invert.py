@@ -63,6 +63,12 @@ def _warm_heap(mb: int = 0) -> None:
     if _HEAP_WARMED:
         return
     _HEAP_WARMED = True
+    # Stage parallelism comes from Ray, not Arrow's internal pool:
+    # without this every worker's Arrow kernels fan out over ALL host
+    # cores, oversubscribing the box and silently inflating low-
+    # parallelism benchmarks (Arrow's pool ignores ray num_cpus).
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
     try:
         import ctypes
 
