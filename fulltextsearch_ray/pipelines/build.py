@@ -1,20 +1,31 @@
 """build_index — the distributed inverted-index construction pipeline.
 
-    read_parquet(corpus)
-      → [assign deterministic doc ids]               (sources.corpus)
-      → map_batches(DocStatsStage)  → docs parquet   (doc_len, sha256)
-      → map_batches(InvertStage)                     (local invert, encoded runs)
-      → groupby("term").map_groups(merge_posting_runs)
-      → write_parquet(term-sorted posting blocks)
-      → catalog = per-term aggregate of block stats  (small)
-      → manifest.json + meta.json                    (driver)
+Parquet-path fast shape (ONE streaming corpus pass, no pre-shuffle):
+
+    file items (sorted listing + footer row counts → positional ids)
+      → map_batches(ReadInvertStage, batch_size=1, actor pool)
+          # read file → tokenize → local invert into compressed runs
+          # + fused doc-stats sentinel rows (doc_len, sha256)
+      → groupby("term").map_groups(merge_posting_runs)   # THE shuffle
+      → write_parquet(term-range-sorted posting files, 4k row groups)
+      → docs table split from sentinel rows (bucket == -1 pushdown)
+      → catalog + per-file term-range run catalog (footers only)
+      → manifest.json (+ lineage/counters) + meta.json  (driver)
+
+Dataset-path (explicit doc_id_col / id_cols): normalize_corpus assigns
+ids (sorted-key rank or passthrough), then InvertStage as above.
 
 Streaming throughout: nothing materializes the corpus; the only
 all-to-all exchange is the groupby on ``term`` over compressed partial
 runs.  Each build session appends a new SEGMENT; query merges segments
-(the reference's posting-chain semantic, ``PostingListWriter.cs:114-159``).
-Completed segments are checkpoints: re-running a multi-segment build
-skips any segment whose manifest validates (resume unit = segment).
+(the reference's posting-chain semantic, ``PostingListWriter.cs:114-159``);
+``compact_index`` collapses chains.  Completed segments are
+checkpoints: re-running a multi-segment build skips any segment whose
+manifest validates (resume unit = segment).
+
+Driver-side catalog/manifest aggregates read only footers and small
+metadata columns; the >50M-block Ray-groupby fallback covers catalogs
+too large for one process.
 """
 
 from __future__ import annotations
