@@ -45,6 +45,44 @@ class Matches(NamedTuple):
     width: int          # number of consecutive occurrences per match
 
 
+class MixedMatches(NamedTuple):
+    """Matches of heterogeneous phrase widths (e.g. OR over SEQ and
+    WORD children), ordered by the reference's ``MatchComparer`` —
+    lexicographic over occurrence sequences, shorter prefix first.
+    Since a width-w match is the consecutive run (d,f,t)…(d,f,t+w-1),
+    that order is exactly sort-by ``(doc, field, token, width)``."""
+
+    docs: np.ndarray
+    fields: np.ndarray
+    tokens: np.ndarray
+    widths: np.ndarray  # int64 per match
+
+
+def or_merge_mixed(subs: "Sequence[Matches | MixedMatches]") -> MixedMatches:
+    """N-ary OR over mixed-width match streams, duplicates preserved
+    (the reference's OrMultiQuery over arbitrary compiled children)."""
+    d_parts, f_parts, t_parts, w_parts = [], [], [], []
+    for m in subs:
+        if len(m.docs) == 0:
+            continue
+        d_parts.append(_as_u64(m.docs))
+        f_parts.append(_as_u64(m.fields))
+        t_parts.append(_as_u64(m.tokens))
+        if isinstance(m, MixedMatches):
+            w_parts.append(np.asarray(m.widths, dtype=np.int64))
+        else:
+            w_parts.append(np.full(len(m.docs), m.width, dtype=np.int64))
+    if not d_parts:
+        e = np.empty(0, dtype=np.uint64)
+        return MixedMatches(e, e.copy(), e.copy(), np.empty(0, dtype=np.int64))
+    d = np.concatenate(d_parts)
+    f = np.concatenate(f_parts)
+    t = np.concatenate(t_parts)
+    w = np.concatenate(w_parts)
+    order = np.lexsort((w, t, f, d))
+    return MixedMatches(d[order], f[order], t[order], w[order])
+
+
 def empty_occurrences() -> OccurrenceList:
     z = np.empty(0, dtype=np.uint64)
     return OccurrenceList(z.copy(), z.copy(), z.copy())
@@ -143,16 +181,19 @@ def and_docs(lists: Sequence[OccurrenceList]) -> np.ndarray:
     return out
 
 
-def format_matches(m: Matches) -> str:
+def format_matches(m: "Matches | MixedMatches") -> str:
     """Reference conformance string: ``{[d,f,t]}, {[d,f,t], [d,f,t+1]}``.
 
     Same rendering as the reference's ``ExecuteToString`` /
     ``SequenceMatch.ToString`` used by its golden tests
     (``SearchTest.cs:29-41``, FIXTURES.md §2).
     """
+    if isinstance(m, MixedMatches):
+        widths = m.widths.tolist()
+    else:
+        widths = [m.width] * len(m.docs)
     parts = []
-    w = m.width
-    for d, f, t in zip(m.docs.tolist(), m.fields.tolist(), m.tokens.tolist()):
+    for d, f, t, w in zip(m.docs.tolist(), m.fields.tolist(), m.tokens.tolist(), widths):
         inner = ", ".join(f"[{d},{f},{t + k}]" for k in range(w))
         parts.append("{" + inner + "}")
     return ", ".join(parts)

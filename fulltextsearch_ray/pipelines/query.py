@@ -42,6 +42,7 @@ from ..codecs import decode_posting_block
 from ..matchers import expand_pattern
 from ..occurrences import (
     Matches,
+    MixedMatches,
     OccurrenceList,
     and_docs,
     empty_occurrences,
@@ -286,11 +287,13 @@ class IndexSearcher:
         if isinstance(ast, FunctionQuery):
             if ast.name == "OR":
                 subs = [self._eval(a) for a in ast.args]
-                widths = {m.width for m in subs}
-                if widths <= {1}:
+                if all(isinstance(m, Matches) and m.width == 1 for m in subs):
                     occ = or_merge([OccurrenceList(m.docs, m.fields, m.tokens) for m in subs])
                     return Matches(occ.docs, occ.fields, occ.tokens, 1)
-                raise NotImplementedError("OR over phrase matches not supported")
+                # mixed widths (OR over SEQ children): MatchComparer order
+                from ..occurrences import or_merge_mixed
+
+                return or_merge_mixed(subs)
             if ast.name == "SEQ":
                 if not all(isinstance(a, WordQuery) for a in ast.args):
                     raise ValueError("Unexpected query take in phrase")  # reference behavior
@@ -305,9 +308,16 @@ class IndexSearcher:
                 kept = []
                 for m in subs:
                     mask = np.isin(m.docs, docs)
-                    kept.append(OccurrenceList(m.docs[mask], m.fields[mask], m.tokens[mask]))
-                occ = or_merge(kept)
-                return Matches(occ.docs, occ.fields, occ.tokens, 1)
+                    if isinstance(m, MixedMatches):
+                        kept.append(MixedMatches(m.docs[mask], m.fields[mask], m.tokens[mask], m.widths[mask]))
+                    else:
+                        kept.append(Matches(m.docs[mask], m.fields[mask], m.tokens[mask], m.width))
+                from ..occurrences import or_merge_mixed
+
+                if all(isinstance(m, Matches) and m.width == 1 for m in kept):
+                    occ = or_merge([OccurrenceList(m.docs, m.fields, m.tokens) for m in kept])
+                    return Matches(occ.docs, occ.fields, occ.tokens, 1)
+                return or_merge_mixed(kept)
             raise ValueError(f"Function {ast.name} is not supported")
         raise TypeError(f"unsupported ast {ast!r}")
 
@@ -342,6 +352,11 @@ class IndexSearcher:
             )
         # matches stream in (doc, field, token) order already
         docs = m.docs
+        widths = (
+            m.widths.astype(np.int64)
+            if isinstance(m, MixedMatches)
+            else np.full(len(docs), m.width, dtype=np.int64)
+        )
         change = np.empty(len(docs), dtype=bool)
         change[0] = True
         np.not_equal(docs[1:], docs[:-1], out=change[1:])
@@ -352,8 +367,9 @@ class IndexSearcher:
         toks = m.tokens.astype(np.int64)
         for s, c in zip(starts, counts):
             ids = []
-            for t in toks[s : s + c]:
-                ids.extend(range(int(t), int(t) + m.width))
+            for j in range(s, s + c):
+                t = int(toks[j])
+                ids.extend(range(t, t + int(widths[j])))
             tok_lists.append(ids)
         return pa.table(
             {

@@ -109,6 +109,23 @@ def test_phrase_goldens(index_sessions):
     )
 
 
+def test_or_over_phrase_children(index_sessions):
+    """OR over SEQ children — the reference compiles this through
+    OrMultiQuery with MatchComparer ordering (lexicographic over
+    occurrence sequences, shorter prefix first)."""
+    s1, _, _ = index_sessions
+    assert s1.search_to_string("OR(SEQ(WORD(search),WORD(only)),WORD(boolean))") == (
+        "{[5,1,3], [5,1,4]}, {[5,1,6]}"
+    )
+    # same start position: width-1 match sorts before its width-2 extension
+    assert s1.search_to_string("OR(WORD(search),SEQ(WORD(search),WORD(only)))") == (
+        "{[3,1,6]}, {[4,1,7]}, {[5,1,3]}, {[5,1,3], [5,1,4]}"
+    )
+    # mixed AND over phrase children (extension)
+    out = s1.search_to_string("AND(SEQ(WORD(this),WORD(is)),WORD(test))")
+    assert out == "{[3,1,1], [3,1,2]}, {[3,1,3]}"
+
+
 def test_null_query(index_sessions):
     s1, _, _ = index_sessions
     assert s1.search_to_string("WORD(nonexistent)") == ""
