@@ -265,6 +265,19 @@ def _q_ann_lsh(sf_dir: str):
     return lsh_bucketed_topk(ray.data.read_parquet(path), q_ids, q_mat, k=10, bits=4)
 
 
+def _q_ann_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from fulltextsearch_ray.functions.similarity import ivf_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, filters=[("vec_id", "<", 5)])
+    q_ids = np.asarray(qt["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    return ivf_topk(ray.data.read_parquet(path), q_ids, q_mat, k=10, n_clusters=8, nprobe=3)
+
+
 def _q_lang_id(sf_dir: str):
     from fulltextsearch_ray.functions.text import lang_id_batch
 
@@ -381,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": _q_embed_neardup,
         "ann_cosine": _q_ann,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "token_count": _q_token_count,

@@ -115,6 +115,112 @@ def brute_force_topk(
     )
 
 
+def ivf_centroids(
+    ds: ray.data.Dataset,
+    *,
+    n_clusters: int = 16,
+    iters: int = 3,
+    seed: int = 5,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: seeded k-means on normalized
+    vectors.  Partial sums per batch (map_batches) → driver combine —
+    each iteration is one streaming pass, no full materialization."""
+    first = ds.take_batch(1024, batch_format="pyarrow")
+    mat0 = _normalize(_to_matrix(first, vec_col))
+    rng = np.random.default_rng(seed)
+    centroids = mat0[rng.choice(len(mat0), size=min(n_clusters, len(mat0)), replace=False)]
+
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            m = _normalize(_to_matrix(batch, vec_col))
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c))
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), pa.int32()),
+                    "count": pa.array(counts, pa.int64()),
+                    "sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids))
+        for r in parts:
+            sums[r["cluster"]] += np.asarray(r["sum"])
+            counts[r["cluster"]] += r["count"]
+        nonzero = counts > 0
+        centroids[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
+    return centroids
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    *,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF approximate top-k: score only vectors in each query's
+    ``nprobe`` nearest coarse clusters.  At cluster scale the cluster
+    id is the partition key (co-locate once, probe per query)."""
+    cents = ivf_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
+    q_mat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    q_probes = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]
+    c_ref = ray.put(cents)
+    wanted = np.unique(q_probes)
+    wanted_ref = ray.put(wanted)
+
+    def tag_and_filter(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        want = ray.get(wanted_ref)
+        m = _normalize(_to_matrix(batch, vec_col))
+        assign = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        mask = np.isin(assign, want)
+        out = batch.filter(pa.array(mask))
+        return out.append_column("_cluster", pa.array(assign[mask], pa.int32()))
+
+    tbl = pa.concat_tables(
+        ray.get(ds.map_batches(tag_and_filter, batch_format="pyarrow").to_arrow_refs()),
+        promote_options="default",
+    )
+    ids = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    mat = _normalize(_to_matrix(tbl, vec_col))
+    clusters = np.asarray(tbl["_cluster"].to_numpy(zero_copy_only=False))
+    out_q, out_r, out_n, out_s = [], [], [], []
+    for qi in range(len(q_mat)):
+        m = np.isin(clusters, q_probes[qi])
+        if not m.any():
+            continue
+        sims = mat[m] @ q_mat[qi]
+        cand = ids[m]
+        keep = cand != int(query_ids[qi])
+        sims, cand = sims[keep], cand[keep]
+        order = np.lexsort((cand, -sims))[:k]
+        out_q.extend([int(query_ids[qi])] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_n.extend(cand[order].tolist())
+        out_s.extend(round6(sims[order]).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
 def lsh_hyperplanes(dim: int, bits: int = 8, seed: int = 13) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))
