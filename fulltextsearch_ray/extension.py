@@ -70,9 +70,29 @@ class GroupVarIntCodec:
         return out.astype(np.uint64)
 
 
+class PackedIntCodec:
+    """The reference's ``PackedInt`` fixed-width bit-packing analog."""
+
+    name = "packedint"
+
+    def encode(self, values: np.ndarray) -> bytes:
+        from .groupvarint import packed_ints_encode
+
+        return packed_ints_encode(values)
+
+    def decode(self, buf: bytes, count: int | None = None) -> np.ndarray:
+        from .groupvarint import packed_ints_decode
+
+        out = packed_ints_decode(buf)
+        if count is not None:
+            assert len(out) == count
+        return out
+
+
 POSTING_CODECS: dict[str, PostingCodec] = {
     "varint": VarIntCodec(),
     "groupvarint": GroupVarIntCodec(),
+    "packedint": PackedIntCodec(),
 }
 
 

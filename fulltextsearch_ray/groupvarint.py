@@ -61,6 +61,33 @@ def group_varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def packed_ints_encode(values: np.ndarray) -> bytes:
+    """Fixed-width bit packing (the reference's ``PackedInt`` codec
+    family, ``Common/PackedInts.cs``): all values stored with the bit
+    width of the largest.  Header: 1 byte width + 4 bytes count."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return bytes([0]) + (0).to_bytes(4, "little")
+    width = max(int(v.max()).bit_length(), 1)
+    # bit matrix (n, width) LSB-first → flat bit stream → packbits
+    bits = ((v[:, None] >> np.arange(width, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.uint8)
+    flat = bits.reshape(-1)
+    payload = np.packbits(flat, bitorder="little").tobytes()
+    return bytes([width]) + n.to_bytes(4, "little") + payload
+
+
+def packed_ints_decode(buf: bytes) -> np.ndarray:
+    width = buf[0]
+    n = int.from_bytes(buf[1:5], "little")
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    flat = np.unpackbits(np.frombuffer(buf[5:], dtype=np.uint8), bitorder="little")[: n * width]
+    bits = flat.reshape(n, width).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(width, dtype=np.uint64)
+    return (bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def group_varint_decode(buf: bytes, count: int) -> np.ndarray:
     arr = np.frombuffer(buf, dtype=np.uint8)
     if count == 0:

@@ -42,3 +42,18 @@ def test_random_roundtrip():
     for bits in (8, 16, 24, 32):
         v = rng.integers(0, 2**bits, size=10_001, dtype=np.uint64).astype(np.uint32)
         assert np.array_equal(group_varint_decode(group_varint_encode(v), len(v)), v)
+
+
+def test_packed_ints_roundtrip():
+    from fulltextsearch_ray.groupvarint import packed_ints_decode, packed_ints_encode
+
+    rng = np.random.default_rng(5)
+    for bits in (1, 7, 13, 33, 63):
+        v = rng.integers(0, 2**bits, size=777, dtype=np.uint64)
+        out = packed_ints_decode(packed_ints_encode(v))
+        assert np.array_equal(out, v), bits
+    assert packed_ints_decode(packed_ints_encode(np.array([], dtype=np.uint64))).tolist() == []
+    assert packed_ints_decode(packed_ints_encode(np.array([0, 0, 1], dtype=np.uint64))).tolist() == [0, 0, 1]
+    # benchmark-protocol stream
+    v = np.arange(1000, 11000, dtype=np.uint64)
+    assert np.array_equal(packed_ints_decode(packed_ints_encode(v)), v)
