@@ -328,7 +328,7 @@ def _q_events_window(sf_dir: str):
             {
                 "window_start": batch["window_start"],
                 "event_type": batch["event_type"],
-                "n_events": batch["n_events"].cast(pa.int64()),
+                "n_events": batch["n_events"],
                 "sum_value": pa.array(
                     round6(np.asarray(batch["sum_value"].to_numpy(zero_copy_only=False))), pa.float64()
                 ),
@@ -645,10 +645,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "events_window": f"""
-            SELECT date_trunc('hour', ts) AS window_start, event_type,
+            WITH cents AS (
+              SELECT date_trunc('hour', ts) AS window_start, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events)
+            SELECT window_start, event_type,
                    count(*)::BIGINT AS n_events,
-                   {_r6('sum(value)')} AS sum_value,
-                   {_r6('avg(value)')} AS avg_value
-            FROM events GROUP BY date_trunc('hour', ts), event_type
+                   {_r6('sum(c) / 100.0')} AS sum_value,
+                   {_r6('sum(c) / (100.0 * count(*))')} AS avg_value
+            FROM cents GROUP BY window_start, event_type
         """,
     }

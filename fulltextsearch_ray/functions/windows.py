@@ -31,22 +31,43 @@ def tumbling_window_agg(
 
     def assign(batch: pa.Table) -> pa.Table:
         w = pc.floor_temporal(batch[ts_col], unit=unit)
+        # aggregate in EXACT integer cents: float partial-sum order
+        # differs between engines/partitionings, and 2-decimal inputs
+        # produce averages that sit exactly on rounding boundaries —
+        # integer sums make the aggregate bit-reproducible.
+        cents = pc.round(pc.multiply(pc.cast(batch[value_col], pa.float64()), 100.0))
         return pa.table(
             {
                 "window_start": w,
                 key_col: batch[key_col],
-                value_col: batch[value_col],
+                "_cents": pc.cast(cents, pa.int64()),
             }
         )
 
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Count, Sum
 
-    return (
+    agg = (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby(["window_start", key_col])
         .aggregate(
             Count(alias_name="n_events"),
-            Sum(value_col, alias_name="sum_value"),
-            Mean(value_col, alias_name="avg_value"),
+            Sum("_cents", alias_name="_sum_cents"),
         )
     )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = np.asarray(batch["_sum_cents"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n = np.asarray(batch["n_events"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "window_start": batch["window_start"],
+                key_col: batch[key_col],
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "sum_value": pa.array(cents / 100.0, pa.float64()),
+                "avg_value": pa.array(cents / (100.0 * n), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
