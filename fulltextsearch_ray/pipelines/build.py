@@ -86,9 +86,13 @@ def compact_index(index_dir: str, *, block_cf: int = DEFAULT_BLOCK_CF) -> IndexM
                 )
             )
         )
+    from ..stages.invert import merge_runs_batch
+
     runs = ray.data.read_parquet(post_files)
-    merged = runs.groupby("term").map_groups(
-        lambda g: merge_posting_runs(g, block_cf=block_cf), batch_format="pyarrow"
+    merged = runs.sort("term").map_batches(
+        lambda b: merge_runs_batch(b, block_cf=block_cf),
+        batch_format="pyarrow",
+        batch_size=None,
     )
     merged.write_parquet(os.path.join(seg_path, "postings"), row_group_size=4096)
 
@@ -308,11 +312,19 @@ def build_index(
             batch_size=batch_size,
             concurrency=(1, pool),
         )
-    merged = runs.groupby("term").map_groups(
-        lambda g: merge_posting_runs(g, block_cf=block_cf), batch_format="pyarrow"
+    # sort-based shuffle on term + whole-block vectorized merge: every
+    # term's runs land contiguously in one partition; merge_runs_batch
+    # avoids per-group scheduling (map_groups costs ~ms per key, fatal
+    # at realistic million-term vocabularies)
+    from ..stages.invert import merge_runs_batch
+
+    merged = runs.sort("term").map_batches(
+        lambda b: merge_runs_batch(b, block_cf=block_cf),
+        batch_format="pyarrow",
+        batch_size=None,
     )
     t0 = _t()
-    # The groupby's output blocks are disjoint term ranges (sort-based
+    # The sort's output blocks are disjoint term ranges (sort-based
     # shuffle) — written 1:1 as files they form an FST-style sorted-
     # term run catalog: a term lookup binary-searches the per-file
     # [term_min, term_max] ranges (recorded below from the parquet

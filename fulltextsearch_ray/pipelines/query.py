@@ -197,7 +197,18 @@ class IndexSearcher:
             i = bisect.bisect_right(mins, term) - 1
             if i < 0:
                 return pa.schema([POSTINGS_SCHEMA.field(c) for c in cols]).empty_table()
-            return pq.read_table(paths[i], columns=cols, filters=[("term", "=", term)])
+            # a term can straddle a sort-partition boundary: its rows
+            # then open the NEXT file(s) whose term_min equals it
+            idxs = [i]
+            j = i + 1
+            while j < len(mins) and mins[j] <= term:
+                idxs.append(j)
+                j += 1
+            tabs = [
+                pq.read_table(paths[x], columns=cols, filters=[("term", "=", term)])
+                for x in idxs
+            ]
+            return tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
         return self._postings_ds[seg].to_table(columns=cols, filter=self._term_filter(seg, term))
 
     def _fetch_term_blocks(self, term: str, with_positions: bool) -> pa.Table | None:

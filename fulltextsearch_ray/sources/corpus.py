@@ -277,10 +277,18 @@ def synth_code_batch(start: int, count: int, *, tokens_per_doc: int = 220, heavy
     for a given (start, count, params) is reproducible everywhere.
     """
     rng = np.random.default_rng(100_000 + start)
-    vocab = np.array(_KEYWORDS + [p + str(s) for p in _IDENT_PARTS for s in range(30)], dtype=object)
+    # long-tail vocabulary shaped like real source code: a hot core
+    # (keywords + common identifiers) plus a large cold tail of unique
+    # symbols per batch — so term cardinality grows with corpus size,
+    # exercising catalog/merge behavior at realistic vocab scales.
+    core = np.array(_KEYWORDS + [p + str(s) for p in _IDENT_PARTS for s in range(120)], dtype=object)
+    tail = np.array([f"sym_{start}_{k:x}" for k in range(max(count // 2, 8))], dtype=object)
     n_tok = rng.integers(tokens_per_doc // 2, tokens_per_doc + tokens_per_doc // 2, size=count)
     total = int(n_tok.sum())
-    words = vocab[rng.integers(0, len(vocab), size=total)]
+    pick_core = rng.integers(0, len(core), size=total)
+    words = core[pick_core]
+    is_tail = rng.random(total) < 0.04  # ~4% cold-tail symbols
+    words[is_tail] = tail[rng.integers(0, len(tail), size=int(is_tail.sum()))]
     # newline every ~8 tokens for source-code shape
     seps = np.where(rng.random(total) < 0.125, "\n", " ")
     bounds = np.zeros(count + 1, dtype=np.int64)
