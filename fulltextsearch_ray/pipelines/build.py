@@ -6,7 +6,7 @@ Parquet-path fast shape (ONE streaming corpus pass, no pre-shuffle):
       → map_batches(ReadInvertStage, batch_size=1, actor pool)
           # read file → tokenize → local invert into compressed runs
           # + fused doc-stats sentinel rows (doc_len, sha256)
-      → groupby("term").map_groups(merge_posting_runs)   # THE shuffle
+      → sort("term") → map_batches(merge_runs_batch)     # THE shuffle
       → write_parquet(term-range-sorted posting files, 4k row groups)
       → docs table split from sentinel rows (bucket == -1 pushdown)
       → catalog + per-file term-range run catalog (footers only)
