@@ -46,8 +46,51 @@ def main(argv: list[str] | None = None) -> int:
     p_print = sub.add_parser("print", help="dump all postings in sorted term order")
     p_print.add_argument("--index", required=True)
 
+    p_bench = sub.add_parser(
+        "benchmark", help="posting-codec micro-bench (reference protocol: N occurrences (1,1,1000+i))"
+    )
+    p_bench.add_argument("-n", type=int, default=10_000)
+
     args = p.parse_args(argv)
     t0 = time.time()
+
+    if args.verb == "benchmark":
+        # mirrors ConsoleUtil's benchmark verb: write N synthetic
+        # occurrences per codec, report bytes + encode/decode time,
+        # verify linear scan + LowerBound probes
+        import numpy as np
+
+        from .codecs import SkipList, decode_posting_block, encode_posting_block
+        from .extension import POSTING_CODECS
+
+        n = args.n
+        d = np.ones(n, dtype=np.uint64)
+        f = np.ones(n, dtype=np.uint64)
+        t = np.arange(1000, 1000 + n, dtype=np.uint64)
+        te0 = time.perf_counter()
+        blk = encode_posting_block(d, f, t)
+        te = time.perf_counter() - te0
+        td0 = time.perf_counter()
+        dd, ff, tt, *_ = decode_posting_block(blk.docs, blk.fields, blk.tfs, blk.positions)
+        td = time.perf_counter() - td0
+        assert np.array_equal(tt, t), "linear verify failed"
+        sl = SkipList(dd, ff, tt)
+        probes = [sl.lower_bound(1, 1, 1000 + n // 2), sl.lower_bound(1, 1, 1), sl.lower_bound(1, 1, 10**9)]
+        total_bytes = sum(len(x) for x in (blk.docs, blk.fields, blk.tfs, blk.positions))
+        print(f"posting-block  N={n}  bytes={total_bytes}  encode={te * 1000:.2f}ms  "
+              f"decode={td * 1000:.2f}ms  probes={probes}")
+        deltas = np.diff(np.r_[np.uint64(0), t])
+        for name, codec in POSTING_CODECS.items():
+            src = deltas.astype(np.uint32) if name == "groupvarint" else deltas
+            e0 = time.perf_counter()
+            buf = codec.encode(src)
+            e = time.perf_counter() - e0
+            d0 = time.perf_counter()
+            out = codec.decode(buf)
+            dtd = time.perf_counter() - d0
+            assert np.array_equal(np.asarray(out[:n], dtype=np.uint64), deltas), name
+            print(f"{name:12s}  N={n}  bytes={len(buf)}  encode={e * 1000:.2f}ms  decode={dtd * 1000:.2f}ms")
+        return 0
 
     if args.verb == "index":
         _ensure_ray()
