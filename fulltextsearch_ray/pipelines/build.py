@@ -362,7 +362,16 @@ def build_index(
 
     t0 = _t()
     from ..stages.invert import decode_docstats_rows
+    from ..state.index import POSTINGS_SCHEMA
 
+    if not os.path.isdir(os.path.join(seg_path, "postings")):
+        # zero-row corpus: write_parquet emits nothing — create an
+        # empty postings file so the segment structure stays uniform
+        os.makedirs(os.path.join(seg_path, "postings"), exist_ok=True)
+        pq.write_table(
+            POSTINGS_SCHEMA.empty_table(),
+            os.path.join(seg_path, "postings", "part-0.parquet"),
+        )
     sentinel = pq.read_table(
         os.path.join(seg_path, "postings"),
         columns=["docs", "tfs", "positions"],
