@@ -53,7 +53,7 @@ def _index_dir_for(sf_dir: str) -> str:
     from fulltextsearch_ray.pipelines.build import build_index
 
     # layout version busts stale caches when the index format evolves
-    tag = hashlib.md5(f"{sf_dir}:v3".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf_dir}:v4".encode()).hexdigest()[:10]
     idx = os.path.join("/tmp", "ftsray_cache", f"docs-{tag}")
     if not os.path.exists(os.path.join(idx, "meta.json")):
         import ray.data
@@ -109,7 +109,7 @@ def _q_term_stats(sf_dir: str):
     return pa.table(
         {
             "term": s.terms,
-            "df": pa.array(np.asarray(s._df, dtype=np.int64)),
+            "df": pa.array(np.asarray(s._df_docs, dtype=np.int64)),
             "cf": pa.array(np.asarray(s._cf, dtype=np.int64)),
         }
     )

@@ -126,33 +126,52 @@ def levenshtein_mask(query: str, terms: list[str], k: int) -> np.ndarray:
     return result
 
 
-def expand_pattern(ast: AstQuery, terms: pa.ChunkedArray | pa.Array) -> list[str]:
+def expand_pattern(
+    ast: AstQuery,
+    terms: pa.ChunkedArray | pa.Array,
+    terms_np: "np.ndarray | None" = None,
+) -> list[str]:
     """Expand a terminal pattern AST over a SORTED term column.
 
     Returns matching terms in ordinal order — the reference's
     dictionary enumeration order (terms arrive sorted from the trie
     walk, ``FullTextQueryCompiler.cs`` → ``GetTerms``).
+
+    ``terms_np`` is an optional numpy object view of the SAME sorted
+    column (e.g. cached by ``IndexSearcher``): with it, WORD lookup and
+    the WILD prefix range become O(log vocab) binary searches instead
+    of O(vocab) column scans.
     """
     if isinstance(ast, WordQuery):
         # exact membership (no lowercasing — reference matches raw value)
-        mask = pc.equal(terms, ast.value)
-        found = pc.any(mask).as_py()
+        if terms_np is not None:
+            i = int(np.searchsorted(terms_np, ast.value))
+            found = i < len(terms_np) and terms_np[i] == ast.value
+        else:
+            found = pc.any(pc.equal(terms, ast.value)).as_py()
         return [ast.value] if found else []
     if isinstance(ast, WildQuery):
         prefix = wildcard_prefix(ast.value)
         candidates = terms
         if prefix:
             # range scan on the sorted column: [prefix, prefix+￿...)
-            lo = int(pc.index(pc.greater_equal(candidates, prefix), True).as_py())
-            if lo < 0:
-                return []
             hi_key = prefix[:-1] + chr(ord(prefix[-1]) + 1) if prefix[-1] != "\U0010ffff" else None
-            arr = candidates.slice(lo)
-            if hi_key is not None:
-                above = pc.index(pc.greater_equal(arr, hi_key), True).as_py()
-                if above >= 0:
-                    arr = arr.slice(0, above)
-            candidates = arr
+            if terms_np is not None:
+                lo = int(np.searchsorted(terms_np, prefix))
+                hi = int(np.searchsorted(terms_np, hi_key)) if hi_key is not None else len(terms_np)
+                if hi <= lo:
+                    return []
+                candidates = candidates.slice(lo, hi - lo)
+            else:
+                lo = int(pc.index(pc.greater_equal(candidates, prefix), True).as_py())
+                if lo < 0:
+                    return []
+                arr = candidates.slice(lo)
+                if hi_key is not None:
+                    above = pc.index(pc.greater_equal(arr, hi_key), True).as_py()
+                    if above >= 0:
+                        arr = arr.slice(0, above)
+                candidates = arr
         pat = wildcard_to_regex(ast.value)
         mask = pc.match_substring_regex(candidates, f"^(?:{pat})$")
         return candidates.filter(mask).to_pylist()

@@ -136,17 +136,17 @@ def _write_catalog_and_manifest(
             file_ranges.append([os.path.relpath(f, seg_path), min(tmins), max(tmaxs)])
     file_ranges.sort(key=lambda r: r[1])
 
-    post_meta_cols = ["term", "bucket", "df", "cf", "max_tf", "first_doc", "last_doc"]
+    post_meta_cols = ["term", "bucket", "df", "cf", "max_tf", "n_docs", "first_doc", "last_doc"]
     blocks_tbl = pq.read_table(
         os.path.join(seg_path, "postings"), columns=post_meta_cols, filters=[("bucket", ">=", 0)]
     )
     catalog_tbl = (
         blocks_tbl.group_by("term")
         .aggregate(
-            [("df", "sum"), ("cf", "sum"), ("max_tf", "max"),
+            [("df", "sum"), ("cf", "sum"), ("max_tf", "max"), ("n_docs", "sum"),
              ("first_doc", "min"), ("last_doc", "max"), ("term", "count")]
         )
-        .rename_columns(["term", "df", "cf", "max_tf", "first_doc", "last_doc", "n_blocks"])
+        .rename_columns(["term", "df", "cf", "max_tf", "df_docs", "first_doc", "last_doc", "n_blocks"])
         .sort_by("term")
     )
     os.makedirs(os.path.join(seg_path, "catalog"), exist_ok=True)
@@ -390,7 +390,7 @@ def build_index(
     import pyarrow.parquet as pq
 
     t0 = _t()
-    post_meta_cols = ["term", "bucket", "df", "cf", "max_tf", "first_doc", "last_doc"]
+    post_meta_cols = ["term", "bucket", "df", "cf", "max_tf", "n_docs", "first_doc", "last_doc"]
     post_dir = os.path.join(seg_path, "postings")
     try:
         blocks_tbl = pq.read_table(post_dir, columns=post_meta_cols, filters=[("bucket", ">=", 0)])
@@ -399,10 +399,10 @@ def build_index(
         catalog_tbl = (
             blocks_tbl.group_by("term")
             .aggregate(
-                [("df", "sum"), ("cf", "sum"), ("max_tf", "max"),
+                [("df", "sum"), ("cf", "sum"), ("max_tf", "max"), ("n_docs", "sum"),
                  ("first_doc", "min"), ("last_doc", "max"), ("term", "count")]
             )
-            .rename_columns(["term", "df", "cf", "max_tf", "first_doc", "last_doc", "n_blocks"])
+            .rename_columns(["term", "df", "cf", "max_tf", "df_docs", "first_doc", "last_doc", "n_blocks"])
             .sort_by("term")
         )
         os.makedirs(os.path.join(seg_path, "catalog"), exist_ok=True)
@@ -417,6 +417,7 @@ def build_index(
                 ray.data.aggregate.Sum("df", alias_name="df"),
                 ray.data.aggregate.Sum("cf", alias_name="cf"),
                 ray.data.aggregate.Max("max_tf", alias_name="max_tf"),
+                ray.data.aggregate.Sum("n_docs", alias_name="df_docs"),
                 ray.data.aggregate.Min("first_doc", alias_name="first_doc"),
                 ray.data.aggregate.Max("last_doc", alias_name="last_doc"),
                 ray.data.aggregate.Count(alias_name="n_blocks"),

@@ -77,26 +77,35 @@ class IndexSearcher:
         # terms kept as ONE sorted arrow column for matcher kernels.
         cats = []
         for seg in self.segments:
-            t = pq.read_table(
-                os.path.join(segment_dir(index_dir, seg), "catalog"),
-                columns=["term", "df", "cf", "max_tf"],
-            )
+            path = os.path.join(segment_dir(index_dir, seg), "catalog")
+            cols = ["term", "df", "cf", "max_tf"]
+            if "df_docs" in pads.dataset(path).schema.names:
+                cols.append("df_docs")
+            t = pq.read_table(path, columns=cols)
+            if "df_docs" not in t.column_names:
+                # legacy catalog (pre-n_docs): entry df is the best proxy
+                t = t.append_column("df_docs", t["df"])
             cats.append(t)
         if cats:
             cat = pa.concat_tables(cats)
             agg = cat.group_by("term").aggregate(
-                [("df", "sum"), ("cf", "sum"), ("max_tf", "max")]
+                [("df", "sum"), ("cf", "sum"), ("max_tf", "max"), ("df_docs", "sum")]
             )
             agg = agg.sort_by("term")
             self.terms: pa.Array = agg["term"].combine_chunks()
             self._df = np.asarray(agg["df_sum"].to_numpy(zero_copy_only=False))
             self._cf = np.asarray(agg["cf_sum"].to_numpy(zero_copy_only=False))
             self._max_tf = np.asarray(agg["max_tf_max"].to_numpy(zero_copy_only=False))
+            self._df_docs = np.asarray(agg["df_docs_sum"].to_numpy(zero_copy_only=False))
         else:
             self.terms = pa.array([], type=pa.string())
             self._df = np.empty(0, dtype=np.int64)
             self._cf = np.empty(0, dtype=np.int64)
             self._max_tf = np.empty(0, dtype=np.int64)
+            self._df_docs = np.empty(0, dtype=np.int64)
+        # numpy view of the sorted term column: O(log vocab) exact-term
+        # binary search instead of O(vocab) pc.index scans per query term
+        self._terms_np = np.asarray(self.terms.to_pylist(), dtype=object)
         # doc lengths for BM25 (doc_id-indexed lookup arrays)
         dl = []
         for seg in self.segments:
@@ -129,10 +138,14 @@ class IndexSearcher:
             except (FileNotFoundError, TypeError):
                 self._seg_buckets[seg] = 0
             if man is not None and man.file_ranges:
-                # FST-style run catalog: sorted file term-mins + paths
+                # FST-style run catalog: sorted file [term_min, term_max]
+                # + paths; term_max is needed for boundary-spill lookups
+                # (a term whose rows span two files sits at file i's max
+                # AND file i+1's min)
                 paths = [os.path.join(segment_dir(index_dir, seg), r[0]) for r in man.file_ranges]
                 mins = [r[1] for r in man.file_ranges]
-                self._seg_ranges[seg] = (mins, paths)
+                maxs = [r[2] for r in man.file_ranges]
+                self._seg_ranges[seg] = (mins, maxs, paths)
             else:
                 # legacy layout fallback: full dataset with filters
                 self._postings_ds[seg] = pads.dataset(
@@ -152,12 +165,20 @@ class IndexSearcher:
     def avgdl(self) -> float:
         return self.meta.avgdl
 
+    def _term_index(self, term: str) -> int:
+        """Binary search on the sorted merged term column; -1 if absent."""
+        i = int(np.searchsorted(self._terms_np, term))
+        if i < len(self._terms_np) and self._terms_np[i] == term:
+            return i
+        return -1
+
     def term_stats(self, term: str) -> tuple[int, int]:
-        """(df, cf) for a term, summed across segments; (0, 0) if absent."""
-        i = pc.index(self.terms, term).as_py()
+        """(df, cf) for a term, summed across segments; (0, 0) if absent.
+        df is the unique-document frequency (catalog ``df_docs``)."""
+        i = self._term_index(term)
         if i < 0:
             return (0, 0)
-        return int(self._df[i]), int(self._cf[i])
+        return int(self._df_docs[i]), int(self._cf[i])
 
     # -- dictionary ---------------------------------------------------------
 
@@ -167,7 +188,7 @@ class IndexSearcher:
         ast = parse_query(pattern)
         if not isinstance(ast, TermQueryAst):
             raise ValueError("lookup expects WORD/WILD/EDIT pattern")
-        return expand_pattern(ast, self.terms)
+        return expand_pattern(ast, self.terms, self._terms_np)
 
     # -- posting fetch ------------------------------------------------------
 
@@ -193,17 +214,22 @@ class IndexSearcher:
 
             from ..state.index import POSTINGS_SCHEMA
 
-            mins, paths = rng
-            i = bisect.bisect_right(mins, term) - 1
-            if i < 0:
-                return pa.schema([POSTINGS_SCHEMA.field(c) for c in cols]).empty_table()
-            # a term can straddle a sort-partition boundary: its rows
-            # then open the NEXT file(s) whose term_min equals it
-            idxs = [i]
-            j = i + 1
-            while j < len(mins) and mins[j] <= term:
+            mins, maxs, paths = rng
+            # candidate files: term_min <= term <= term_max.  Files are
+            # sorted by term_min with non-decreasing term_max (disjoint
+            # sort partitions), so the qualifying files are a contiguous
+            # run ending at the last file with term_min <= term; walk
+            # back while term_max still covers the term (boundary spill:
+            # a term's rows can span files, then max[i] == min[i+1]).
+            hi = bisect.bisect_right(mins, term)
+            idxs = []
+            j = hi - 1
+            while j >= 0 and maxs[j] >= term:
                 idxs.append(j)
-                j += 1
+                j -= 1
+            idxs.reverse()
+            if not idxs:
+                return pa.schema([POSTINGS_SCHEMA.field(c) for c in cols]).empty_table()
             tabs = [
                 pq.read_table(paths[x], columns=cols, filters=[("term", "=", term)])
                 for x in idxs
@@ -292,7 +318,7 @@ class IndexSearcher:
 
     def _eval(self, ast: AstQuery) -> Matches:
         if isinstance(ast, TermQueryAst):
-            terms = expand_pattern(ast, self.terms)
+            terms = expand_pattern(ast, self.terms, self._terms_np)
             occ = or_merge([self.get_postings(t) for t in terms])
             return Matches(occ.docs, occ.fields, occ.tokens, 1)
         if isinstance(ast, FunctionQuery):
@@ -412,7 +438,10 @@ class IndexSearcher:
             docs, tfs = self.get_doc_tfs(term)
             if len(docs) == 0:
                 continue
-            df = float(len(docs))
+            # unique-doc df from the catalog: the ONE df definition both
+            # the exhaustive and MaxScore-pruned paths share (a catalog
+            # entry-df would double-count multi-field docs).
+            df = float(self.term_stats(term)[0]) or float(len(docs))
             idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
             tf = tfs.astype(np.float64)
             dl = self._doc_lens(docs)
@@ -432,11 +461,11 @@ class IndexSearcher:
     def _term_upper_bound(self, term: str) -> float:
         """MaxScore upper bound of one term's per-doc contribution:
         idf × bound(max_tf) with the dl→0 denominator bound — uses only
-        catalog metadata (df, max_tf), no posting decode."""
-        i = pc.index(self.terms, term).as_py()
+        catalog metadata (df_docs, max_tf), no posting decode."""
+        i = self._term_index(term)
         if i < 0:
             return 0.0
-        df = float(self._df[i])
+        df = float(self._df_docs[i])
         N = float(self.num_docs)
         idf = float(np.log((N - df + 0.5) / (df + 0.5) + 1.0))
         mtf = float(self._max_tf[i]) if self._max_tf is not None else 1e9

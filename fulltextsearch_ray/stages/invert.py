@@ -129,6 +129,7 @@ def _posting_rows(
             blk: PostingBlock = encode_posting_block(
                 occ_docs[s:e], occ_fields[s:e], occ_tokens[s:e]
             )
+            blk_docs = occ_docs[s:e]
             cols["term"].append(term)
             cols["bucket"].append(bucket)
             cols["block_id"].append(block_id)
@@ -137,6 +138,9 @@ def _posting_rows(
             cols["df"].append(blk.df)
             cols["cf"].append(blk.cf)
             cols["max_tf"].append(blk.max_tf)
+            cols["n_docs"].append(
+                1 + int(np.count_nonzero(blk_docs[1:] != blk_docs[:-1])) if e > s else 0
+            )
             cols["docs"].append(blk.docs)
             cols["fields"].append(blk.fields)
             cols["tfs"].append(blk.tfs)
@@ -262,6 +266,12 @@ def _posting_rows_vectorized(
     first_doc = e_docs[e_bounds[:-1]]
     last_doc = e_docs[e_bounds[1:] - 1]
     max_tf = np.maximum.reduceat(tfs, e_bounds[:-1]).astype(np.int64)
+    # distinct docs per term: entries where the doc (or term) changes
+    dchange = np.empty(len(e_docs), dtype=bool)
+    dchange[0] = True
+    np.not_equal(e_docs[1:], e_docs[:-1], out=dchange[1:])
+    dchange[1:] |= e_term[1:] != e_term[:-1]
+    n_docs_per_term = np.bincount(e_term[dchange], minlength=T)
     buckets = np.fromiter(
         (zlib.crc32(t.encode("utf-8")) % num_buckets for t in terms_sorted),
         dtype=np.int32, count=T,
@@ -276,6 +286,7 @@ def _posting_rows_vectorized(
             "df": pa.array(df_per_term.astype(np.int64)),
             "cf": pa.array(cf_per_term.astype(np.int64)),
             "max_tf": pa.array(max_tf),
+            "n_docs": pa.array(n_docs_per_term.astype(np.int64)),
             "docs": _binary_column(docs_b, docs_ends, e_bounds),
             "fields": _binary_column(fields_b, fields_ends, e_bounds),
             "tfs": _binary_column(tfs_b, tfs_ends, e_bounds),
@@ -307,6 +318,7 @@ def encode_docstats_row(doc_ids: np.ndarray, doc_lens: np.ndarray, shas: list[st
         "df": int(len(doc_ids)),
         "cf": int(num_occ),
         "max_tf": 0,
+        "n_docs": int(len(doc_ids)),
         "docs": varint_encode(np.sort(doc_ids)) if len(doc_ids) else b"",
         "fields": b"",
         "tfs": varint_encode(doc_lens[np.argsort(doc_ids, kind="stable")]) if len(doc_ids) else b"",
@@ -619,11 +631,15 @@ def merge_posting_runs(group: pa.Table, block_cf: int = DEFAULT_BLOCK_CF) -> pa.
         o = np.lexsort((occ_tokens, occ_fields, occ_docs))
         occ_docs, occ_fields, occ_tokens = occ_docs[o], occ_fields[o], occ_tokens[o]
     bounds = np.array([0, len(occ_docs)], dtype=np.int64)
-    return _posting_rows(
+    tbl = _posting_rows(
         np.array([term], dtype=object), bounds, occ_docs, occ_fields, occ_tokens,
         num_buckets=max(bucket + 1, 1), block_cf=block_cf,
-    ).set_column(1, "bucket", pa.array([bucket] * _count_blocks(len(occ_docs), block_cf), type=pa.int32()))
-
-
-def _count_blocks(cf: int, block_cf: int) -> int:
-    return max(1, (cf + block_cf - 1) // block_cf)
+    )
+    # bucket column length must follow the ACTUAL emitted block count:
+    # _posting_rows snaps chunk points to entry boundaries, so it can
+    # emit more blocks than ceil(cf/block_cf) would predict.
+    return tbl.set_column(
+        tbl.schema.get_field_index("bucket"),
+        "bucket",
+        pa.array([bucket] * tbl.num_rows, type=pa.int32()),
+    )

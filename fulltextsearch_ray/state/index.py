@@ -42,6 +42,11 @@ POSTINGS_SCHEMA = pa.schema(
         ("df", pa.int64()),
         ("cf", pa.int64()),
         ("max_tf", pa.int64()),
+        # distinct docs in the block; sums to the per-term document
+        # frequency (entries snap to block boundaries, so a doc's
+        # entries never split across blocks except >block_cf entries).
+        # Catalog sum(n_docs) = unique-doc df — the BM25 idf input.
+        ("n_docs", pa.int64()),
         ("docs", pa.binary()),
         ("fields", pa.binary()),
         ("tfs", pa.binary()),

@@ -1,0 +1,159 @@
+"""Regression tests for the round-1 ADVICE findings:
+
+1. merge_posting_runs bucket-column length on overlapping runs whose
+   entry-snapped chunking emits more blocks than ceil(cf/block_cf);
+2. _read_term_rows boundary spill — a term whose rows span two
+   postings files must read BOTH files (term_max aware);
+3. one df definition (unique-doc df) in bm25_topk vs bm25_topk_pruned
+   on multi-field indexes;
+4. binary-search term lookups agree with the scan kernels.
+"""
+
+from types import SimpleNamespace
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fulltextsearch_ray.matchers import expand_pattern
+from fulltextsearch_ray.parser import parse_query
+from fulltextsearch_ray.pipelines.build import build_index
+from fulltextsearch_ray.pipelines.query import IndexSearcher
+from fulltextsearch_ray.stages.invert import _posting_rows, merge_posting_runs
+from fulltextsearch_ray.state.index import POSTINGS_SCHEMA
+
+
+def _run(docs, tf_each):
+    """One posting run for term 't': each doc gets tf_each occurrences."""
+    occ_docs = np.repeat(np.asarray(docs, dtype=np.uint64), tf_each)
+    occ_fields = np.full(len(occ_docs), 1, dtype=np.uint64)
+    occ_tokens = np.concatenate(
+        [np.arange(1, tf_each + 1, dtype=np.uint64) for _ in docs]
+    )
+    bounds = np.array([0, len(occ_docs)], dtype=np.int64)
+    return _posting_rows(
+        np.array(["t"], dtype=object), bounds, occ_docs, occ_fields, occ_tokens,
+        num_buckets=4, block_cf=1 << 16,
+    )
+
+
+def test_merge_overlapping_runs_entry_snapped_blocks():
+    # runs with OVERLAPPING doc ranges force the decode+re-encode slow
+    # path; tf=3 per doc with block_cf=4 snaps every chunk back to an
+    # entry boundary → 4 blocks of cf=3, not ceil(12/4)=3 blocks.
+    group = pa.concat_tables([_run([1, 3], 3), _run([2, 4], 3)])
+    merged = merge_posting_runs(group, block_cf=4)
+    assert merged.num_rows == 4  # > ceil(12/4): the old crash case
+    assert merged["bucket"].to_pylist() == [group["bucket"][0].as_py()] * 4
+    from fulltextsearch_ray.codecs import decode_posting_block
+
+    all_docs = []
+    for i in range(merged.num_rows):
+        d, _f, _t, *_ = decode_posting_block(
+            merged["docs"][i].as_py(), merged["fields"][i].as_py(),
+            merged["tfs"][i].as_py(), merged["positions"][i].as_py(),
+        )
+        all_docs.extend(d.tolist())
+    assert all_docs == [1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4]
+
+
+def _posting_file(path, term_rows):
+    """Write a postings parquet file of rows [(term, block_id, docs...)]."""
+    occ = {k: [] for k in POSTINGS_SCHEMA.names}
+    for term, block_id, docs in term_rows:
+        t = _run(docs, 1)
+        occ["term"].append(term)
+        occ["bucket"].append(0)
+        occ["block_id"].append(block_id)
+        occ["first_doc"].append(docs[0])
+        occ["last_doc"].append(docs[-1])
+        occ["df"].append(t["df"][0].as_py())
+        occ["cf"].append(t["cf"][0].as_py())
+        occ["max_tf"].append(t["max_tf"][0].as_py())
+        occ["n_docs"].append(t["n_docs"][0].as_py())
+        occ["docs"].append(t["docs"][0].as_py())
+        occ["fields"].append(t["fields"][0].as_py())
+        occ["tfs"].append(t["tfs"][0].as_py())
+        occ["positions"].append(t["positions"][0].as_py())
+    tbl = pa.table(
+        {k: pa.array(occ[k], type=POSTINGS_SCHEMA.field(k).type) for k in POSTINGS_SCHEMA.names}
+    )
+    pq.write_table(tbl, path)
+
+
+def test_read_term_rows_boundary_spill(tmp_path):
+    # term 'm' spans two files: it is file0's term_max AND file1's
+    # term_min — the lookup must open BOTH files.
+    f0, f1 = str(tmp_path / "p0.parquet"), str(tmp_path / "p1.parquet")
+    _posting_file(f0, [("a", 0, [1, 2]), ("m", 0, [3, 4])])
+    _posting_file(f1, [("m", 1, [5, 6]), ("z", 0, [7])])
+    fake = SimpleNamespace(
+        _seg_ranges={"seg": (["a", "m"], ["m", "z"], [f0, f1])},
+        _postings_ds={},
+    )
+    t = IndexSearcher._read_term_rows(fake, "seg", "m", ["term", "block_id", "docs", "df"])
+    assert t.num_rows == 2
+    assert sorted(t["block_id"].to_pylist()) == [0, 1]
+    # terms fully inside one file still open exactly one file
+    t = IndexSearcher._read_term_rows(fake, "seg", "a", ["term", "block_id"])
+    assert t.num_rows == 1
+    # absent term below every range
+    t = IndexSearcher._read_term_rows(fake, "seg", "0", ["term", "block_id"])
+    assert t.num_rows == 0
+
+
+@pytest.fixture(scope="module")
+def multifield_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    # doc 1 has 'shared' in BOTH fields (the df double-count trap);
+    # several docs pad the corpus so idf ordering matters.
+    rows = {
+        "doc_id": list(range(1, 9)),
+        "t1": [
+            "shared alpha beta", "alpha beta gamma", "beta gamma delta",
+            "shared delta", "epsilon zeta", "eta theta", "iota kappa", "alpha",
+        ],
+        "t2": [
+            "shared gamma", "delta epsilon", "zeta eta", "theta iota",
+            "kappa alpha", "beta gamma", "shared", "gamma delta",
+        ],
+    }
+    idx = str(tmp_path_factory.mktemp("mfidx"))
+    build_index(
+        ray.data.from_arrow(pa.table(rows)), idx,
+        text_cols=["t1", "t2"], doc_id_col="doc_id", num_buckets=2, overwrite=True,
+    )
+    return idx
+
+
+def test_multifield_df_is_unique_docs(multifield_index):
+    s = IndexSearcher(multifield_index)
+    # 'shared' occurs in docs 1 (both fields), 4, 7 → df must be 3, not 4
+    df, cf = s.term_stats("shared")
+    assert df == 3
+    assert cf == 4
+
+
+def test_pruned_bm25_exact_on_multifield(multifield_index):
+    s = IndexSearcher(multifield_index)
+    terms = ["shared", "alpha", "gamma"]
+    exact = s.bm25_topk(terms, k=5)
+    pruned = s.bm25_topk_pruned(terms, k=5)
+    assert exact["doc_id"].to_pylist() == pruned["doc_id"].to_pylist()
+    np.testing.assert_allclose(
+        exact["score"].to_numpy(), pruned["score"].to_numpy(), rtol=0, atol=0
+    )
+
+
+def test_binary_search_lookup_parity(multifield_index):
+    s = IndexSearcher(multifield_index)
+    # WORD / WILD / EDIT expansion with the cached numpy view must equal
+    # the scan-kernel path
+    for pat in ["WORD(alpha)", "WORD(absent)", "WILD(a*)", "WILD(*ta)", "EDIT(gama,1)"]:
+        ast = parse_query(pat)
+        assert expand_pattern(ast, s.terms, s._terms_np) == expand_pattern(ast, s.terms)
+    assert s.term_stats("absent") == (0, 0)
+    assert s._term_index("alpha") >= 0
+    assert s._term_index("zzzz") == -1
