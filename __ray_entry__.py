@@ -39,6 +39,127 @@ def _r6(expr: str) -> str:
     return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
 
 
+def _r12(expr: str) -> str:
+    # centroid quantization shared with functions.similarity.round12
+    return f"floor(({expr}) * 1000000000000 + 0.5) / 1000000000000"
+
+
+def _perm_values_sql(num_perm: int = 64) -> str:
+    """(p, a, b) VALUES rows for the seeded minhash permutations —
+    the exact constants the Ray MinHashStage uses."""
+    from fulltextsearch_ray.functions.dedup import _minhash_params
+
+    a, b = _minhash_params(num_perm)
+    return ", ".join(f"({p}, {int(a[p])}, {int(b[p])})" for p in range(num_perm))
+
+
+def _plane_values_sql(n_planes: int, dim: int = 64, seed: int = 13) -> str:
+    """(plane_id, [w...]) VALUES rows for the seeded LSH hyperplanes.
+
+    dim is fixed to the driver testdata embedding width (64); the Ray
+    side derives the plane matrix from the actual vector width at run
+    time with the same seed, so both sides see identical planes.
+    ``repr(float)`` round-trips exactly through DuckDB's double parser.
+    """
+    from fulltextsearch_ray.functions.similarity import lsh_hyperplanes
+
+    pl = lsh_hyperplanes(dim, bits=n_planes, seed=seed)
+    return ", ".join(
+        "(%d, [%s])" % (i, ", ".join(repr(float(x)) for x in pl[i])) for i in range(n_planes)
+    )
+
+
+# LSH sign-bucket CTE fragment shared by embed_neardup / ann_lsh: raw
+# dot products (sign equals the normalized-dot sign) per (vec, plane).
+def _lsh_dots_cte(plane_vals: str) -> str:
+    return f"""
+ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings),
+pl AS (SELECT plane_id, unnest(w)::DOUBLE AS w, generate_subscripts(w, 1) AS i
+       FROM (VALUES {plane_vals}) AS t(plane_id, w)),
+dots AS (SELECT ev.vec_id, pl.plane_id, sum(ev.v * pl.w) AS d
+         FROM ev JOIN pl USING (i) GROUP BY ev.vec_id, pl.plane_id)
+"""
+
+
+def _ivf_oracle_sql(
+    n_clusters: int = 8, nprobe: int = 3, iters: int = 2, k: int = 10, n_queries: int = 5
+) -> str:
+    """Unrolled deterministic k-means + probe phase mirroring
+    functions.similarity.ivf_topk exactly: lowest-id seeding, per-round
+    12-decimal centroid quantization (so summation-order float noise
+    cannot flip an assignment), argmax ties to the lower cluster."""
+    parts = [
+        """
+ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nr FROM ev GROUP BY vec_id),
+nv AS (SELECT ev.vec_id, ev.i, ev.v / greatest(nr, 1e-12) AS v
+       FROM ev JOIN nrm USING (vec_id)),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n}) q),
+c0 AS (SELECT seeds.cluster, nv.i, {r12v} AS w
+       FROM seeds JOIN nv USING (vec_id))
+""".format(n=n_clusters, r12v=_r12("nv.v"))
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            """
+d{it} AS (SELECT nv.vec_id, c.cluster, sum(nv.v * c.w) AS d
+         FROM nv JOIN {prev} c USING (i) GROUP BY nv.vec_id, c.cluster),
+a{it} AS (SELECT vec_id, cluster FROM (
+           SELECT vec_id, cluster,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cluster ASC) AS rn
+           FROM d{it}) q WHERE rn = 1),
+m{it} AS (SELECT a.cluster, nv.i, avg(nv.v) AS mw
+         FROM a{it} a JOIN nv USING (vec_id) GROUP BY a.cluster, nv.i),
+mn{it} AS (SELECT cluster, sqrt(sum(mw * mw)) AS nr FROM m{it} GROUP BY cluster),
+cn{it} AS (SELECT m.cluster, m.i, {r12w} AS w
+          FROM m{it} m JOIN mn{it} mn USING (cluster)),
+c{it} AS (SELECT * FROM cn{it}
+         UNION ALL
+         SELECT c.* FROM {prev} c
+         WHERE c.cluster NOT IN (SELECT DISTINCT cluster FROM cn{it}))
+""".format(it=it, prev=prev, r12w=_r12("m.mw / greatest(mn.nr, 1e-12)"))
+        )
+        prev = f"c{it}"
+    parts.append(
+        """
+qd AS (SELECT nv.vec_id AS query_id, c.cluster, sum(nv.v * c.w) AS d
+       FROM nv JOIN {cf} c USING (i) WHERE nv.vec_id < {nq}
+       GROUP BY nv.vec_id, c.cluster),
+probes AS (SELECT query_id, cluster FROM (
+            SELECT query_id, cluster,
+                   row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cluster ASC) AS rn
+            FROM qd) q WHERE rn <= {np}),
+dfin AS (SELECT nv.vec_id, c.cluster, sum(nv.v * c.w) AS d
+         FROM nv JOIN {cf} c USING (i) GROUP BY nv.vec_id, c.cluster),
+afin AS (SELECT vec_id, cluster FROM (
+          SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cluster ASC) AS rn
+          FROM dfin) q WHERE rn = 1),
+cand AS (SELECT p.query_id, v.vec_id AS neighbor_id
+         FROM probes p JOIN afin v ON v.cluster = p.cluster
+         WHERE v.vec_id != p.query_id),
+sims AS (SELECT query_id, neighbor_id,
+                list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) AS c
+         FROM cand
+         JOIN embeddings eq ON eq.vec_id = cand.query_id
+         JOIN embeddings en ON en.vec_id = cand.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, c,
+                  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+           FROM sims)
+SELECT query_id::BIGINT AS query_id, rank::INTEGER AS rank,
+       neighbor_id::BIGINT AS neighbor_id, {r6c} AS cosine
+FROM ranked WHERE rank <= {k}
+""".format(cf=prev, nq=n_queries, np=nprobe, k=k, r6c=_r6("c"))
+    )
+    return "WITH " + ",\n".join(p.strip() for p in parts)
+
+
 # ---------------------------------------------------------------------------
 # index cache (one build per sf_dir per process)
 # ---------------------------------------------------------------------------
@@ -215,7 +336,7 @@ def _q_dedup_exact(sf_dir: str):
 def _q_ngram_jaccard(sf_dir: str):
     from fulltextsearch_ray.functions.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs_ds(sf_dir), n=3, threshold=0.02)
+    return ngram_jaccard_pairs(_docs_ds(sf_dir), n=3, threshold=0.02, shingle_df_cap=256)
 
 
 def _q_simhash(sf_dir: str):
@@ -236,7 +357,9 @@ def _q_embed_neardup(sf_dir: str):
     from fulltextsearch_ray.functions.dedup import embedding_neardup_pairs
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_neardup_pairs(ds, threshold=0.35)
+    return embedding_neardup_pairs(
+        ds, threshold=0.35, bands=4, planes_per_band=4, max_bucket=4096
+    )
 
 
 def _q_ann(sf_dir: str):
@@ -275,7 +398,9 @@ def _q_ann_ivf(sf_dir: str):
     qt = pq.read_table(path, filters=[("vec_id", "<", 5)])
     q_ids = np.asarray(qt["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
     q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
-    return ivf_topk(ray.data.read_parquet(path), q_ids, q_mat, k=10, n_clusters=8, nprobe=3)
+    return ivf_topk(
+        ray.data.read_parquet(path), q_ids, q_mat, k=10, n_clusters=8, nprobe=3, iters=2
+    )
 
 
 def _q_lang_id(sf_dir: str):
@@ -527,9 +652,13 @@ def oracle_sql() -> dict[str, str]:
                       unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
                     FROM agg)),
             sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+            -- stop-shingle filter: shingles with df > cap are dropped
+            -- from the pair stage (mirrors shingle_df_cap=256)
+            hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 256),
             common AS (
               SELECT a.doc_id AS a, b.doc_id AS b, count(*)::DOUBLE AS c
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              WHERE a.shingle NOT IN (SELECT shingle FROM hot)
               GROUP BY a.doc_id, b.doc_id)
             SELECT common.a::BIGINT AS a, common.b::BIGINT AS b,
                    {_r6('common.c / (sa.n + sb.n - common.c)')} AS jaccard
@@ -537,6 +666,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = common.a
             JOIN sizes sb ON sb.doc_id = common.b
             WHERE {_r6('common.c / (sa.n + sb.n - common.c)')} >= 0.02
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {TOKENS_CTE},
+            agg AS (SELECT doc_id, list(term ORDER BY token_id) AS toks FROM tokens GROUP BY doc_id),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+                    FROM agg)),
+            perms AS (SELECT * FROM (VALUES {_perm_values_sql(64)}) AS t(p, a, b)),
+            hashes AS (SELECT doc_id,
+                              ('0x' || substr(md5(shingle), 1, 16))::UBIGINT % 2147483647 AS h
+                       FROM sh),
+            sigs AS (SELECT doc_id, p,
+                            min((a::UBIGINT * h + b::UBIGINT) % 2147483647) AS sig
+                     FROM hashes CROSS JOIN perms GROUP BY doc_id, p),
+            bnd AS (SELECT doc_id, p // 4 AS band,
+                           string_agg(sig::VARCHAR, '-' ORDER BY p) AS pattern
+                    FROM sigs GROUP BY doc_id, p // 4),
+            bsz AS (SELECT band, pattern, count(*) AS g FROM bnd GROUP BY band, pattern),
+            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                     FROM bnd x
+                     JOIN bnd y ON x.band = y.band AND x.pattern = y.pattern
+                                AND x.doc_id < y.doc_id
+                     JOIN bsz ON bsz.band = x.band AND bsz.pattern = x.pattern
+                     WHERE bsz.g <= 256),
+            agree AS (SELECT cand.a, cand.b,
+                             sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / 64.0 AS est
+                      FROM cand
+                      JOIN sigs sa ON sa.doc_id = cand.a
+                      JOIN sigs sb ON sb.doc_id = cand.b AND sb.p = sa.p
+                      GROUP BY cand.a, cand.b)
+            SELECT a::BIGINT AS a, b::BIGINT AS b, {_r6('est')} AS est_jaccard
+            FROM agree WHERE est >= 0.5
         """,
         "dedup_simhash": f"""
             WITH {TOKENS_CTE},
@@ -554,13 +718,49 @@ def oracle_sql() -> dict[str, str]:
             FROM nib GROUP BY doc_id
         """,
         "embed_neardup": f"""
-            WITH pairs AS (
-              SELECT a.vec_id AS a, b.vec_id AS b,
-                     list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
-              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WITH {_lsh_dots_cte(_plane_values_sql(16))},
+            keys AS (SELECT vec_id, plane_id // 4 AS band,
+                            sum(CASE WHEN d > 0 THEN (1 << (plane_id % 4)) ELSE 0 END) AS pattern
+                     FROM dots GROUP BY vec_id, plane_id // 4),
+            bsz AS (SELECT band, pattern, count(*) AS g FROM keys GROUP BY band, pattern),
+            cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                     FROM keys x
+                     JOIN keys y ON x.band = y.band AND x.pattern = y.pattern
+                                AND x.vec_id < y.vec_id
+                     JOIN bsz ON bsz.band = x.band AND bsz.pattern = x.pattern
+                     WHERE bsz.g <= 4096),
+            pairs AS (
+              SELECT cand.a, cand.b,
+                     list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = cand.a
+              JOIN embeddings eb ON eb.vec_id = cand.b)
             SELECT a::BIGINT AS a, b::BIGINT AS b, {_r6('c')} AS cosine
             FROM pairs WHERE c >= 0.35
         """,
+        "ann_lsh": f"""
+            WITH {_lsh_dots_cte(_plane_values_sql(4))},
+            buckets AS (SELECT vec_id,
+                               sum(CASE WHEN d > 0 THEN (1 << plane_id) ELSE 0 END) AS bucket
+                        FROM dots GROUP BY vec_id),
+            qb AS (SELECT vec_id, bucket FROM buckets WHERE vec_id < 5),
+            cand AS (SELECT qb.vec_id AS query_id, v.vec_id AS neighbor_id
+                     FROM qb JOIN buckets v ON v.bucket = qb.bucket
+                     WHERE v.vec_id != qb.vec_id),
+            sims AS (SELECT query_id, neighbor_id,
+                            list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) AS c
+                     FROM cand
+                     JOIN embeddings eq ON eq.vec_id = cand.query_id
+                     JOIN embeddings en ON en.vec_id = cand.neighbor_id),
+            ranked AS (SELECT query_id, neighbor_id, c,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY c DESC, neighbor_id ASC) AS rank
+                       FROM sims)
+            SELECT query_id::BIGINT AS query_id, rank::INTEGER AS rank,
+                   neighbor_id::BIGINT AS neighbor_id, {_r6('c')} AS cosine
+            FROM ranked WHERE rank <= 10
+        """,
+        "ann_ivf": _ivf_oracle_sql(n_clusters=8, nprobe=3, iters=2, k=10, n_queries=5),
         "ann_cosine": f"""
             WITH qv AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
                                generate_subscripts(embedding, 1) AS i

@@ -27,3 +27,41 @@ def md5_u64(s: str) -> int:
     """First 64 bits of md5 as unsigned int — matches DuckDB
     ``('0x' || substr(md5(s), 1, 16))::UBIGINT``."""
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+
+
+_DUCK = None
+
+
+def md5_u64_batch(strings) -> np.ndarray:
+    """Vectorized md5→uint64 over an Arrow string array.
+
+    Uses an in-process DuckDB connection (C++ md5, no per-string Python
+    call) — bit-identical to :func:`md5_u64` and to the SQL oracles'
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT``.  The connection is
+    created once per worker process (map_batches actor or task).
+    """
+    global _DUCK
+    import pyarrow as pa
+
+    if _DUCK is None:
+        import duckdb
+
+        _DUCK = duckdb.connect()
+    tbl = pa.table({"s": strings})
+    out = _DUCK.execute(
+        "SELECT ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM tbl"
+    ).arrow()
+    return np.asarray(out["h"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+
+
+def md5_hex_batch(strings) -> "pa.Array":
+    """Vectorized md5 hex digest over an Arrow string array (DuckDB)."""
+    global _DUCK
+    import pyarrow as pa
+
+    if _DUCK is None:
+        import duckdb
+
+        _DUCK = duckdb.connect()
+    tbl = pa.table({"s": strings})
+    return _DUCK.execute("SELECT md5(s) AS h FROM tbl").arrow()["h"].combine_chunks()

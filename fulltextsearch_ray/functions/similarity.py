@@ -115,21 +115,32 @@ def brute_force_topk(
     )
 
 
+def round12(x: np.ndarray) -> np.ndarray:
+    """floor(x*1e12 + 0.5)/1e12 — the centroid quantization shared with
+    the SQL oracle so float summation-order differences between numpy
+    and DuckDB cannot flip a k-means assignment."""
+    return np.floor(x * 1e12 + 0.5) / 1e12
+
+
 def ivf_centroids(
     ds: ray.data.Dataset,
     *,
     n_clusters: int = 16,
     iters: int = 3,
-    seed: int = 5,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Deterministic IVF coarse quantizer: seeded k-means on normalized
-    vectors.  Partial sums per batch (map_batches) → driver combine —
-    each iteration is one streaming pass, no full materialization."""
+    """Deterministic IVF coarse quantizer: k-means on normalized
+    vectors, seeded with the ``n_clusters`` lowest-id vectors (fully
+    deterministic AND SQL-expressible — the oracle unrolls the same
+    iterations).  Partial sums per batch (map_batches) → driver combine
+    — each iteration is one streaming pass, no full materialization.
+    Centroids are quantized to 12 decimals each round (see round12)."""
     first = ds.take_batch(1024, batch_format="pyarrow")
+    ids0 = np.asarray(first[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
     mat0 = _normalize(_to_matrix(first, vec_col))
-    rng = np.random.default_rng(seed)
-    centroids = mat0[rng.choice(len(mat0), size=min(n_clusters, len(mat0)), replace=False)]
+    seed_order = np.argsort(ids0, kind="stable")[: min(n_clusters, len(ids0))]
+    centroids = round12(mat0[seed_order])
 
     for _ in range(iters):
         c_ref = ray.put(centroids)
@@ -156,8 +167,41 @@ def ivf_centroids(
             sums[r["cluster"]] += np.asarray(r["sum"])
             counts[r["cluster"]] += r["count"]
         nonzero = counts > 0
-        centroids[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
+        centroids[nonzero] = round12(_normalize(sums[nonzero] / counts[nonzero, None]))
     return centroids
+
+
+def _final_topk(
+    cand_tbl: pa.Table, query_ids: np.ndarray, k: int
+) -> pa.Table:
+    """Exact per-query top-k merge over a small candidate table
+    (query_id, neighbor_id, cosine) — each group stage emits at most k
+    rows per (query, group), so this input is k-bounded, never
+    dataset-sized.  Dedup across groups keeps the max (identical)
+    cosine; tie-break (cosine desc, neighbor asc)."""
+    qs = np.asarray(cand_tbl["query_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    ns = np.asarray(cand_tbl["neighbor_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    ss = np.asarray(cand_tbl["cosine"].to_numpy(zero_copy_only=False), dtype=np.float64)
+    out_q, out_r, out_n, out_s = [], [], [], []
+    for q in np.unique(qs):
+        m = qs == q
+        n_m, s_m = ns[m], ss[m]
+        # dedup duplicate (query, neighbor) rows from multiple groups
+        uniq, first = np.unique(n_m, return_index=True)
+        n_m, s_m = uniq, s_m[first]
+        order = np.lexsort((n_m, -s_m))[:k]
+        out_q.extend([int(q)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_n.extend(n_m[order].tolist())
+        out_s.extend(round6(s_m[order]).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        }
+    )
 
 
 def ivf_topk(
@@ -168,18 +212,30 @@ def ivf_topk(
     k: int = 10,
     n_clusters: int = 16,
     nprobe: int = 4,
+    iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> pa.Table:
     """IVF approximate top-k: score only vectors in each query's
-    ``nprobe`` nearest coarse clusters.  At cluster scale the cluster
-    id is the partition key (co-locate once, probe per query)."""
-    cents = ivf_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
+    ``nprobe`` nearest coarse clusters.
+
+    Probe phase is fully distributed: vectors are tagged with their
+    cluster, filtered to probed clusters, then scored per cluster in
+    ``groupby("_cluster").map_groups`` against the (broadcast) queries
+    probing that cluster — each group emits at most k rows per query,
+    so the driver merge sees a k-bounded table, never the vector set.
+    At cluster scale ``_cluster`` is the partition key (co-locate
+    once, probe per query)."""
+    cents = ivf_centroids(ds, n_clusters=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
     q_mat = _normalize(np.asarray(query_mat, dtype=np.float64))
-    q_probes = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]
+    # stable sort: tied centroid scores break toward the lower cluster
+    # id (deterministic; mirrored by the SQL oracle's ORDER BY)
+    q_probes = np.argsort(-(q_mat @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    q_ids = np.asarray(query_ids, dtype=np.int64)
     c_ref = ray.put(cents)
     wanted = np.unique(q_probes)
     wanted_ref = ray.put(wanted)
+    queries_ref = ray.put({"ids": q_ids, "mat": q_mat, "probes": q_probes})
 
     def tag_and_filter(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
@@ -187,38 +243,60 @@ def ivf_topk(
         m = _normalize(_to_matrix(batch, vec_col))
         assign = np.argmax(m @ c.T, axis=1).astype(np.int32)
         mask = np.isin(assign, want)
-        out = batch.filter(pa.array(mask))
-        return out.append_column("_cluster", pa.array(assign[mask], pa.int32()))
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "_cluster": pa.array(assign[mask], pa.int32()),
+                "vid": pa.array(ids[mask], pa.int64()),
+                "vec": pa.array(m[mask].tolist(), pa.list_(pa.float64())),
+            }
+        )
 
-    tbl = pa.concat_tables(
-        ray.get(ds.map_batches(tag_and_filter, batch_format="pyarrow").to_arrow_refs()),
-        promote_options="default",
+    empty = pa.table(
+        {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
     )
-    ids = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-    mat = _normalize(_to_matrix(tbl, vec_col))
-    clusters = np.asarray(tbl["_cluster"].to_numpy(zero_copy_only=False))
-    out_q, out_r, out_n, out_s = [], [], [], []
-    for qi in range(len(q_mat)):
-        m = np.isin(clusters, q_probes[qi])
-        if not m.any():
-            continue
-        sims = mat[m] @ q_mat[qi]
-        cand = ids[m]
-        keep = cand != int(query_ids[qi])
-        sims, cand = sims[keep], cand[keep]
-        order = np.lexsort((cand, -sims))[:k]
-        out_q.extend([int(query_ids[qi])] * len(order))
-        out_r.extend(range(1, len(order) + 1))
-        out_n.extend(cand[order].tolist())
-        out_s.extend(round6(sims[order]).tolist())
-    return pa.table(
+
+    def score_cluster(group: pa.Table) -> pa.Table:
+        q = ray.get(queries_ref)
+        cluster = int(group["_cluster"][0].as_py())
+        q_sel = np.flatnonzero((q["probes"] == cluster).any(axis=1))
+        if not len(q_sel):
+            return empty
+        ids = np.asarray(group["vid"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        mat = _to_matrix(group, "vec")
+        sims = q["mat"][q_sel] @ mat.T  # (n_sel, g)
+        out_q, out_n, out_s = [], [], []
+        for row, qi in enumerate(q_sel):
+            s = sims[row]
+            keep = ids != int(q["ids"][qi])
+            s, cand = s[keep], ids[keep]
+            order = np.lexsort((cand, -s))[:k]
+            out_q.extend([int(q["ids"][qi])] * len(order))
+            out_n.extend(cand[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(tag_and_filter, batch_format="pyarrow")
+        .groupby("_cluster")
+        .map_groups(score_cluster, batch_format="pyarrow")
+        .take_all()
+    )
+    cand_tbl = pa.table(
         {
-            "query_id": pa.array(out_q, pa.int64()),
-            "rank": pa.array(out_r, pa.int32()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "cosine": pa.array(out_s, pa.float64()),
+            "query_id": pa.array([r["query_id"] for r in cand], pa.int64()),
+            "neighbor_id": pa.array([r["neighbor_id"] for r in cand], pa.int64()),
+            "cosine": pa.array([r["cosine"] for r in cand], pa.float64()),
         }
     )
+    return _final_topk(cand_tbl, q_ids, k)
 
 
 def lsh_hyperplanes(dim: int, bits: int = 8, seed: int = 13) -> np.ndarray:
@@ -244,48 +322,77 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
 ) -> pa.Table:
     """Approximate top-k: only vectors sharing the query's LSH bucket
-    are scored.  The bucket column would be the partition key at scale
-    (co-locate bucket → one shuffle, then per-bucket brute force)."""
+    are scored — per bucket in ``groupby("_bucket").map_groups`` with
+    the query matrix broadcast (``ray.put`` once), each group emitting
+    at most k rows per query.  The bucket column is the partition key
+    at scale (co-locate bucket → one shuffle, then per-bucket brute
+    force); nothing dataset-sized ever reaches the driver."""
     q_mat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    q_ids = np.asarray(query_ids, dtype=np.int64)
     planes = lsh_hyperplanes(q_mat.shape[1], bits=bits)
     q_buckets = lsh_bucket(q_mat, planes)
-    wanted = set(q_buckets.tolist())
+    wanted = np.unique(q_buckets)
     planes_ref = ray.put(planes)
     wanted_ref = ray.put(wanted)
+    queries_ref = ray.put({"ids": q_ids, "mat": q_mat, "buckets": q_buckets})
 
     def filter_buckets(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         want = ray.get(wanted_ref)
         mat = _normalize(_to_matrix(batch, vec_col))
         buckets = lsh_bucket(mat, pl)
-        mask = np.isin(buckets, np.fromiter(want, dtype=np.uint64))
-        out = batch.filter(pa.array(mask))
-        return out.append_column("_bucket", pa.array(buckets[mask], pa.uint64()))
+        mask = np.isin(buckets, want)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(buckets[mask], pa.uint64()),
+                "vid": pa.array(ids[mask], pa.int64()),
+                "vec": pa.array(mat[mask].tolist(), pa.list_(pa.float64())),
+            }
+        )
 
-    filtered = ds.map_batches(filter_buckets, batch_format="pyarrow")
-    tbl = pa.concat_tables(ray.get(filtered.to_arrow_refs()), promote_options="default")
-    ids = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-    mat = _normalize(_to_matrix(tbl, vec_col))
-    buckets = np.asarray(tbl["_bucket"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-    out_q, out_r, out_n, out_s = [], [], [], []
-    for qi in range(len(q_mat)):
-        m = buckets == q_buckets[qi]
-        if not m.any():
-            continue
-        sims = mat[m] @ q_mat[qi]
-        cand_ids = ids[m]
-        keep = cand_ids != int(query_ids[qi])
-        sims, cand_ids = sims[keep], cand_ids[keep]
-        order = np.lexsort((cand_ids, -sims))[:k]
-        out_q.extend([int(query_ids[qi])] * len(order))
-        out_r.extend(range(1, len(order) + 1))
-        out_n.extend(cand_ids[order].tolist())
-        out_s.extend(round6(sims[order]).tolist())
-    return pa.table(
+    empty = pa.table(
+        {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        q = ray.get(queries_ref)
+        bucket = np.uint64(group["_bucket"][0].as_py())
+        q_sel = np.flatnonzero(q["buckets"] == bucket)
+        if not len(q_sel):
+            return empty
+        ids = np.asarray(group["vid"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        mat = _to_matrix(group, "vec")
+        sims = q["mat"][q_sel] @ mat.T
+        out_q, out_n, out_s = [], [], []
+        for row, qi in enumerate(q_sel):
+            s = sims[row]
+            keep = ids != int(q["ids"][qi])
+            s, cand = s[keep], ids[keep]
+            order = np.lexsort((cand, -s))[:k]
+            out_q.extend([int(q["ids"][qi])] * len(order))
+            out_n.extend(cand[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(filter_buckets, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(score_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    cand_tbl = pa.table(
         {
-            "query_id": pa.array(out_q, pa.int64()),
-            "rank": pa.array(out_r, pa.int32()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "cosine": pa.array(out_s, pa.float64()),
+            "query_id": pa.array([r["query_id"] for r in cand], pa.int64()),
+            "neighbor_id": pa.array([r["neighbor_id"] for r in cand], pa.int64()),
+            "cosine": pa.array([r["cosine"] for r in cand], pa.float64()),
         }
     )
+    return _final_topk(cand_tbl, q_ids, k)
