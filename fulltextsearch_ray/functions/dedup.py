@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..tokenizer import SPLIT_PATTERN, TOKEN_RE
+from ..tokenizer import TOKEN_RE, flat_tokens
 from .common import md5_hex, md5_u64, md5_u64_batch, round6
 
 # --------------------------------------------------------------------------
@@ -87,16 +87,7 @@ def shingle_batch(texts: pa.Array | pa.ChunkedArray, n: int) -> tuple[pa.Array, 
     window join); only documents with 0 < tokens < n (rare) take a
     per-doc Python join.  Matches :func:`_shingles` exactly.
     """
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    lowered = pc.utf8_lower(pc.fill_null(texts, ""))
-    parts = pc.split_pattern_regex(lowered, SPLIT_PATTERN)
-    flat = pc.list_flatten(parts)
-    parent = np.asarray(pc.list_parent_indices(parts).to_numpy(zero_copy_only=False))
-    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False))
-    toks = flat.filter(pa.array(keep))
-    parent = parent[keep]
-    counts = np.bincount(parent, minlength=len(texts))
+    toks, parent, counts = flat_tokens(texts)
     L = len(toks)
 
     out_sh: list[pa.Array] = []
@@ -293,13 +284,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     matrix with per-doc segmented reduction — no per-document loop.
     """
     n_docs = batch.num_rows
-    lowered = pc.utf8_lower(pc.fill_null(batch[text_col], ""))
-    parts = pc.split_pattern_regex(lowered, SPLIT_PATTERN)
-    flat = pc.list_flatten(parts)
-    parent = np.asarray(pc.list_parent_indices(parts).to_numpy(zero_copy_only=False))
-    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False))
-    toks = flat.filter(pa.array(keep))
-    parent = parent[keep]
+    toks, parent, _counts = flat_tokens(batch[text_col])
 
     out_hash = np.empty(n_docs, dtype=object)
     if len(toks):

@@ -1,18 +1,23 @@
 """Text-analysis operators for large-scale training-data pipelines:
 language-ID, quality scoring, token counting, document fingerprinting.
 
-All stages are vectorized ``map_batches`` batch functions over the
-``documents``-shaped corpus ``(doc_id, text, ...)``; each has an exact
-DuckDB SQL twin in ``__ray_entry__.oracle_sql`` (the heuristics are
-deliberately SQL-expressible so the driver's oracle gate covers them).
+All stages are fully vectorized ``map_batches`` batch functions over
+the ``documents``-shaped corpus ``(doc_id, text, ...)``: tokenization
+is one Arrow C++ pass per batch (``tokenizer.flat_tokens``), stopword
+membership is ``pc.is_in``, per-doc reductions are ``np.bincount`` /
+Arrow group-bys — no per-document Python loop anywhere.  Each operator
+has an exact DuckDB SQL twin in ``__ray_entry__.oracle_sql`` (the
+heuristics are deliberately SQL-expressible so the driver's oracle
+gate covers them).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..tokenizer import TOKEN_RE
+from ..tokenizer import flat_tokens
 from .common import md5_hex, round6
 
 # language → stopword list for the counting heuristic; prediction is
@@ -28,27 +33,26 @@ STOPWORDS = {
 QUALITY_STOPWORDS = STOPWORDS["en"]
 
 
-def _tokens(texts: list[str]) -> list[list[str]]:
-    findall = TOKEN_RE.findall
-    return [findall((t or "").lower()) for t in texts]
+def _stop_hits(toks: pa.Array, parent: np.ndarray, n_docs: int, words: list[str]) -> np.ndarray:
+    """Per-doc count of tokens contained in ``words`` (one is_in kernel
+    + one bincount)."""
+    mask = np.asarray(
+        pc.is_in(toks, value_set=pa.array(words, pa.string())).to_numpy(zero_copy_only=False)
+    )
+    return np.bincount(parent[mask], minlength=n_docs).astype(np.int64)
 
 
 def lang_id_batch(batch: pa.Table) -> pa.Table:
     """Stopword-count language heuristic; mirrors oracle SQL exactly."""
-    texts = batch["text"].to_pylist()
-    toks = _tokens(texts)
-    sets = {lang: frozenset(words) for lang, words in STOPWORDS.items()}
-    preds, hits = [], []
-    for tl in toks:
-        counts = [sum(1 for t in tl if t in sets[lang]) for lang in LANG_ORDER]
-        best = int(np.argmax(counts))  # first max wins → LANG_ORDER priority
-        preds.append(LANG_ORDER[best])
-        hits.append(counts[best])
+    n_docs = batch.num_rows
+    toks, parent, _counts = flat_tokens(batch["text"])
+    hits = np.stack([_stop_hits(toks, parent, n_docs, STOPWORDS[lang]) for lang in LANG_ORDER])
+    best = np.argmax(hits, axis=0)  # first max wins → LANG_ORDER priority
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "pred_lang": pa.array(preds, type=pa.string()),
-            "stopword_hits": pa.array(hits, type=pa.int64()),
+            "pred_lang": pa.array([LANG_ORDER[b] for b in best], type=pa.string()),
+            "stopword_hits": pa.array(hits[best, np.arange(n_docs)], type=pa.int64()),
         }
     )
 
@@ -59,12 +63,12 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     score = 0.4*min(n_tokens/100, 1) + 0.3*(1 - stop_ratio)
           + 0.3*min(mean_token_len/8, 1), rounded via round6.
     """
-    texts = [t or "" for t in batch["text"].to_pylist()]
-    toks = _tokens(texts)
-    stop = frozenset(QUALITY_STOPWORDS)
-    n_tokens = np.array([len(t) for t in toks], dtype=np.float64)
-    n_stop = np.array([sum(1 for x in t if x in stop) for t in toks], dtype=np.float64)
-    tok_chars = np.array([sum(len(x) for x in t) for t in toks], dtype=np.float64)
+    n_docs = batch.num_rows
+    toks, parent, counts = flat_tokens(batch["text"])
+    n_tokens = counts.astype(np.float64)
+    n_stop = _stop_hits(toks, parent, n_docs, QUALITY_STOPWORDS).astype(np.float64)
+    lens = np.asarray(pc.utf8_length(toks).to_numpy(zero_copy_only=False), dtype=np.float64)
+    tok_chars = np.bincount(parent, weights=lens, minlength=n_docs)
     safe_n = np.maximum(n_tokens, 1.0)
     stop_ratio = n_stop / safe_n
     mean_len = tok_chars / safe_n
@@ -85,14 +89,21 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
-    """Token counting: whitespace-ish regex tokens + distinct terms."""
-    texts = [t or "" for t in batch["text"].to_pylist()]
-    toks = _tokens(texts)
+    """Token counting: regex tokens + distinct terms per document."""
+    n_docs = batch.num_rows
+    toks, parent, counts = flat_tokens(batch["text"])
+    n_distinct = np.zeros(n_docs, dtype=np.int64)
+    if len(toks):
+        distinct = (
+            pa.table({"d": pa.array(parent), "t": toks}).group_by(["d", "t"]).aggregate([])
+        )
+        d = np.asarray(distinct["d"].to_numpy(zero_copy_only=False))
+        n_distinct = np.bincount(d, minlength=n_docs).astype(np.int64)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "n_tokens": pa.array([len(t) for t in toks], type=pa.int64()),
-            "n_distinct": pa.array([len(set(t)) for t in toks], type=pa.int64()),
+            "n_tokens": pa.array(counts, type=pa.int64()),
+            "n_distinct": pa.array(n_distinct, type=pa.int64()),
         }
     )
 
@@ -100,19 +111,24 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
 def fingerprint_batch(batch: pa.Table, n: int = 3) -> pa.Table:
     """Document fingerprint = lexicographic min of md5(shingle) over
     word n-gram shingles (space-joined).  Docs with < n tokens use the
-    whole token sequence as one shingle."""
-    texts = [t or "" for t in batch["text"].to_pylist()]
-    toks = _tokens(texts)
-    fps = []
-    for tl in toks:
-        if len(tl) >= n:
-            shingles = (" ".join(tl[i : i + n]) for i in range(len(tl) - n + 1))
-        else:
-            shingles = (" ".join(tl),)
-        fps.append(min(md5_hex(s) for s in shingles))
+    whole token sequence as one shingle (token-less docs: md5(''))."""
+    from .common import md5_hex_batch
+    from .dedup import shingle_batch
+
+    n_docs = batch.num_rows
+    sh, dix = shingle_batch(batch["text"], n)
+    fps = np.full(n_docs, md5_hex(""), dtype=object)
+    if len(sh):
+        md5s = md5_hex_batch(sh)
+        mins = (
+            pa.table({"d": pa.array(dix), "m": md5s}).group_by("d").aggregate([("m", "min")])
+        )
+        fps[np.asarray(mins["d"].to_numpy(zero_copy_only=False))] = np.asarray(
+            mins["m_min"].to_pylist(), dtype=object
+        )
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "fingerprint": pa.array(fps, type=pa.string()),
+            "fingerprint": pa.array(fps.tolist(), type=pa.string()),
         }
     )

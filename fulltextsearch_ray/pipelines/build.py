@@ -54,7 +54,9 @@ from ..state.index import (
 from ..tokenizer import token_counts
 
 
-def compact_index(index_dir: str, *, block_cf: int = DEFAULT_BLOCK_CF) -> IndexMeta:
+def compact_index(
+    index_dir: str, *, block_cf: int = DEFAULT_BLOCK_CF, docs_driver_budget: int = 5_000_000
+) -> IndexMeta:
     """Merge ALL segments into one — the batch analog of collapsing the
     reference's per-session posting-list chains
     (``PostingListWriter.cs:114-159``) into single lists.
@@ -96,13 +98,27 @@ def compact_index(index_dir: str, *, block_cf: int = DEFAULT_BLOCK_CF) -> IndexM
     )
     merged.write_parquet(os.path.join(seg_path, "postings"), row_group_size=4096)
 
-    # docs table: concat of per-segment docs (ids are disjoint)
-    docs = pa.concat_tables(
-        pq.read_table(os.path.join(segment_dir(index_dir, s), "docs")) for s in old_segments
-    )
-    docs = docs.take(pa.array(np.argsort(docs["doc_id"].to_numpy(zero_copy_only=False))))
+    # docs table: merge of per-segment docs (ids are disjoint).  Small
+    # tables concat on the driver; past the budget the merge streams
+    # through Ray (read → sort(doc_id) → partitioned write).
+    docs_dirs = [os.path.join(segment_dir(index_dir, s), "docs") for s in old_segments]
     os.makedirs(os.path.join(seg_path, "docs"), exist_ok=True)
-    pq.write_table(docs, os.path.join(seg_path, "docs", "part-0.parquet"))
+    total_docs = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for d in docs_dirs
+        for f in pq.ParquetDataset(d).files
+    )
+    if total_docs > docs_driver_budget:
+        doc_files = [f for d in docs_dirs for f in pq.ParquetDataset(d).files]
+        (
+            ray.data.read_parquet(doc_files)
+            .sort("doc_id")
+            .write_parquet(os.path.join(seg_path, "docs"))
+        )
+    else:
+        docs = pa.concat_tables(pq.read_table(d) for d in docs_dirs)
+        docs = docs.take(pa.array(np.argsort(docs["doc_id"].to_numpy(zero_copy_only=False))))
+        pq.write_table(docs, os.path.join(seg_path, "docs", "part-0.parquet"))
 
     _write_catalog_and_manifest(index_dir, new_seg, seg_path, num_buckets=0, lineage=old_segments)
 
@@ -152,15 +168,32 @@ def _write_catalog_and_manifest(
     os.makedirs(os.path.join(seg_path, "catalog"), exist_ok=True)
     pq.write_table(catalog_tbl, os.path.join(seg_path, "catalog", "part-0.parquet"))
 
-    dl_tbl = pq.read_table(os.path.join(seg_path, "docs"), columns=["doc_id", "doc_len"])
+    docs_dir = os.path.join(seg_path, "docs")
+    n_doc_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in pq.ParquetDataset(docs_dir).files)
+    if n_doc_rows > 5_000_000:
+        import ray.data
+        from ray.data.aggregate import Max, Min, Sum
+
+        agg = ray.data.read_parquet(docs_dir, columns=["doc_id", "doc_len"]).aggregate(
+            Sum("doc_len", alias_name="tok"),
+            Min("doc_id", alias_name="mn"),
+            Max("doc_id", alias_name="mx"),
+        )
+        total_tokens = int(agg["tok"] or 0)
+        min_id, max_id = int(agg["mn"] or 0), int(agg["mx"] or 0)
+    else:
+        dl_tbl = pq.read_table(docs_dir, columns=["doc_id", "doc_len"])
+        total_tokens = int(pc.sum(dl_tbl["doc_len"]).as_py() or 0)
+        min_id = int(pc.min(dl_tbl["doc_id"]).as_py() or 0)
+        max_id = int(pc.max(dl_tbl["doc_id"]).as_py() or 0)
     manifest = SegmentManifest(
         name=segment,
-        num_docs=dl_tbl.num_rows,
+        num_docs=n_doc_rows,
         num_terms=catalog_tbl.num_rows,
         num_occurrences=int(pc.sum(catalog_tbl["cf"]).as_py() or 0),
-        total_tokens=int(pc.sum(dl_tbl["doc_len"]).as_py() or 0),
-        min_doc_id=int(pc.min(dl_tbl["doc_id"]).as_py() or 0),
-        max_doc_id=int(pc.max(dl_tbl["doc_id"]).as_py() or 0),
+        total_tokens=total_tokens,
+        min_doc_id=min_id,
+        max_doc_id=max_id,
         input_lineage=lineage,
         created_at=time.time(),
         complete=True,
@@ -212,6 +245,7 @@ def build_index(
     block_cf: int = DEFAULT_BLOCK_CF,
     batch_size: int | None = 1024,
     overwrite: bool = False,
+    docs_driver_budget: int = 5_000_000,
 ) -> IndexMeta:
     """Build (or incrementally extend) a persistent index.
 
@@ -372,15 +406,40 @@ def build_index(
             POSTINGS_SCHEMA.empty_table(),
             os.path.join(seg_path, "postings", "part-0.parquet"),
         )
-    sentinel = pq.read_table(
-        os.path.join(seg_path, "postings"),
-        columns=["docs", "tfs", "positions"],
-        filters=[("bucket", "=", -1)],
+    # metadata-sized probe first: how many docs do the sentinels carry?
+    # (reads only the tiny bucket/df columns, never the payloads)
+    probe = pq.read_table(
+        os.path.join(seg_path, "postings"), columns=["df"], filters=[("bucket", "=", -1)]
     )
-    docs_tbl = decode_docstats_rows(sentinel)
-    docs_tbl = docs_tbl.take(pa.array(np.argsort(docs_tbl["doc_id"].to_numpy(zero_copy_only=False))))
+    sentinel_docs = int(pc.sum(probe["df"]).as_py() or 0)
     os.makedirs(os.path.join(seg_path, "docs"), exist_ok=True)
-    pq.write_table(docs_tbl, os.path.join(seg_path, "docs", "part-0.parquet"))
+    if sentinel_docs > docs_driver_budget:
+        # SCALE PATH: the docs table never touches the driver — Ray
+        # filter → decode → sort(doc_id) → partitioned parquet write
+        # (multiple range-partitioned files, resumable unit = file).
+        import pyarrow.dataset as pads
+
+        (
+            ray.data.read_parquet(
+                os.path.join(seg_path, "postings"),
+                columns=["docs", "tfs", "positions"],
+                filter=pads.field("bucket") == -1,
+            )
+            .map_batches(decode_docstats_rows, batch_format="pyarrow")
+            .sort("doc_id")
+            .write_parquet(os.path.join(seg_path, "docs"))
+        )
+    else:
+        sentinel = pq.read_table(
+            os.path.join(seg_path, "postings"),
+            columns=["docs", "tfs", "positions"],
+            filters=[("bucket", "=", -1)],
+        )
+        docs_tbl = decode_docstats_rows(sentinel)
+        docs_tbl = docs_tbl.take(
+            pa.array(np.argsort(docs_tbl["doc_id"].to_numpy(zero_copy_only=False)))
+        )
+        pq.write_table(docs_tbl, os.path.join(seg_path, "docs", "part-0.parquet"))
     _mark("docs_split", t0)
 
     # --- catalog: per-term totals over blocks (metadata-sized).
@@ -431,14 +490,31 @@ def build_index(
     t0 = _t()
     # --- per-segment counters (same aggregates as the reference's
     #     IndexBuilderStatistics) + lineage manifest; computed from the
-    #     already-written small columns, no extra Ray jobs ---
-    dl_tbl = pq.read_table(os.path.join(seg_path, "docs"), columns=["doc_id", "doc_len"])
-    n_docs = dl_tbl.num_rows
-    total_tokens = int(pc.sum(dl_tbl["doc_len"]).as_py() or 0)
-    doc_stats = {
-        "min_id": int(pc.min(dl_tbl["doc_id"]).as_py() or 0),
-        "max_id": int(pc.max(dl_tbl["doc_id"]).as_py() or 0),
-    }
+    #     already-written small columns (driver Arrow below the docs
+    #     budget, a streaming Ray aggregate above it) ---
+    if sentinel_docs > docs_driver_budget:
+        from ray.data.aggregate import Count, Max, Min, Sum
+
+        agg_row = (
+            ray.data.read_parquet(os.path.join(seg_path, "docs"), columns=["doc_id", "doc_len"])
+            .aggregate(
+                Count(alias_name="n"),
+                Sum("doc_len", alias_name="tok"),
+                Min("doc_id", alias_name="mn"),
+                Max("doc_id", alias_name="mx"),
+            )
+        )
+        n_docs = int(agg_row["n"] or 0)
+        total_tokens = int(agg_row["tok"] or 0)
+        doc_stats = {"min_id": int(agg_row["mn"] or 0), "max_id": int(agg_row["mx"] or 0)}
+    else:
+        dl_tbl = pq.read_table(os.path.join(seg_path, "docs"), columns=["doc_id", "doc_len"])
+        n_docs = dl_tbl.num_rows
+        total_tokens = int(pc.sum(dl_tbl["doc_len"]).as_py() or 0)
+        doc_stats = {
+            "min_id": int(pc.min(dl_tbl["doc_id"]).as_py() or 0),
+            "max_id": int(pc.max(dl_tbl["doc_id"]).as_py() or 0),
+        }
     cat_stats = {
         "terms": catalog_tbl.num_rows,
         "occ": int(pc.sum(catalog_tbl["cf"]).as_py() or 0),

@@ -85,6 +85,32 @@ def token_counts(texts: "Iterable[str] | pa.Array | pa.ChunkedArray") -> np.ndar
 SPLIT_PATTERN = r"[^\p{L}\p{N}_\-]+"
 
 
+def flat_tokens(
+    texts: "Iterable[str] | pa.Array | pa.ChunkedArray",
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Lowercased UNtruncated tokens of a batch as parallel arrays:
+    (tokens, doc_index, per-doc counts).  Pure Arrow C++ kernels — the
+    shared flatten step of the text-analysis / dedup operators (no
+    64-char dictionary truncation, matching the SQL oracles' raw
+    ``regexp_extract_all`` tokenization)."""
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(list(texts), type=pa.string())
+    arr = pc.fill_null(arr, "")
+    lowered = pc.utf8_lower(arr)
+    parts = pc.split_pattern_regex(lowered, SPLIT_PATTERN)
+    flat = pc.list_flatten(parts)
+    parent = np.asarray(pc.list_parent_indices(parts).to_numpy(zero_copy_only=False))
+    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False))
+    toks = flat.filter(pa.array(keep))
+    parent = parent[keep]
+    counts = np.bincount(parent, minlength=len(arr)).astype(np.int64)
+    return toks, parent, counts
+
+
 def tokenize_batch(texts: "Iterable[str] | pa.Array | pa.ChunkedArray") -> TokenizedBatch:
     """Tokenize a batch of documents into parallel exploded arrays.
 
