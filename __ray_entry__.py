@@ -174,7 +174,7 @@ def _index_dir_for(sf_dir: str) -> str:
     from fulltextsearch_ray.pipelines.build import build_index
 
     # layout version busts stale caches when the index format evolves
-    tag = hashlib.md5(f"{sf_dir}:v4".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf_dir}:v5".encode()).hexdigest()[:10]
     idx = os.path.join("/tmp", "ftsray_cache", f"docs-{tag}")
     if not os.path.exists(os.path.join(idx, "meta.json")):
         import ray.data
@@ -182,7 +182,10 @@ def _index_dir_for(sf_dir: str) -> str:
         ds = ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
-        build_index(ds, idx, text_col="text", doc_id_col="doc_id", num_buckets=8, overwrite=True)
+        build_index(
+            ds, idx, text_col="text", doc_id_col="doc_id", num_buckets=8,
+            overwrite=True, store_forward=True,
+        )
     _INDEX_CACHE[sf_dir] = idx
     return idx
 
@@ -287,6 +290,25 @@ def _q_bm25(sf_dir: str):
     )
 
 
+def _q_bm25_inmem(sf_dir: str):
+    """BM25 over the IN-MEMORY index variant (reference
+    InMemoryIndex.cs) — must reproduce the persistent index's scores
+    exactly, so it shares the bm25_topk oracle."""
+    from fulltextsearch_ray.functions.common import round6
+    from fulltextsearch_ray.pipelines.memory import build_in_memory
+
+    mem = build_in_memory(_docs_ds(sf_dir), text_col="text", doc_id_col="doc_id")
+    docs, scores = mem.bm25_scores(["table", "key", "scan"])
+    scores = round6(scores)
+    order = np.lexsort((docs, -scores))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order].astype(np.int64)),
+            "score": pa.array(scores[order], pa.float64()),
+        }
+    )
+
+
 def _q_search_docs(sf_dir: str):
     t = _searcher(sf_dir).search_docs("WORD(table)")
     toks = t["token_ids"].to_pylist()
@@ -301,16 +323,16 @@ def _q_search_docs(sf_dir: str):
 
 
 def _q_highlight(sf_dir: str):
-    import ray.data
-
-    from fulltextsearch_ray.functions.highlight import annotate
+    from fulltextsearch_ray.functions.highlight import annotate_from_positions
 
     s = _searcher(sf_dir)
     hits = s.search_docs("WORD(table)")
     hit_map = {
         int(d): l for d, l in zip(hits["doc_id"].to_pylist(), hits["token_ids"].to_pylist())
     }
-    hit_ref = None
+    # forward store: char spans for ONLY the matching docs — no
+    # tokenizer run and no scan of non-matching documents
+    spans = s.get_positions_many(hit_map.keys())
 
     def hl(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -318,8 +340,9 @@ def _q_highlight(sf_dir: str):
         keep_ids, out = [], []
         for i, t in zip(ids, texts):
             if int(i) in hit_map:
+                offs, lens = spans[int(i)]
                 keep_ids.append(i)
-                out.append(annotate(t or "", hit_map[int(i)]))
+                out.append(annotate_from_positions(t or "", hit_map[int(i)], offs, lens))
         return pa.table(
             {"doc_id": pa.array(keep_ids, pa.int64()), "annotated": pa.array(out, pa.string())}
         )
@@ -509,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lookup_wild": lambda sf: _terms_table(_searcher(sf), "WILD(s*)"),
         "lookup_edit": lambda sf: _terms_table(_searcher(sf), "EDIT(scan,1)"),
         "bm25_topk": _q_bm25,
+        "bm25_inmem": _q_bm25_inmem,
         "search_doc_groups": _q_search_docs,
         "highlight": _q_highlight,
         # — training-data operators —
@@ -537,7 +561,7 @@ def oracle_sql() -> dict[str, str]:
     stop_fr = "('le','la','est','et','de','que','un','une','pour','les')"
     stop_zh = "('的','是','了','在','我','有','和','不','人','这')"
 
-    return {
+    out = {
         "postings_dump": f"""
             WITH {TOKENS_CTE}
             SELECT doc_id, term, 1::BIGINT AS field_id, token_id::BIGINT AS token_id FROM tokens
@@ -856,3 +880,6 @@ def oracle_sql() -> dict[str, str]:
             FROM cents GROUP BY window_start, event_type
         """,
     }
+    # the in-memory index must reproduce the persistent BM25 exactly
+    out["bm25_inmem"] = out["bm25_topk"]
+    return out

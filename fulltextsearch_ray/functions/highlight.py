@@ -31,6 +31,28 @@ def annotate(text: str, hit_token_ids: "list[int] | np.ndarray") -> str:
     return "".join(out)
 
 
+def annotate_from_positions(
+    text: str,
+    hit_token_ids: "list[int] | np.ndarray",
+    offsets: "list[int]",
+    lengths: "list[int]",
+) -> str:
+    """Uppercase the tokens at the given 1-based token ids using STORED
+    character spans (the forward store) — no tokenizer run.  Identical
+    output to :func:`annotate` for any index built over the same text."""
+    out = []
+    last = 0
+    for tid in sorted({int(h) for h in hit_token_ids}):
+        if tid < 1 or tid > len(offsets):
+            continue
+        off, length = offsets[tid - 1], lengths[tid - 1]
+        out.append(text[last:off])
+        out.append(text[off : off + length].upper())
+        last = off + length
+    out.append(text[last:])
+    return "".join(out)
+
+
 def annotate_matches_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Batch highlighting stage: rows (doc_id, text, token_ids:list) →
     (doc_id, annotated).  Used after joining match results back to the

@@ -246,6 +246,7 @@ def build_index(
     batch_size: int | None = 1024,
     overwrite: bool = False,
     docs_driver_budget: int = 5_000_000,
+    store_forward: bool = False,
 ) -> IndexMeta:
     """Build (or incrementally extend) a persistent index.
 
@@ -442,6 +443,45 @@ def build_index(
         pq.write_table(docs_tbl, os.path.join(seg_path, "docs", "part-0.parquet"))
     _mark("docs_split", t0)
 
+    # --- optional forward store: per-doc token char spans, so highlight
+    # at query time slices text directly instead of re-tokenizing
+    # (the reference's persisted-positions model, PersistentBuilder.cs)
+    forward_ranges: list = []
+    if store_forward:
+        t0 = _t()
+        from ..stages.forward import ForwardFileStage, forward_batch
+
+        fwd_dir = os.path.join(seg_path, "forward")
+        if ds is None:
+            from ..sources.corpus import corpus_file_items
+
+            f_items, _ = corpus_file_items(source, start_id=meta.next_doc_id)
+            fwd = f_items.map_batches(
+                ForwardFileStage,
+                fn_constructor_args=(text_col,),
+                batch_format="pyarrow",
+                batch_size=1,
+                concurrency=pool,
+            )
+        else:
+            fwd = ds.map_batches(
+                lambda b: forward_batch(b, text_col), batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+        fwd.write_parquet(fwd_dir, row_group_size=2048)
+        for f in sorted(_glob.glob(os.path.join(fwd_dir, "**", "*.parquet"), recursive=True)):
+            md = _pq.ParquetFile(f).metadata
+            dmins, dmaxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(0).statistics  # doc_id column
+                if st is not None and st.has_min_max:
+                    dmins.append(st.min)
+                    dmaxs.append(st.max)
+            if dmins:
+                forward_ranges.append([os.path.relpath(f, seg_path), min(dmins), max(dmaxs)])
+        forward_ranges.sort(key=lambda r: r[1])
+        _mark("forward", t0)
+
     # --- catalog: per-term totals over blocks (metadata-sized).
     # The block-stat columns are tiny relative to the corpus, so the
     # aggregate runs driver-side in Arrow; a Ray groupby fallback
@@ -542,6 +582,7 @@ def build_index(
         input_lineage=list(lineage or []),
         created_at=time.time(),
         complete=True,
+        forward_ranges=forward_ranges,
     )
     save_manifest(index_dir, manifest)
 

@@ -129,7 +129,8 @@ class IndexSearcher:
 
         self._postings_ds = {}
         self._seg_buckets = {}
-        self._seg_ranges: dict[str, tuple[list[str], list[str]]] = {}
+        self._seg_ranges: dict[str, tuple[list[str], list[str], list[str]]] = {}
+        self._fwd_ranges: dict[str, tuple[list[int], list[int], list[str]]] = {}
         for seg in self.segments:
             man = None
             try:
@@ -146,6 +147,12 @@ class IndexSearcher:
                 mins = [r[1] for r in man.file_ranges]
                 maxs = [r[2] for r in man.file_ranges]
                 self._seg_ranges[seg] = (mins, maxs, paths)
+            if man is not None and getattr(man, "forward_ranges", None):
+                self._fwd_ranges[seg] = (
+                    [int(r[1]) for r in man.forward_ranges],
+                    [int(r[2]) for r in man.forward_ranges],
+                    [os.path.join(segment_dir(index_dir, seg), r[0]) for r in man.forward_ranges],
+                )
             else:
                 # legacy layout fallback: full dataset with filters
                 self._postings_ds[seg] = pads.dataset(
@@ -309,6 +316,46 @@ class IndexSearcher:
         if len(self._cache_entries) > self._cache_blocks:
             self._cache_entries.popitem(last=False)
         return out
+
+    # -- forward store (positions) ------------------------------------------
+
+    @property
+    def has_forward(self) -> bool:
+        return bool(self._fwd_ranges)
+
+    def get_positions_many(self, doc_ids) -> dict[int, tuple[list[int], list[int]]]:
+        """doc_id → (token char offsets, lengths) from the forward
+        store.  Point lookups: ids are grouped by covering file (binary
+        search on the per-file doc ranges) and each file is read ONCE
+        with a doc_id filter — non-matching documents are never read,
+        and nothing is tokenized (the reference's GetPositions path,
+        ``PersistentIndex.cs:93-118``)."""
+        import bisect
+
+        if not self._fwd_ranges:
+            raise ValueError("index was built without store_forward=True")
+        wanted = sorted({int(d) for d in doc_ids})
+        by_file: dict[str, list[int]] = {}
+        for seg, (mins, maxs, paths) in self._fwd_ranges.items():
+            for d in wanted:
+                i = bisect.bisect_right(mins, d) - 1
+                if i >= 0 and maxs[i] >= d:
+                    by_file.setdefault(paths[i], []).append(d)
+        out: dict[int, tuple[list[int], list[int]]] = {}
+        for path, ids in by_file.items():
+            t = pq.read_table(path, filters=[("doc_id", "in", ids)])
+            for row in range(t.num_rows):
+                out[int(t["doc_id"][row].as_py())] = (
+                    t["offsets"][row].as_py(),
+                    t["lengths"][row].as_py(),
+                )
+        return out
+
+    def get_positions(self, doc_id: int) -> tuple[list[int], list[int]]:
+        got = self.get_positions_many([doc_id])
+        if int(doc_id) not in got:
+            raise KeyError(f"doc {doc_id} not in forward store")
+        return got[int(doc_id)]
 
     # -- query algebra ------------------------------------------------------
 

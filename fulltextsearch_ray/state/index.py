@@ -74,6 +74,9 @@ class SegmentManifest:
     # sorted disjoint [relpath, term_min, term_max] per postings file —
     # the FST-style run catalog used for single-file term lookups
     file_ranges: list = field(default_factory=list)
+    # sorted disjoint [relpath, doc_min, doc_max] per forward-store
+    # file (present when the segment was built with store_forward)
+    forward_ranges: list = field(default_factory=list)
 
 
 @dataclass
