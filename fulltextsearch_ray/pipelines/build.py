@@ -166,7 +166,7 @@ def _write_catalog_and_manifest(
         .sort_by("term")
     )
     os.makedirs(os.path.join(seg_path, "catalog"), exist_ok=True)
-    pq.write_table(catalog_tbl, os.path.join(seg_path, "catalog", "part-0.parquet"))
+    pq.write_table(catalog_tbl, os.path.join(seg_path, "catalog", "part-0.parquet"), row_group_size=65536)
 
     docs_dir = os.path.join(seg_path, "docs")
     n_doc_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in pq.ParquetDataset(docs_dir).files)
@@ -505,7 +505,7 @@ def build_index(
             .sort_by("term")
         )
         os.makedirs(os.path.join(seg_path, "catalog"), exist_ok=True)
-        pq.write_table(catalog_tbl, os.path.join(seg_path, "catalog", "part-0.parquet"))
+        pq.write_table(catalog_tbl, os.path.join(seg_path, "catalog", "part-0.parquet"), row_group_size=65536)
     except MemoryError:
         postings = ray.data.read_parquet(post_dir, columns=post_meta_cols).filter(
             expr="bucket >= 0"

@@ -73,6 +73,8 @@ class InMemorySearcher(IndexSearcher):
         )
         self.docs = docs
 
+        self._lazy_cats = None
+        self._lazy_lens = None
         self._postings_ds = {}
         self._seg_buckets = {"mem": 0}
         self._seg_ranges = {}

@@ -66,65 +66,171 @@ K1 = 1.2
 B = 0.75
 
 
-class IndexSearcher:
-    """Warm query state over a persistent index directory."""
+class LazyRowGroupTable:
+    """Row-group-paged access to a sorted parquet table (catalog or
+    docs): only the footer [key_min, key_max] per row group is held in
+    memory; row groups load on demand into a small LRU.
 
-    def __init__(self, index_dir: str, cache_blocks: int = 4096):
+    This is the multi-billion-term/doc scale path: a searcher actor's
+    resident state is O(row_groups) pointers + the LRU budget, not the
+    table.  The key column must be the FIRST column and globally
+    sorted across files (both the catalog and the docs table are
+    written that way)."""
+
+    def __init__(self, files: list[str], columns: list[str], cache_groups: int = 64):
+        self.columns = columns
+        self.runs: list[tuple] = []  # (key_min, key_max, file, rg)
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(0).statistics
+                if st is not None and st.has_min_max:
+                    self.runs.append((st.min, st.max, f, rg))
+        self.runs.sort(key=lambda r: (r[0], r[1]))
+        self._mins = [r[0] for r in self.runs]
+        self._maxs = [r[1] for r in self.runs]
+        self._cache: OrderedDict[tuple, pa.Table] = OrderedDict()
+        self._cache_groups = cache_groups
+
+    def __len__(self) -> int:
+        return len(self.runs)
+
+    def load(self, i: int) -> pa.Table:
+        _mn, _mx, f, rg = self.runs[i]
+        key = (f, rg)
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            return hit
+        t = pq.ParquetFile(f).read_row_group(rg, columns=self.columns)
+        self._cache[key] = t
+        if len(self._cache) > self._cache_groups:
+            self._cache.popitem(last=False)
+        return t
+
+    def covering(self, key) -> list[int]:
+        """Row-group indices whose [min, max] may contain ``key``."""
+        import bisect
+
+        hi = bisect.bisect_right(self._mins, key)
+        out = []
+        j = hi - 1
+        while j >= 0 and self._maxs[j] >= key:
+            out.append(j)
+            j -= 1
+        out.reverse()
+        return out
+
+    def range_indices(self, lo, hi=None) -> list[int]:
+        """Row groups intersecting [lo, hi) (hi=None → to the end)."""
+        import bisect
+
+        start = 0
+        while start < len(self.runs) and self._maxs[start] < lo:
+            start += 1
+        out = []
+        for j in range(start, len(self.runs)):
+            if hi is not None and self._mins[j] >= hi:
+                break
+            out.append(j)
+        return out
+
+
+class IndexSearcher:
+    """Warm query state over a persistent index directory.
+
+    Below ``catalog_budget_rows`` / ``doclen_budget_rows`` the term
+    catalog and doc-length table load eagerly into numpy (fastest, the
+    default at bench scale); past either budget the searcher switches
+    to row-group-paged access (:class:`LazyRowGroupTable`) so an actor
+    opens a multi-billion-term index within a fixed memory budget."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        cache_blocks: int = 4096,
+        catalog_budget_rows: int = 2_000_000,
+        doclen_budget_rows: int = 50_000_000,
+    ):
         self.index_dir = index_dir
         self.meta = load_meta(index_dir)
         self.segments = list(self.meta.segments)
-        # merged catalog across segments: term → (df, cf) totals;
-        # terms kept as ONE sorted arrow column for matcher kernels.
-        cats = []
+        cat_files: list[str] = []
+        docs_files: list[str] = []
         for seg in self.segments:
-            path = os.path.join(segment_dir(index_dir, seg), "catalog")
-            cols = ["term", "df", "cf", "max_tf"]
-            if "df_docs" in pads.dataset(path).schema.names:
-                cols.append("df_docs")
-            t = pq.read_table(path, columns=cols)
-            if "df_docs" not in t.column_names:
-                # legacy catalog (pre-n_docs): entry df is the best proxy
-                t = t.append_column("df_docs", t["df"])
-            cats.append(t)
-        if cats:
-            cat = pa.concat_tables(cats)
-            agg = cat.group_by("term").aggregate(
-                [("df", "sum"), ("cf", "sum"), ("max_tf", "max"), ("df_docs", "sum")]
-            )
-            agg = agg.sort_by("term")
-            self.terms: pa.Array = agg["term"].combine_chunks()
-            self._df = np.asarray(agg["df_sum"].to_numpy(zero_copy_only=False))
-            self._cf = np.asarray(agg["cf_sum"].to_numpy(zero_copy_only=False))
-            self._max_tf = np.asarray(agg["max_tf_max"].to_numpy(zero_copy_only=False))
-            self._df_docs = np.asarray(agg["df_docs_sum"].to_numpy(zero_copy_only=False))
-        else:
-            self.terms = pa.array([], type=pa.string())
-            self._df = np.empty(0, dtype=np.int64)
-            self._cf = np.empty(0, dtype=np.int64)
-            self._max_tf = np.empty(0, dtype=np.int64)
-            self._df_docs = np.empty(0, dtype=np.int64)
-        # numpy view of the sorted term column: O(log vocab) exact-term
-        # binary search instead of O(vocab) pc.index scans per query term
-        self._terms_np = np.asarray(self.terms.to_pylist(), dtype=object)
-        # doc lengths for BM25 (doc_id-indexed lookup arrays)
-        dl = []
-        for seg in self.segments:
-            dl.append(
-                pq.read_table(
-                    os.path.join(segment_dir(index_dir, seg), "docs"),
-                    columns=["doc_id", "doc_len"],
+            d = os.path.join(segment_dir(index_dir, seg), "catalog")
+            cat_files.extend(pq.ParquetDataset(d).files)
+            d = os.path.join(segment_dir(index_dir, seg), "docs")
+            docs_files.extend(pq.ParquetDataset(d).files)
+        cat_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in cat_files)
+        doc_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in docs_files)
+
+        self._lazy_cats: "list[LazyRowGroupTable] | None" = None
+        self._lazy_lens: "LazyRowGroupTable | None" = None
+        if cat_rows <= catalog_budget_rows:
+            # merged catalog across segments: term → (df, cf) totals;
+            # terms kept as ONE sorted arrow column for matcher kernels.
+            cats = []
+            for seg in self.segments:
+                path = os.path.join(segment_dir(index_dir, seg), "catalog")
+                cols = ["term", "df", "cf", "max_tf"]
+                if "df_docs" in pads.dataset(path).schema.names:
+                    cols.append("df_docs")
+                t = pq.read_table(path, columns=cols)
+                if "df_docs" not in t.column_names:
+                    # legacy catalog (pre-n_docs): entry df is the proxy
+                    t = t.append_column("df_docs", t["df"])
+                cats.append(t)
+            if cats:
+                cat = pa.concat_tables(cats)
+                agg = cat.group_by("term").aggregate(
+                    [("df", "sum"), ("cf", "sum"), ("max_tf", "max"), ("df_docs", "sum")]
                 )
-            )
-        if dl:
-            dl_t = pa.concat_tables(dl)
-            self._dl_docs = np.asarray(dl_t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-            self._dl_lens = np.asarray(dl_t["doc_len"].to_numpy(zero_copy_only=False), dtype=np.float64)
-            o = np.argsort(self._dl_docs, kind="stable")
-            self._dl_docs = self._dl_docs[o]
-            self._dl_lens = self._dl_lens[o]
+                agg = agg.sort_by("term")
+                self.terms: pa.Array = agg["term"].combine_chunks()
+                self._df = np.asarray(agg["df_sum"].to_numpy(zero_copy_only=False))
+                self._cf = np.asarray(agg["cf_sum"].to_numpy(zero_copy_only=False))
+                self._max_tf = np.asarray(agg["max_tf_max"].to_numpy(zero_copy_only=False))
+                self._df_docs = np.asarray(agg["df_docs_sum"].to_numpy(zero_copy_only=False))
+            else:
+                self.terms = pa.array([], type=pa.string())
+                self._df = np.empty(0, dtype=np.int64)
+                self._cf = np.empty(0, dtype=np.int64)
+                self._max_tf = np.empty(0, dtype=np.int64)
+                self._df_docs = np.empty(0, dtype=np.int64)
+            # numpy view of the sorted term column: O(log vocab) binary
+            # search instead of O(vocab) pc.index scans per query term
+            self._terms_np = np.asarray(self.terms.to_pylist(), dtype=object)
         else:
-            self._dl_docs = np.empty(0, dtype=np.uint64)
-            self._dl_lens = np.empty(0, dtype=np.float64)
+            # one paged catalog PER SEGMENT (each is term-sorted; totals
+            # sum across segments at lookup time)
+            self.terms = None
+            self._terms_np = None
+            self._lazy_cats = []
+            for seg in self.segments:
+                d = os.path.join(segment_dir(index_dir, seg), "catalog")
+                files = pq.ParquetDataset(d).files
+                has_dd = "df_docs" in pads.dataset(d).schema.names
+                cols = ["term", "df", "cf", "max_tf"] + (["df_docs"] if has_dd else [])
+                self._lazy_cats.append(LazyRowGroupTable(files, cols))
+
+        # doc lengths for BM25 (doc_id-indexed lookup arrays)
+        if doc_rows <= doclen_budget_rows:
+            dl = [pq.read_table(f, columns=["doc_id", "doc_len"]) for f in docs_files]
+            if dl:
+                dl_t = pa.concat_tables(dl)
+                self._dl_docs = np.asarray(dl_t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+                self._dl_lens = np.asarray(dl_t["doc_len"].to_numpy(zero_copy_only=False), dtype=np.float64)
+                o = np.argsort(self._dl_docs, kind="stable")
+                self._dl_docs = self._dl_docs[o]
+                self._dl_lens = self._dl_lens[o]
+            else:
+                self._dl_docs = np.empty(0, dtype=np.uint64)
+                self._dl_lens = np.empty(0, dtype=np.float64)
+        else:
+            self._dl_docs = None
+            self._dl_lens = None
+            self._lazy_lens = LazyRowGroupTable(docs_files, ["doc_id", "doc_len"])
         from ..state.index import load_manifest
 
         self._postings_ds = {}
@@ -173,21 +279,81 @@ class IndexSearcher:
         return self.meta.avgdl
 
     def _term_index(self, term: str) -> int:
-        """Binary search on the sorted merged term column; -1 if absent."""
+        """Binary search on the sorted merged term column; -1 if absent.
+        Eager mode only (lazy mode uses :meth:`_term_row`)."""
         i = int(np.searchsorted(self._terms_np, term))
         if i < len(self._terms_np) and self._terms_np[i] == term:
             return i
         return -1
 
+    def _term_row(self, term: str) -> "tuple[int, int, int, int] | None":
+        """(df_docs, cf, max_tf, df) for a term summed across segments,
+        or None if absent — served from the eager arrays or the paged
+        catalog row groups."""
+        if self._lazy_cats is None:
+            i = self._term_index(term)
+            if i < 0:
+                return None
+            return int(self._df_docs[i]), int(self._cf[i]), int(self._max_tf[i]), int(self._df[i])
+        dfd = cf = mtf = df = 0
+        found = False
+        for cat in self._lazy_cats:
+            for gi in cat.covering(term):
+                t = cat.load(gi)
+                terms = t["term"].to_pylist()
+                import bisect
+
+                j = bisect.bisect_left(terms, term)
+                if j < len(terms) and terms[j] == term:
+                    found = True
+                    df += int(t["df"][j].as_py())
+                    cf += int(t["cf"][j].as_py())
+                    mtf = max(mtf, int(t["max_tf"][j].as_py()))
+                    dfd += int(
+                        t["df_docs"][j].as_py() if "df_docs" in t.column_names else t["df"][j].as_py()
+                    )
+        return (dfd, cf, mtf, df) if found else None
+
     def term_stats(self, term: str) -> tuple[int, int]:
         """(df, cf) for a term, summed across segments; (0, 0) if absent.
         df is the unique-document frequency (catalog ``df_docs``)."""
-        i = self._term_index(term)
-        if i < 0:
+        row = self._term_row(term)
+        if row is None:
             return (0, 0)
-        return int(self._df_docs[i]), int(self._cf[i])
+        return row[0], row[1]
 
     # -- dictionary ---------------------------------------------------------
+
+    def _expand(self, ast: "TermQueryAst") -> list[str]:
+        """Pattern expansion over the dictionary — the eager sorted
+        column, or (lazy mode) only the catalog row groups the pattern
+        can touch: WORD → covering group, WILD → prefix range of
+        groups, EDIT → paged full scan (inherent to edit distance)."""
+        if self._lazy_cats is None:
+            return expand_pattern(ast, self.terms, self._terms_np)
+        from ..matchers import wildcard_prefix
+
+        if isinstance(ast, WordQuery):
+            return [ast.value] if self._term_row(ast.value) is not None else []
+        out: set[str] = set()
+        if isinstance(ast, WildQuery):
+            prefix = wildcard_prefix(ast.value)
+            hi_key = (
+                prefix[:-1] + chr(ord(prefix[-1]) + 1)
+                if prefix and prefix[-1] != "\U0010ffff"
+                else None
+            )
+            for cat in self._lazy_cats:
+                idxs = cat.range_indices(prefix, hi_key) if prefix else range(len(cat))
+                for gi in idxs:
+                    t = cat.load(gi)
+                    out.update(expand_pattern(ast, t["term"].combine_chunks()))
+        else:  # EDIT: length-banded scan, one row group at a time
+            for cat in self._lazy_cats:
+                for gi in range(len(cat)):
+                    t = cat.load(gi)
+                    out.update(expand_pattern(ast, t["term"].combine_chunks()))
+        return sorted(out)
 
     def lookup(self, pattern: str) -> list[str]:
         """Pattern → matching terms in sorted order (the `lookup` verb,
@@ -195,7 +361,7 @@ class IndexSearcher:
         ast = parse_query(pattern)
         if not isinstance(ast, TermQueryAst):
             raise ValueError("lookup expects WORD/WILD/EDIT pattern")
-        return expand_pattern(ast, self.terms, self._terms_np)
+        return self._expand(ast)
 
     # -- posting fetch ------------------------------------------------------
 
@@ -365,7 +531,7 @@ class IndexSearcher:
 
     def _eval(self, ast: AstQuery) -> Matches:
         if isinstance(ast, TermQueryAst):
-            terms = expand_pattern(ast, self.terms, self._terms_np)
+            terms = self._expand(ast)
             occ = or_merge([self.get_postings(t) for t in terms])
             return Matches(occ.docs, occ.fields, occ.tokens, 1)
         if isinstance(ast, FunctionQuery):
@@ -466,9 +632,32 @@ class IndexSearcher:
     # -- BM25 ---------------------------------------------------------------
 
     def _doc_lens(self, doc_ids: np.ndarray) -> np.ndarray:
-        idx = np.searchsorted(self._dl_docs, doc_ids)
-        idx = np.minimum(idx, max(len(self._dl_docs) - 1, 0))
-        return self._dl_lens[idx]
+        """Per-doc lengths for (sorted) doc ids — eager arrays or paged
+        docs-table row groups (each covering group loads once, LRU)."""
+        if self._lazy_lens is None:
+            idx = np.searchsorted(self._dl_docs, doc_ids)
+            idx = np.minimum(idx, max(len(self._dl_docs) - 1, 0))
+            return self._dl_lens[idx]
+        out = np.zeros(len(doc_ids), dtype=np.float64)
+        lens = self._lazy_lens
+        # sorted input → contiguous id slices per covering row group
+        lo = 0
+        while lo < len(doc_ids):
+            groups = lens.covering(int(doc_ids[lo]))
+            if not groups:
+                lo += 1
+                continue
+            gi = groups[-1]
+            g_max = lens.runs[gi][1]
+            hi = int(np.searchsorted(doc_ids, g_max, side="right"))
+            t = lens.load(gi)
+            g_docs = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+            g_lens = np.asarray(t["doc_len"].to_numpy(zero_copy_only=False), dtype=np.float64)
+            idx = np.searchsorted(g_docs, doc_ids[lo:hi])
+            idx = np.minimum(idx, max(len(g_docs) - 1, 0))
+            out[lo:hi] = g_lens[idx]
+            lo = hi
+        return out
 
     def bm25_scores(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, scores) for OR-mode BM25 over the given terms.
@@ -509,13 +698,12 @@ class IndexSearcher:
         """MaxScore upper bound of one term's per-doc contribution:
         idf × bound(max_tf) with the dl→0 denominator bound — uses only
         catalog metadata (df_docs, max_tf), no posting decode."""
-        i = self._term_index(term)
-        if i < 0:
+        row = self._term_row(term)
+        if row is None:
             return 0.0
-        df = float(self._df_docs[i])
+        df, mtf = float(row[0]), float(row[2])
         N = float(self.num_docs)
         idf = float(np.log((N - df + 0.5) / (df + 0.5) + 1.0))
-        mtf = float(self._max_tf[i]) if self._max_tf is not None else 1e9
         return idf * (mtf * (K1 + 1.0)) / (mtf + K1 * (1.0 - B))
 
     def bm25_topk_pruned(self, terms: list[str], k: int = 10) -> pa.Table:

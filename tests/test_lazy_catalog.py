@@ -1,0 +1,64 @@
+"""Lazy (row-group-paged) catalog + doc-length mode: forcing the
+budgets to 0 must leave every query result identical to the eager
+searcher while holding no full-catalog arrays in memory."""
+
+import numpy as np
+import pytest
+
+from fulltextsearch_ray.pipelines.build import build_index
+from fulltextsearch_ray.pipelines.query import IndexSearcher
+from fulltextsearch_ray.sources.corpus import write_synth_corpus
+
+
+@pytest.fixture(scope="module")
+def pair(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("lazycorpus"))
+    write_synth_corpus(d, 250, rows_per_file=50)
+    idx = str(tmp_path_factory.mktemp("lazyidx"))
+    build_index(d, idx, text_col="content", num_buckets=4, overwrite=True)
+    eager = IndexSearcher(idx)
+    lazy = IndexSearcher(idx, catalog_budget_rows=0, doclen_budget_rows=0)
+    return eager, lazy
+
+
+def test_lazy_holds_no_full_arrays(pair):
+    _eager, lazy = pair
+    assert lazy.terms is None and lazy._terms_np is None
+    assert lazy._dl_docs is None
+    assert lazy._lazy_cats is not None and lazy._lazy_lens is not None
+
+
+def test_lazy_term_stats_match(pair):
+    eager, lazy = pair
+    terms = eager._terms_np[:: max(len(eager._terms_np) // 50, 1)].tolist() + ["absent_zz"]
+    for t in terms:
+        assert lazy.term_stats(t) == eager.term_stats(t), t
+        assert lazy._term_upper_bound(t) == eager._term_upper_bound(t), t
+
+
+def test_lazy_search_results_match(pair):
+    eager, lazy = pair
+    for q in [
+        "WORD(index0)", "WILD(cach*)", "WILD(*0)", "EDIT(cache1,1)",
+        "OR(WORD(def),WORD(class))", "SEQ(WORD(def),WORD(class))",
+        "AND(WORD(index0),WORD(def))",
+    ]:
+        assert lazy.search_to_string(q) == eager.search_to_string(q), q
+    assert lazy.lookup("WILD(ind*)") == eager.lookup("WILD(ind*)")
+    assert lazy.lookup("EDIT(merge1,1)") == eager.lookup("EDIT(merge1,1)")
+
+
+def test_lazy_bm25_matches(pair):
+    eager, lazy = pair
+    for q in ["index builder", "def class return", "posting merge block"]:
+        assert lazy.bm25_topk(q, k=10).equals(eager.bm25_topk(q, k=10)), q
+        terms = q.split()
+        assert lazy.bm25_topk_pruned(terms, k=10).equals(
+            eager.bm25_topk_pruned(terms, k=10)
+        ), q
+
+
+def test_lazy_doc_lens_match(pair):
+    eager, lazy = pair
+    ids = eager._dl_docs[:: max(len(eager._dl_docs) // 40, 1)]
+    np.testing.assert_array_equal(lazy._doc_lens(ids), eager._doc_lens(ids))
