@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
     p_print = sub.add_parser("print", help="dump all postings in sorted term order")
     p_print.add_argument("--index", required=True)
 
+    p_meta = sub.add_parser("metadata", help="fetch a document's stored metadata (JSON)")
+    p_meta.add_argument("--index", required=True)
+    p_meta.add_argument("--doc", type=int, required=True)
+
     p_bench = sub.add_parser(
         "benchmark", help="posting-codec micro-bench (reference protocol: N occurrences (1,1,1000+i))"
     )
@@ -81,7 +85,7 @@ def main(argv: list[str] | None = None) -> int:
               f"decode={td * 1000:.2f}ms  probes={probes}")
         deltas = np.diff(np.r_[np.uint64(0), t])
         for name, codec in POSTING_CODECS.items():
-            src = deltas.astype(np.uint32) if name == "groupvarint" else deltas
+            src = deltas.astype(np.uint32) if name in ("groupvarint", "binary") else deltas
             e0 = time.perf_counter()
             buf = codec.encode(src)
             e = time.perf_counter() - e0
@@ -130,7 +134,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     s = IndexSearcher(args.index)
-    if args.verb == "search":
+    if args.verb == "metadata":
+        import json
+
+        print(json.dumps(s.get_metadata(args.doc), default=str, sort_keys=True))
+    elif args.verb == "search":
         out = s.search_to_string(args.query)
         print(out)
         n = out.count("{")

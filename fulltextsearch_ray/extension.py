@@ -89,10 +89,47 @@ class PackedIntCodec:
         return out
 
 
+class BinaryCodec(GroupVarIntCodec):
+    """The reference's C2 ``Binary`` codec: group-varint of the RAW
+    values, no delta step (``PostingListBinaryWriter.cs`` — behavior
+    observed; no code copied).  Distinct from ``binarycompressed``
+    purely by the absence of deltas."""
+
+    name = "binary"
+
+
+class BinaryCompressedCodec:
+    """The reference's C3 ``BinaryCompressed`` codec as a registry
+    entry: delta encode (first value absolute) then group-varint —
+    the full wire recipe, not just the group-varint kernel."""
+
+    name = "binarycompressed"
+
+    def encode(self, values: np.ndarray) -> bytes:
+        from .codecs import delta_encode
+        from .groupvarint import group_varint_encode
+
+        n = len(values)
+        deltas = delta_encode(np.asarray(values, dtype=np.uint64))
+        return n.to_bytes(4, "little") + group_varint_encode(deltas)
+
+    def decode(self, buf: bytes, count: int | None = None) -> np.ndarray:
+        from .codecs import delta_decode
+        from .groupvarint import group_varint_decode
+
+        n = int.from_bytes(buf[:4], "little")
+        out = delta_decode(group_varint_decode(buf[4:], n).astype(np.uint64))
+        if count is not None:
+            assert len(out) == count
+        return out
+
+
 POSTING_CODECS: dict[str, PostingCodec] = {
     "varint": VarIntCodec(),
     "groupvarint": GroupVarIntCodec(),
     "packedint": PackedIntCodec(),
+    "binary": BinaryCodec(),
+    "binarycompressed": BinaryCompressedCodec(),
 }
 
 

@@ -523,6 +523,36 @@ class IndexSearcher:
             raise KeyError(f"doc {doc_id} not in forward store")
         return got[int(doc_id)]
 
+    # -- per-doc metadata (reference IMetadataStorage / metadata verb) ------
+
+    def get_metadata_many(self, doc_ids) -> dict[int, dict]:
+        """doc_id → metadata dict (every stored doc column beyond the
+        core doc_len/sha256) — the reference's fetch-metadata-by-doc-id
+        surface (``IMetadataStorage.cs:3-8``, ``Program.cs:332-341``).
+        Point lookups with a doc_id filter; prefers the richer
+        ``docs_meta`` table (written when the index was built with
+        ``meta_cols``), falling back to extra columns in ``docs``."""
+        wanted = sorted({int(d) for d in doc_ids})
+        out: dict[int, dict] = {}
+        core = {"doc_id", "doc_len", "sha256"}
+        for seg in self.segments:
+            base = segment_dir(self.index_dir, seg)
+            d = os.path.join(base, "docs_meta")
+            if not os.path.isdir(d):
+                d = os.path.join(base, "docs")
+            t = pq.read_table(d, filters=[("doc_id", "in", wanted)])
+            meta_cols = [c for c in t.column_names if c not in core]
+            ids = t["doc_id"].to_pylist()
+            for j, did in enumerate(ids):
+                out[int(did)] = {c: t[c][j].as_py() for c in meta_cols}
+        return out
+
+    def get_metadata(self, doc_id: int) -> dict:
+        got = self.get_metadata_many([doc_id])
+        if int(doc_id) not in got:
+            raise KeyError(f"doc {doc_id} not in index")
+        return got[int(doc_id)]
+
     # -- query algebra ------------------------------------------------------
 
     def evaluate(self, query: str | AstQuery) -> Matches:
@@ -841,31 +871,34 @@ def dump_postings_dataset(index_dir: str) -> "ray.data.Dataset":
         # drop fused doc-stats sentinel rows (term starts with '\x00')
         keep = pc.invert(pc.starts_with(batch["term"], "\x00"))
         batch = batch.filter(keep)
-        terms_out, d_out, f_out, t_out = [], [], [], []
-        for i in range(batch.num_rows):
-            d, f, tok, *_ = decode_posting_block(
-                batch["docs"][i].as_py(), batch["fields"][i].as_py(),
-                batch["tfs"][i].as_py(), batch["positions"][i].as_py(),
-            )
-            terms_out.append(np.full(len(d), batch["term"][i].as_py(), dtype=object))
-            d_out.append(d)
-            f_out.append(f)
-            t_out.append(tok)
-        if not d_out:
+        if not batch.num_rows:
             return pa.table(
                 {"term": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64()),
                  "field_id": pa.array([], pa.int64()), "token_id": pa.array([], pa.int64())}
             )
+        # ALL blocks of the batch decode in the two global varint
+        # passes of the concat decoder — no per-block Python loop
+        from ..codecs import decode_posting_columns
+
+        *_, od, of, ot = decode_posting_columns(
+            batch["docs"].to_pylist(), batch["fields"].to_pylist(),
+            batch["tfs"].to_pylist(), batch["positions"].to_pylist(),
+            np.asarray(batch["df"].to_numpy(zero_copy_only=False)),
+        )
+        cf = np.asarray(batch["cf"].to_numpy(zero_copy_only=False))
+        terms = np.repeat(np.asarray(batch["term"].to_pylist(), dtype=object), cf)
         return pa.table(
             {
-                "term": pa.array(np.concatenate(terms_out), pa.string()),
-                "doc_id": pa.array(np.concatenate(d_out).astype(np.int64)),
-                "field_id": pa.array(np.concatenate(f_out).astype(np.int64)),
-                "token_id": pa.array(np.concatenate(t_out).astype(np.int64)),
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(od.astype(np.int64)),
+                "field_id": pa.array(of.astype(np.int64)),
+                "token_id": pa.array(ot.astype(np.int64)),
             }
         )
 
-    ds = ray.data.read_parquet(paths, columns=["term", "docs", "fields", "tfs", "positions"])
+    ds = ray.data.read_parquet(
+        paths, columns=["term", "df", "cf", "docs", "fields", "tfs", "positions"]
+    )
     return ds.map_batches(decode_rows, batch_format="pyarrow")
 
 

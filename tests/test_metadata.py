@@ -1,0 +1,52 @@
+"""Per-doc metadata surface (reference IMetadataStorage / metadata
+verb): meta_cols persisted at build time come back by doc id."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from fulltextsearch_ray.pipelines.build import build_index
+from fulltextsearch_ray.pipelines.query import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def meta_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["apple banana", "banana cherry", "cherry date"], pa.string()),
+            "lang": pa.array(["en", "de", "fr"], pa.string()),
+            "payload": pa.array(
+                [json.dumps({"k": i, "tag": f"t{i}"}) for i in range(1, 4)], pa.string()
+            ),
+        }
+    )
+    idx = str(tmp_path_factory.mktemp("metaidx"))
+    build_index(
+        ray.data.from_arrow(tbl), idx, text_col="text", doc_id_col="doc_id",
+        meta_cols=("lang", "payload"), num_buckets=2, overwrite=True,
+    )
+    return idx
+
+
+def test_metadata_roundtrip(meta_index):
+    s = IndexSearcher(meta_index)
+    got = s.get_metadata(2)
+    assert got["lang"] == "de"
+    assert json.loads(got["payload"]) == {"k": 2, "tag": "t2"}
+    many = s.get_metadata_many([1, 3])
+    assert set(many) == {1, 3}
+    assert many[3]["lang"] == "fr"
+    with pytest.raises(KeyError):
+        s.get_metadata(99)
+
+
+def test_metadata_cli(meta_index, capsys):
+    from fulltextsearch_ray.cli import main
+
+    assert main(["metadata", "--index", meta_index, "--doc", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["lang"] == "en"

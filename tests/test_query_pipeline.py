@@ -77,7 +77,22 @@ def test_search_docs_phrase_width(small_index):
 
 
 def test_codec_registry():
+    # non-decreasing so the delta codec (binarycompressed) round-trips
     v = np.array([1, 5, 1000, 2**20], dtype=np.uint64)
     for name, codec in POSTING_CODECS.items():
-        out = codec.decode(codec.encode(v.astype(np.uint32) if name == "groupvarint" else v))
+        x = v.astype(np.uint32) if name in ("groupvarint", "binary") else v
+        out = codec.decode(codec.encode(x))
         assert list(out[: len(v)]) == v.tolist(), name
+
+
+def test_binary_vs_binarycompressed_distinct():
+    """C2 (raw group-varint) and C3 (delta + group-varint) are distinct
+    codecs: same logical values, different wire bytes, both exact."""
+    v = np.array([100, 200, 300, 1_000_000], dtype=np.uint64)
+    b2 = POSTING_CODECS["binary"].encode(v.astype(np.uint32))
+    b3 = POSTING_CODECS["binarycompressed"].encode(v)
+    assert b2 != b3
+    assert list(POSTING_CODECS["binary"].decode(b2, 4)) == v.tolist()
+    assert list(POSTING_CODECS["binarycompressed"].decode(b3, 4)) == v.tolist()
+    # deltas compress the increasing run strictly better here
+    assert len(b3) < len(b2)
