@@ -40,28 +40,44 @@ def md5_u64_batch(strings) -> np.ndarray:
     ``('0x' || substr(md5(s), 1, 16))::UBIGINT``.  The connection is
     created once per worker process (map_batches actor or task).
     """
-    global _DUCK
     import pyarrow as pa
 
-    if _DUCK is None:
-        import duckdb
-
-        _DUCK = duckdb.connect()
     tbl = pa.table({"s": strings})
-    out = _DUCK.execute(
+    out = _duck().execute(
         "SELECT ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM tbl"
     ).arrow()
     return np.asarray(out["h"].to_numpy(zero_copy_only=False), dtype=np.uint64)
 
 
-def md5_hex_batch(strings) -> "pa.Array":
-    """Vectorized md5 hex digest over an Arrow string array (DuckDB)."""
+def _duck():
+    """Per-process DuckDB connection pinned to ONE thread — stage
+    parallelism comes from Ray tasks; an all-cores DuckDB pool inside
+    every worker would oversubscribe the box."""
     global _DUCK
-    import pyarrow as pa
-
     if _DUCK is None:
         import duckdb
 
         _DUCK = duckdb.connect()
+        _DUCK.execute("SET threads TO 1")
+    return _DUCK
+
+
+def default_partitions(scale: int = 2, cap: int = 64) -> int:
+    """Hash-partition count for partitioned group stages: tracks the
+    cluster CPU count (× scale, capped).  At real cluster scale pass an
+    explicit count sized so one partition fits a task's memory."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus * scale))
+
+
+def md5_hex_batch(strings) -> "pa.Array":
+    """Vectorized md5 hex digest over an Arrow string array (DuckDB)."""
+    import pyarrow as pa
+
     tbl = pa.table({"s": strings})
-    return _DUCK.execute("SELECT md5(s) AS h FROM tbl").arrow()["h"].combine_chunks()
+    return _duck().execute("SELECT md5(s) AS h FROM tbl").arrow()["h"].combine_chunks()

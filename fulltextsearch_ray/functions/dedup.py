@@ -173,14 +173,18 @@ class MinHashStage:
         present = np.zeros(n_docs, dtype=bool)
         if len(sh):
             h = md5_u64_batch(sh) % _MERSENNE31
-            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE31
             change = np.empty(len(sh_doc), dtype=bool)
             change[0] = True
             np.not_equal(sh_doc[1:], sh_doc[:-1], out=change[1:])
             starts = np.flatnonzero(change)
-            mins = np.minimum.reduceat(vals, starts, axis=1)
-            sig[:, sh_doc[starts]] = mins
-            present[sh_doc[starts]] = True
+            docs_present = sh_doc[starts]
+            # one streaming pass per permutation (an S-element vector
+            # stays cache/stream friendly; a (num_perm × S) grid would
+            # be num_perm full passes over a huge intermediate)
+            for p in range(self.num_perm):
+                vals = (self.a[p] * h + self.b[p]) % _MERSENNE31
+                sig[p, docs_present] = np.minimum.reduceat(vals, starts)
+            present[docs_present] = True
         return sig, present
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -189,19 +193,24 @@ class MinHashStage:
         sig_bytes = {int(d): sig[:, d].astype(">u8").tobytes() for d in docs}
         doc_ids = batch["doc_id"].to_pylist()
         r = self.rows_per_band
-        out_ids, out_band, out_bucket, out_sig = [], [], [], []
+        out_ids, out_band, out_pattern, out_sig = [], [], [], []
         for band in range(self.bands):
             chunk = sig[band * r : (band + 1) * r]
             for d in docs:
                 out_ids.append(doc_ids[d])
                 out_band.append(band)
-                out_bucket.append(f"{band}:" + "-".join(map(str, chunk[:, d].tolist())))
+                out_pattern.append(f"{band}:" + "-".join(map(str, chunk[:, d].tolist())))
                 out_sig.append(sig_bytes[int(d)])
+        # bucket id = md5_u64 of the band signature string (ONE DuckDB
+        # pass) — a fixed-width shuffle key instead of a long string;
+        # 64-bit collisions are vanishingly rare and harmless (the
+        # signature-agreement verify still gates every pair).
+        bucket = md5_u64_batch(pa.array(out_pattern, pa.string())) if out_pattern else np.empty(0, np.uint64)
         return pa.table(
             {
                 "doc_id": pa.array(out_ids, type=pa.int64()),
                 "band": pa.array(out_band, type=pa.int32()),
-                "bucket": pa.array(out_bucket, type=pa.string()),
+                "bucket": pa.array(bucket, type=pa.uint64()),
                 "sig": pa.array(out_sig, type=pa.binary()),
             }
         )
@@ -216,55 +225,80 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     text_col: str = "text",
     max_bucket: int = 256,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
     Pipeline: signature map_batches → band-bucket explode →
-    groupby(bucket) capped pair emit (vectorized signature-agreement
-    verify ≥ threshold) → pair dedup across bands via groupby(pair).
+    HASH-PARTITIONED capped pair emit (rows shuffle by
+    ``bucket % num_partitions``, so the groupby schedules only
+    ``num_partitions`` tasks — never one task per bucket — and each
+    task does vectorized per-bucket grouping) → pair dedup across
+    bands via groupby(pair).
 
     Buckets larger than ``max_bucket`` are SKIPPED (logged, not
     silently): one degenerate bucket (empty docs, boilerplate) would
     otherwise emit O(g²) pairs — the cap bounds worst-case work per
     group at scale.
     """
+    from .common import default_partitions
+
+    P = num_partitions or default_partitions()
     stage = MinHashStage(num_perm=num_perm, bands=bands, n=n, text_col=text_col)
     exploded = ds.map_batches(stage, batch_format="pyarrow")
 
-    empty = pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-         "est_jaccard": pa.array([], pa.float64())}
-    )
+    def tag(b: pa.Table) -> pa.Table:
+        bk = np.asarray(b["bucket"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        return b.append_column("_part", pa.array((bk % np.uint64(P)).astype(np.int64)))
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        g = group.num_rows
-        if g < 2:
-            return empty
-        if g > max_bucket:
-            print(
-                f"minhash_lsh: skipping bucket of {g} docs (> cap {max_bucket}); "
-                f"bucket={group['bucket'][0].as_py()!r}"
-            )
-            return empty
+    def part_pairs(group: pa.Table) -> pa.Table:
+        """All rows of one hash partition: sort by bucket, emit verified
+        pairs for every bucket run of size 2..max_bucket."""
+        bk = np.asarray(group["bucket"].to_numpy(zero_copy_only=False), dtype=np.uint64)
         ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        sigs = np.stack(
-            [np.frombuffer(s, dtype=">u8") for s in group["sig"].to_pylist()]
-        ).astype(np.uint64)[order]
-        agree = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        iu, ju = np.triu_indices(g, k=1)
-        est = agree[iu, ju]
-        keep = est >= threshold
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        sigs_raw = group["sig"].to_pylist()
+        n_rows = len(bk)
+        change = np.empty(n_rows, dtype=bool)
+        if n_rows:
+            change[0] = True
+            np.not_equal(bk[1:], bk[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.r_[starts, n_rows])
+        out_a, out_b, out_e = [], [], []
+        for s, g in zip(starts, counts):
+            if g < 2:
+                continue
+            if g > max_bucket:
+                print(
+                    f"minhash_lsh: skipping bucket of {g} docs (> cap {max_bucket}); "
+                    f"bucket={int(bk[s])}"
+                )
+                continue
+            rows = order[s : s + g]
+            sigs = np.stack([np.frombuffer(sigs_raw[r], dtype=">u8") for r in rows]).astype(np.uint64)
+            agree = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+            iu, ju = np.triu_indices(int(g), k=1)
+            est = agree[iu, ju]
+            keep = est >= threshold
+            gi = ids[s : s + g]
+            out_a.extend(gi[iu[keep]].tolist())
+            out_b.extend(gi[ju[keep]].tolist())
+            out_e.extend(est[keep].tolist())
         return pa.table(
             {
-                "a": pa.array(ids[iu[keep]], pa.int64()),
-                "b": pa.array(ids[ju[keep]], pa.int64()),
-                "est_jaccard": pa.array(round6(est[keep]), pa.float64()),
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "est_jaccard": pa.array(round6(np.asarray(out_e, dtype=np.float64)) if out_e else [], pa.float64()),
             }
         )
 
-    pairs = exploded.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
+    pairs = (
+        exploded.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(part_pairs, batch_format="pyarrow")
+    )
     from ray.data.aggregate import Max
 
     return pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
@@ -331,29 +365,39 @@ def _cogroup_attach(
     key_col: str,
     out_name: str,
     payload_cols: list[str],
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed equi-join ``pairs[key_col] == sizes.doc_id`` that
-    attaches ``sizes.n_shingles`` as ``out_name`` — expressed as a
-    co-group (tagged union + groupby(key)) so both sides stay
-    distributed.  All columns are int64."""
+    attaches ``sizes.n_shingles`` as ``out_name`` — a tagged union
+    HASH-PARTITIONED on the key (``key % P`` → groupby over P
+    partition ids only), joined inside each partition task with one
+    vectorized searchsorted.  Both sides stay distributed; no per-key
+    task scheduling.  All columns are int64."""
+    from .common import default_partitions
+
+    P = num_partitions or default_partitions()
 
     def tag_pairs(b: pa.Table) -> pa.Table:
         if not b.num_columns or not b.num_rows:
             cols = {c: pa.array([], pa.int64()) for c in payload_cols}
+            cols["_key"] = pa.array([], pa.int64())
+            cols["_sz"] = pa.array([], pa.int64())
         else:
             cols = {c: b[c] for c in payload_cols}
-        cols["_key"] = cols[key_col] if b.num_rows else pa.array([], pa.int64())
-        cols["_sz"] = (
-            pa.nulls(b.num_rows, pa.int64()) if b.num_rows else pa.array([], pa.int64())
-        )
-        return pa.table(cols)
+            cols["_key"] = b[key_col]
+            cols["_sz"] = pa.nulls(b.num_rows, pa.int64())
+        t = pa.table(cols)
+        k = np.asarray(t["_key"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return t.append_column("_part", pa.array(k % P))
 
     def tag_sizes(b: pa.Table) -> pa.Table:
         n = b.num_rows
         cols = {c: pa.nulls(n, pa.int64()) for c in payload_cols}
         cols["_key"] = b["doc_id"]
         cols["_sz"] = b["n_shingles"]
-        return pa.table(cols)
+        t = pa.table(cols)
+        k = np.asarray(t["_key"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return t.append_column("_part", pa.array(k % P))
 
     unioned = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
         sizes.map_batches(tag_sizes, batch_format="pyarrow")
@@ -363,17 +407,25 @@ def _cogroup_attach(
     def attach(group: pa.Table) -> pa.Table:
         if not group.num_columns or not group.num_rows:
             return out_schema.empty_table()
-        valid = pc.is_valid(group["_sz"])
-        size_rows = group.filter(valid)
-        pair_rows = group.filter(pc.invert(valid))
+        valid = np.asarray(pc.is_valid(group["_sz"]).to_numpy(zero_copy_only=False))
+        size_rows = group.filter(pa.array(valid))
+        pair_rows = group.filter(pa.array(~valid))
         if not pair_rows.num_rows or not size_rows.num_rows:
             return out_schema.empty_table()
-        n_val = size_rows["_sz"][0].as_py()
+        s_keys = np.asarray(size_rows["_key"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        s_vals = np.asarray(size_rows["_sz"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        o = np.argsort(s_keys, kind="stable")
+        s_keys, s_vals = s_keys[o], s_vals[o]
+        p_keys = np.asarray(pair_rows["_key"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        idx = np.searchsorted(s_keys, p_keys)
+        idx = np.minimum(idx, max(len(s_keys) - 1, 0))
+        found = s_keys[idx] == p_keys
+        pair_rows = pair_rows.filter(pa.array(found))
         cols = {c: pair_rows[c] for c in payload_cols}
-        cols[out_name] = pa.array([n_val] * pair_rows.num_rows, pa.int64())
+        cols[out_name] = pa.array(s_vals[idx[found]], pa.int64())
         return pa.table(cols)
 
-    return unioned.groupby("_key").map_groups(attach, batch_format="pyarrow")
+    return unioned.groupby("_part").map_groups(attach, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(
@@ -383,70 +435,194 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     shingle_df_cap: int = 1024,
+    sizes_broadcast_budget: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Exact word-n-gram Jaccard similarity pairs (a < b, jacc ≥ τ).
 
-    Shuffles distinct (shingle, doc) pairs; shingles with document
-    frequency > ``shingle_df_cap`` are dropped from the pair stage
-    (stop-shingle filter, logged — a shared boilerplate shingle would
-    otherwise emit O(df²) pairs).  Per-doc set sizes flow back through
-    Ray hash joins — no driver-side dict, no O(num_docs) driver memory.
+    Shape: distinct (shingle, doc) explode → hash-partition by shingle
+    (P partition tasks, vectorized per-shingle pair emit with LOCAL
+    pair pre-aggregation) → one single-int64-key groupby over packed
+    (a<<32|b) pair keys → score.  Shingles with document frequency >
+    ``shingle_df_cap`` are dropped from the pair stage (stop-shingle
+    filter, logged — a shared boilerplate shingle would otherwise emit
+    O(df²) pairs).
+
+    Per-doc set sizes are computed WITHOUT a shuffle (each doc lives in
+    one batch) and join back as a sorted-array broadcast below
+    ``sizes_broadcast_budget`` rows (``ray.put`` once, searchsorted per
+    batch), falling back to the distributed co-group join past it.
     SQL-oracle-checkable (shared-shingle join with the same df cap).
     """
+    from .common import default_partitions
+
+    P = default_partitions()
 
     def explode(batch: pa.Table) -> pa.Table:
         sh, dix = shingle_batch(batch[text_col], n)
         doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         tbl = pa.table({"shingle": sh, "doc_id": pa.array(doc_ids[dix], pa.int64())})
-        # distinct (shingle, doc) within the batch; the groupby key is
-        # the shingle so cross-batch duplicates can't exist per doc
-        return tbl.group_by(["shingle", "doc_id"]).aggregate([])
+        # distinct (shingle, doc) within the batch; docs never span
+        # batches, so this is globally distinct
+        tbl = tbl.group_by(["shingle", "doc_id"]).aggregate([])
+        # hash-partition tag on the shingle (vectorized md5) — the pair
+        # stage groups by P partition ids, never one task per shingle
+        h = md5_u64_batch(tbl["shingle"].combine_chunks())
+        return tbl.append_column("_part", pa.array((h % np.uint64(P)).astype(np.int64)))
 
     shingle_docs = ds.map_batches(explode, batch_format="pyarrow")
 
-    from ray.data.aggregate import Count
+    def sizes_batch(batch: pa.Table) -> pa.Table:
+        # per-doc DISTINCT shingle count — no shuffle (doc ⊂ batch)
+        sh, dix = shingle_batch(batch[text_col], n)
+        doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        uniq = pa.table({"s": sh, "d": pa.array(dix)}).group_by(["s", "d"]).aggregate([])
+        counts = np.bincount(
+            np.asarray(uniq["d"].to_numpy(zero_copy_only=False)), minlength=batch.num_rows
+        )
+        keep = counts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep], pa.int64()),
+                "n_shingles": pa.array(counts[keep].astype(np.int64)),
+            }
+        )
 
-    doc_sizes = shingle_docs.groupby("doc_id").aggregate(Count(alias_name="n_shingles"))
+    doc_sizes = ds.map_batches(sizes_batch, batch_format="pyarrow")
 
-    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        g = group.num_rows
-        if g < 2:
-            return empty
-        if g > shingle_df_cap:
-            print(
-                f"ngram_jaccard: dropping shingle with df={g} (> cap {shingle_df_cap}); "
-                f"shingle={group['shingle'][0].as_py()!r}"
+    def part_pairs(group: pa.Table) -> pa.Table:
+        """All (shingle, doc) rows of one hash partition: sort by
+        shingle, emit packed doc-pair keys per shingle run (df-capped),
+        pre-aggregated locally (combiner) before the global groupby."""
+        sh = np.asarray(group["shingle"].to_pylist(), dtype=object)
+        ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        if len(ids) and int(ids.max()) >= (1 << 31):
+            raise ValueError(
+                "ngram_jaccard packed-pair path requires doc ids < 2^31; "
+                "re-key the corpus or shard the id space"
             )
-            return empty
-        ids = np.sort(np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64))
-        iu, ju = np.triu_indices(g, k=1)
-        return pa.table({"a": pa.array(ids[iu]), "b": pa.array(ids[ju])})
+        order = np.lexsort((ids, sh))
+        sh, ids = sh[order], ids[order]
+        n_rows = len(sh)
+        change = np.empty(n_rows, dtype=bool)
+        if n_rows:
+            change[0] = True
+            change[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.r_[starts, n_rows])
+        packed_parts = []
+        for s, g in zip(starts, counts):
+            if g < 2:
+                continue
+            if g > shingle_df_cap:
+                print(
+                    f"ngram_jaccard: dropping shingle with df={g} (> cap {shingle_df_cap}); "
+                    f"shingle={sh[s]!r}"
+                )
+                continue
+            gi = ids[s : s + g]
+            iu, ju = np.triu_indices(int(g), k=1)
+            packed_parts.append((gi[iu] << np.int64(32)) | gi[ju])
+        if not packed_parts:
+            return pa.table(
+                {"pair": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64()),
+                 "_p2": pa.array([], pa.int64())}
+            )
+        pairs, cnt = np.unique(np.concatenate(packed_parts), return_counts=True)
+        # second-stage partition tag on the PAIR (fibonacci mix of the
+        # packed key) — the combine groups by P partition ids, not by
+        # 10^6+ individual pair keys
+        mix = (pairs.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.table(
+            {
+                "pair": pa.array(pairs),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "_p2": pa.array((mix % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    def combine_pairs(group: pa.Table) -> pa.Table:
+        pair = np.asarray(group["pair"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cnt = np.asarray(group["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        uniq, inv = np.unique(pair, return_inverse=True)
+        common = np.bincount(inv, weights=cnt).astype(np.int64)
+        return pa.table({"pair": pa.array(uniq), "common": pa.array(common)})
 
     pair_counts = (
-        shingle_docs.groupby("shingle")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="common"))
+        shingle_docs.groupby("_part")
+        .map_groups(part_pairs, batch_format="pyarrow")
+        .groupby("_p2")
+        .map_groups(combine_pairs, batch_format="pyarrow")
     )
 
-    # join per-doc sizes back: a co-group join (union + groupby(key))
-    # — the sizes stay distributed (no driver dict), one shuffle per
-    # key side.  (Ray's built-in Dataset.join crashes on partitions
-    # whose left side receives zero rows — sparse pair sets hit that
-    # constantly — so the join is expressed as a groupby instead.)
-    joined = _cogroup_attach(
-        _cogroup_attach(pair_counts, doc_sizes, "a", "n_a", ["a", "b", "common"]),
-        doc_sizes, "b", "n_b", ["a", "b", "common", "n_a"],
+    empty_out = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
     )
 
-    def score(batch: pa.Table) -> pa.Table:
+    # size lookup: broadcast the (doc_id-sorted) sizes arrays when
+    # small; the count check runs in the object store, the driver only
+    # concatenates BELOW the budget
+    import ray as _ray
+
+    doc_sizes = doc_sizes.materialize()
+    if doc_sizes.count() <= sizes_broadcast_budget:
+        sizes_tbl = pa.concat_tables(_ray.get(doc_sizes.to_arrow_refs()))
+        s_keys = np.asarray(sizes_tbl["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        s_vals = np.asarray(sizes_tbl["n_shingles"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        o = np.argsort(s_keys, kind="stable")
+        sizes_ref = _ray.put((s_keys[o], s_vals[o]))
+
+        def score(batch: pa.Table) -> pa.Table:
+            if not batch.num_columns or not batch.num_rows:
+                return empty_out
+            keys, vals = _ray.get(sizes_ref)
+            pair = np.asarray(batch["pair"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            a = pair >> np.int64(32)
+            b = pair & np.int64(0xFFFFFFFF)
+            common = np.asarray(batch["common"].to_numpy(zero_copy_only=False), dtype=np.float64)
+            n_a = vals[np.searchsorted(keys, a)].astype(np.float64)
+            n_b = vals[np.searchsorted(keys, b)].astype(np.float64)
+            union = n_a + n_b - common
+            jacc = round6(common / np.maximum(union, 1.0))
+            keep = jacc >= threshold
+            return pa.table(
+                {
+                    "a": pa.array(a[keep]),
+                    "b": pa.array(b[keep]),
+                    "jaccard": pa.array(jacc[keep], pa.float64()),
+                }
+            )
+
+        return pair_counts.map_batches(score, batch_format="pyarrow")
+
+    # SCALE FALLBACK: sizes too large to broadcast — distributed
+    # co-group join on each pair side
+    def unpack(batch: pa.Table) -> pa.Table:
         if not batch.num_columns or not batch.num_rows:
             return pa.table(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
+                 "common": pa.array([], pa.int64())}
             )
+        pair = np.asarray(batch["pair"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "a": pa.array(pair >> np.int64(32)),
+                "b": pa.array(pair & np.int64(0xFFFFFFFF)),
+                "common": batch["common"],
+            }
+        )
+
+    joined = _cogroup_attach(
+        _cogroup_attach(
+            pair_counts.map_batches(unpack, batch_format="pyarrow"),
+            doc_sizes, "a", "n_a", ["a", "b", "common"],
+        ),
+        doc_sizes, "b", "n_b", ["a", "b", "common", "n_a"],
+    )
+
+    def score_joined(batch: pa.Table) -> pa.Table:
+        if not batch.num_columns or not batch.num_rows:
+            return empty_out
         common = np.asarray(batch["common"].to_numpy(zero_copy_only=False), dtype=np.float64)
         n_a = np.asarray(batch["n_a"].to_numpy(zero_copy_only=False), dtype=np.float64)
         n_b = np.asarray(batch["n_b"].to_numpy(zero_copy_only=False), dtype=np.float64)
@@ -461,7 +637,7 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return joined.map_batches(score, batch_format="pyarrow")
+    return joined.map_batches(score_joined, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -480,6 +656,7 @@ def embedding_neardup_pairs(
     planes_per_band: int = 6,
     seed: int = 13,
     max_bucket: int = 4096,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset | pa.Table":
     """Pairs (a < b) with cosine(v_a, v_b) ≥ τ.
 
@@ -525,40 +702,62 @@ def embedding_neardup_pairs(
             )
         return pa.concat_tables(tables)
 
+    from .common import default_partitions
+
+    P = num_partitions or default_partitions()
     exploded = ds.map_batches(bucket_stage, batch_format="pyarrow")
 
-    empty = pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-         "cosine": pa.array([], pa.float64())}
-    )
+    def tag(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["key"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return b.append_column("_part", pa.array(k % P))
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        g = group.num_rows
-        if g < 2:
-            return empty
-        if g > max_bucket:
-            print(
-                f"embedding_neardup: skipping LSH bucket of {g} vectors (> cap {max_bucket}); "
-                f"key={group['key'][0].as_py()}"
-            )
-            return empty
+    def part_pairs(group: pa.Table) -> pa.Table:
+        """All rows of one hash partition: per-bucket exact pairwise
+        cosine for every key run of size 2..max_bucket."""
+        keys = np.asarray(group["key"].to_numpy(zero_copy_only=False), dtype=np.int64)
         ids = np.asarray(group["vid"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
         mat = _to_matrix(group, "vec")[order]
-        sims = mat @ mat.T
-        iu, ju = np.triu_indices(g, k=1)
-        vals = sims[iu, ju]
-        keep = vals >= threshold
+        n_rows = len(keys)
+        change = np.empty(n_rows, dtype=bool)
+        if n_rows:
+            change[0] = True
+            np.not_equal(keys[1:], keys[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.r_[starts, n_rows])
+        out_a, out_b, out_c = [], [], []
+        for s, g in zip(starts, counts):
+            if g < 2:
+                continue
+            if g > max_bucket:
+                print(
+                    f"embedding_neardup: skipping LSH bucket of {g} vectors "
+                    f"(> cap {max_bucket}); key={int(keys[s])}"
+                )
+                continue
+            gm = mat[s : s + g]
+            sims = gm @ gm.T
+            iu, ju = np.triu_indices(int(g), k=1)
+            vals = sims[iu, ju]
+            keep = vals >= threshold
+            gi = ids[s : s + g]
+            out_a.extend(gi[iu[keep]].tolist())
+            out_b.extend(gi[ju[keep]].tolist())
+            out_c.extend(vals[keep].tolist())
         return pa.table(
             {
-                "a": pa.array(ids[iu[keep]], pa.int64()),
-                "b": pa.array(ids[ju[keep]], pa.int64()),
-                "cosine": pa.array(round6(vals[keep]), pa.float64()),
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "cosine": pa.array(round6(np.asarray(out_c, dtype=np.float64)) if out_c else [], pa.float64()),
             }
         )
 
-    pairs = exploded.groupby("key").map_groups(emit_pairs, batch_format="pyarrow")
+    pairs = (
+        exploded.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(part_pairs, batch_format="pyarrow")
+    )
     from ray.data.aggregate import Max
 
     return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
