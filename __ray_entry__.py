@@ -368,6 +368,12 @@ def _q_simhash(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(simhash_batch, batch_format="pyarrow")
 
 
+def _q_simhash_neardup(sf_dir: str):
+    from fulltextsearch_ray.functions.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs_ds(sf_dir), max_hamming=3, bands=4)
+
+
 def _q_minhash(sf_dir: str):
     from fulltextsearch_ray.functions.dedup import minhash_lsh_pairs
 
@@ -462,14 +468,8 @@ def _q_multimodal(sf_dir: str):
     )
 
 
-def _q_events_window(sf_dir: str):
-    import ray.data
-
+def _events_post(agg):
     from fulltextsearch_ray.functions.common import round6
-    from fulltextsearch_ray.functions.windows import tumbling_window_agg
-
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
-    agg = tumbling_window_agg(ds, window="1h")
 
     def post(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -482,6 +482,48 @@ def _q_events_window(sf_dir: str):
                 ),
                 "avg_value": pa.array(
                     round6(np.asarray(batch["avg_value"].to_numpy(zero_copy_only=False))), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(post, batch_format="pyarrow")
+
+
+def _q_events_window(sf_dir: str):
+    import ray.data
+
+    from fulltextsearch_ray.functions.windows import tumbling_window_agg
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return _events_post(tumbling_window_agg(ds, window="1h"))
+
+
+def _q_events_hopping(sf_dir: str):
+    import ray.data
+
+    from fulltextsearch_ray.functions.windows import hopping_window_agg
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return _events_post(hopping_window_agg(ds, size_minutes=120, hop_minutes=60))
+
+
+def _q_events_session(sf_dir: str):
+    import ray.data
+
+    from fulltextsearch_ray.functions.common import round6
+    from fulltextsearch_ray.functions.windows import session_window_agg
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    agg = session_window_agg(ds, gap_minutes=30)
+
+    def post(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "session_start": batch["session_start"],
+                "n_events": batch["n_events"],
+                "sum_value": pa.array(
+                    round6(np.asarray(batch["sum_value"].to_numpy(zero_copy_only=False))), pa.float64()
                 ),
             }
         )
@@ -539,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
+        "dedup_simhash_neardup": _q_simhash_neardup,
         "dedup_minhash_lsh": _q_minhash,
         "embed_neardup": _q_embed_neardup,
         "ann_cosine": _q_ann,
@@ -550,6 +593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "multimodal_meta": _q_multimodal,
         "events_window": _q_events_window,
+        "events_hopping": _q_events_hopping,
+        "events_session": _q_events_session,
     }
     return base
 
@@ -741,6 +786,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lower(string_agg(to_hex(v), '' ORDER BY nibble DESC)) AS simhash
             FROM nib GROUP BY doc_id
         """,
+        "dedup_simhash_neardup": f"""
+            WITH {TOKENS_CTE},
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokens GROUP BY doc_id, term),
+            bits AS (
+              SELECT doc_id, b.b,
+                     sum(CASE WHEN ((('0x' || substr(md5(term), 1, 16))::UBIGINT >> b.b) & 1) = 1
+                              THEN tf ELSE -tf END) AS s
+              FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+              GROUP BY doc_id, b.b),
+            v AS (SELECT doc_id,
+                         sum(CASE WHEN s > 0 THEN (1::UBIGINT << b) ELSE 0 END)::UBIGINT AS h
+                  FROM bits GROUP BY doc_id),
+            bnd AS (SELECT doc_id, band.band, (h >> (16 * band.band)) & 65535 AS bits
+                    FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) band),
+            bsz AS (SELECT band, bits, count(*) AS g FROM bnd GROUP BY band, bits),
+            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                     FROM bnd x
+                     JOIN bnd y ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
+                     JOIN bsz ON bsz.band = x.band AND bsz.bits = x.bits
+                     WHERE bsz.g <= 1024),
+            ham AS (SELECT cand.a, cand.b, bit_count(xor(va.h, vb.h))::BIGINT AS hamming
+                    FROM cand JOIN v va ON va.doc_id = cand.a JOIN v vb ON vb.doc_id = cand.b)
+            SELECT a::BIGINT AS a, b::BIGINT AS b, hamming FROM ham WHERE hamming <= 3
+        """,
         "embed_neardup": f"""
             WITH {_lsh_dots_cte(_plane_values_sql(16))},
             keys AS (SELECT vec_id, plane_id // 4 AS band,
@@ -878,6 +947,31 @@ def oracle_sql() -> dict[str, str]:
                    {_r6('sum(c) / 100.0')} AS sum_value,
                    {_r6('sum(c) / (100.0 * count(*))')} AS avg_value
             FROM cents GROUP BY window_start, event_type
+        """,
+        "events_hopping": f"""
+            WITH ev AS (
+              SELECT ts, event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+            w AS (SELECT date_trunc('hour', ts) - (i.i * INTERVAL 60 MINUTE) AS window_start,
+                         event_type, c
+                  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) i)
+            SELECT window_start, event_type,
+                   count(*)::BIGINT AS n_events,
+                   {_r6('sum(c) / 100.0')} AS sum_value,
+                   {_r6('sum(c) / (100.0 * count(*))')} AS avg_value
+            FROM w GROUP BY window_start, event_type
+        """,
+        "events_session": f"""
+            WITH ev AS (
+              SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+            l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM ev),
+            f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                                 THEN 1 ELSE 0 END AS brk FROM l),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+            SELECT user_id, min(ts) AS session_start,
+                   count(*)::BIGINT AS n_events,
+                   {_r6('sum(c) / 100.0')} AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
     }
     # the in-memory index must reproduce the persistent BM25 exactly

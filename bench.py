@@ -205,6 +205,11 @@ def main():
     args = sys.argv[1:]
 
     if "--scaling" in args:
+        # scaling protocol corpus: 200k docs unless overridden — at the
+        # 50k default the run is fixed-cost-dominated and under-reports
+        # every ratio (see BASELINE.md caveats)
+        if "GRAFT_BENCH_DOCS" not in os.environ:
+            n_docs = 200_000
         out = run_scaling(n_docs)
         print(json.dumps({"metric": "scaling_efficiency", "value": out["scaling_efficiency"],
                           "unit": "ratio", "queries": out, "sf": sf_dir, "num_cpus": [8, 32]}))

@@ -354,6 +354,110 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def simhash_neardup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    max_bucket: int = 1024,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs by SimHash Hamming distance: (a < b,
+    hamming ≤ ``max_hamming``).
+
+    Bit-band LSH over the 64-bit fingerprint: ``bands`` equal slices,
+    candidates share at least one identical slice, verified by exact
+    popcount(xor).  By pigeonhole this is EXACT (recall 1) whenever
+    ``max_hamming ≤ bands - 1`` — with ≤ bands-1 differing bits, some
+    band must be untouched.  Same scale shape as the other dedup ops:
+    hash-partitioned capped pair emit, one shuffle of (key, doc, hash)
+    triples, pair dedup across bands.
+    """
+    assert 64 % bands == 0
+    width = 64 // bands
+    from .common import default_partitions
+
+    P = num_partitions or default_partitions()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sims = simhash_batch(batch, text_col)
+        h = np.array([int(s, 16) for s in sims["simhash"].to_pylist()], dtype=np.uint64)
+        ids = np.asarray(sims["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        tables = []
+        for band in range(bands):
+            bits = (h >> np.uint64(band * width)) & np.uint64((1 << width) - 1)
+            key = (np.int64(band) << np.int64(width)) | bits.astype(np.int64)
+            mix = (key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+            tables.append(
+                pa.table(
+                    {
+                        "key": pa.array(key),
+                        "doc_id": pa.array(ids),
+                        "h": pa.array(h, pa.uint64()),
+                        "_part": pa.array((mix % np.uint64(P)).astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    def part_pairs(group: pa.Table) -> pa.Table:
+        keys = np.asarray(group["key"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        h = np.asarray(group["h"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        order = np.lexsort((ids, keys))
+        keys, ids, h = keys[order], ids[order], h[order]
+        n_rows = len(keys)
+        change = np.empty(n_rows, dtype=bool)
+        if n_rows:
+            change[0] = True
+            np.not_equal(keys[1:], keys[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.r_[starts, n_rows])
+        out_a, out_b, out_h = [], [], []
+        for s, g in zip(starts, counts):
+            if g < 2:
+                continue
+            if g > max_bucket:
+                print(
+                    f"simhash_neardup: skipping band bucket of {g} docs "
+                    f"(> cap {max_bucket}); key={int(keys[s])}"
+                )
+                continue
+            gi = ids[s : s + g]
+            gh = h[s : s + g]
+            iu, ju = np.triu_indices(int(g), k=1)
+            ham = _popcount64(gh[iu] ^ gh[ju]).astype(np.int64)
+            keep = ham <= max_hamming
+            out_a.extend(gi[iu[keep]].tolist())
+            out_b.extend(gi[ju[keep]].tolist())
+            out_h.extend(ham[keep].tolist())
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "hamming": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(part_pairs, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
 # --------------------------------------------------------------------------
 # exact n-gram jaccard
 # --------------------------------------------------------------------------

@@ -1,10 +1,12 @@
-"""Windowed aggregation over event streams (tumbling windows).
+"""Windowed aggregation over event streams: tumbling, hopping
+(overlapping) and session (gap-based) windows.
 
 The reference has no streaming/window surface (SURVEY.md §2.8 —
-"ingestion order is the only time"); this is a training-data-pipeline
-extension: tumbling-window aggregates expressed as a pure batch
-transform (window assignment) + groupby aggregate — no global sort, no
-per-row Python."""
+"ingestion order is the only time"); these are training-data-pipeline
+extensions expressed as pure batch transforms (vectorized window
+assignment / explode) + one aggregate shuffle — no global sort, no
+per-row Python.  All value math is EXACT integer cents so results are
+bit-reproducible at any partition count (and vs the SQL oracles)."""
 
 from __future__ import annotations
 
@@ -71,3 +73,160 @@ def tumbling_window_agg(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_window_agg(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    size_minutes: int = 120,
+    hop_minutes: int = 60,
+) -> ray.data.Dataset:
+    """Overlapping (hopping) windows: each event lands in
+    ``size/hop`` windows; count/sum/mean of ``value`` per
+    (window_start, key).
+
+    Assignment is a vectorized explode (k = size/hop copies per event
+    with shifted window starts); the only shuffle is the groupby on
+    (window_start, key)."""
+    assert size_minutes % hop_minutes == 0
+    k = size_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = np.asarray(ts.cast(pa.int64()).to_numpy(zero_copy_only=False))
+        base = (us // hop_us) * hop_us  # latest window containing the event
+        cents = np.asarray(
+            pc.cast(
+                pc.round(pc.multiply(pc.cast(batch[value_col], pa.float64()), 100.0)),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+        )
+        keys = batch[key_col]
+        tables = []
+        for i in range(k):
+            w = base - i * hop_us
+            tables.append(
+                pa.table(
+                    {
+                        "window_start": pa.array(w).cast(ts.type),
+                        key_col: keys,
+                        "_cents": pa.array(cents),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["window_start", key_col])
+        .aggregate(Count(alias_name="n_events"), Sum("_cents", alias_name="_sum_cents"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cents = np.asarray(batch["_sum_cents"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n = np.asarray(batch["n_events"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "window_start": batch["window_start"],
+                key_col: batch[key_col],
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "sum_value": pa.array(cents / 100.0, pa.float64()),
+                "avg_value": pa.array(cents / (100.0 * n), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def session_window_agg(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Gap-based session windows per user: a new session starts when
+    the time since the user's previous event exceeds ``gap_minutes``.
+    Emits (user_id, session_start, n_events, sum_value).
+
+    Users are HASH-PARTITIONED (user % P) so the groupby schedules P
+    tasks, not one per user; inside a partition, session boundaries are
+    one vectorized lexsort + diff over all its users at once.  The
+    partitioning assumption: one user's events fit one task (same
+    bound as any per-key session semantics)."""
+    from .common import default_partitions
+
+    P = num_partitions or default_partitions()
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = np.asarray(ts.cast(pa.int64()).to_numpy(zero_copy_only=False))
+        users = np.asarray(batch[user_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cents = np.asarray(
+            pc.cast(
+                pc.round(pc.multiply(pc.cast(batch[value_col], pa.float64()), 100.0)),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "u": pa.array(users),
+                "t": pa.array(us),
+                "_cents": pa.array(cents),
+                "_part": pa.array(users % P),
+            }
+        )
+
+    def sessions(group: pa.Table) -> pa.Table:
+        u = np.asarray(group["u"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        t = np.asarray(group["t"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        c = np.asarray(group["_cents"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.lexsort((t, u))
+        u, t, c = u[order], t[order], c[order]
+        n = len(u)
+        new_sess = np.empty(n, dtype=bool)
+        if n:
+            new_sess[0] = True
+            new_sess[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        starts = np.flatnonzero(new_sess)
+        counts = np.diff(np.r_[starts, n])
+        sums = np.add.reduceat(c, starts) if n else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "session_start": pa.array(t[starts]),
+                "n_events": pa.array(counts.astype(np.int64)),
+                "sum_value": pa.array(sums / 100.0, pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+    def cast_ts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "session_start": batch["session_start"].cast(pa.timestamp("us")),
+                "n_events": batch["n_events"],
+                "sum_value": batch["sum_value"],
+            }
+        )
+
+    return out.map_batches(cast_ts, batch_format="pyarrow")
