@@ -448,6 +448,11 @@ def build_index(
     # (the reference's persisted-positions model, PersistentBuilder.cs)
     forward_ranges: list = []
     if store_forward:
+        if text_cols:
+            raise ValueError(
+                "store_forward currently supports single-field corpora only "
+                "(text_col); per-field span stores are not implemented"
+            )
         t0 = _t()
         from ..stages.forward import ForwardFileStage, forward_batch
 
