@@ -489,6 +489,34 @@ def _events_post(agg):
     return agg.map_batches(post, batch_format="pyarrow")
 
 
+def _q_multimodal_resize(sf_dir: str):
+    from fulltextsearch_ray.functions.multimodal import DecodeStage, ResizeStage, text_as_media
+
+    media = _docs_ds(sf_dir, ("doc_id", "text", "source")).map_batches(
+        text_as_media, batch_format="pyarrow"
+    )
+    decoded = media.map_batches(
+        DecodeStage, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", batch_size=64, concurrency=2,
+    )
+    return decoded.map_batches(
+        ResizeStage, fn_constructor_kwargs={"target": 224, "fake": True},
+        batch_format="pyarrow", batch_size=64, concurrency=2,
+    )
+
+
+def _q_multimodal_frames(sf_dir: str):
+    from fulltextsearch_ray.functions.multimodal import FrameSampleStage, text_as_media
+
+    media = _docs_ds(sf_dir, ("doc_id", "text", "source")).map_batches(
+        text_as_media, batch_format="pyarrow"
+    )
+    return media.map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", batch_size=64, concurrency=2,
+    )
+
+
 def _q_events_window(sf_dir: str):
     import ray.data
 
@@ -592,6 +620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
         "multimodal_meta": _q_multimodal,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
         "events_session": _q_events_session,
@@ -947,6 +977,28 @@ def oracle_sql() -> dict[str, str]:
                    {_r6('sum(c) / 100.0')} AS sum_value,
                    {_r6('sum(c) / (100.0 * count(*))')} AS avg_value
             FROM cents GROUP BY window_start, event_type
+        """,
+        "multimodal_resize": """
+            WITH dims AS (
+              SELECT doc_id::BIGINT AS media_id,
+                     (16 + (('0x' || substr(md5(text), 1, 4))::INTEGER % 4080)) AS w,
+                     (16 + (('0x' || substr(md5(text), 5, 4))::INTEGER % 4080)) AS h
+              FROM documents)
+            SELECT media_id, w::INTEGER AS width, h::INTEGER AS height,
+                   greatest((w * 224) // greatest(w, h, 1), 1)::INTEGER AS out_width,
+                   greatest((h * 224) // greatest(w, h, 1), 1)::INTEGER AS out_height
+            FROM dims
+        """,
+        "multimodal_frames": """
+            WITH meta AS (
+              SELECT doc_id::BIGINT AS media_id, text,
+                     2 + (('0x' || substr(md5(text), 9, 4))::INTEGER % 7) AS n_frames
+              FROM documents)
+            SELECT media_id,
+                   i::INTEGER AS frame_idx,
+                   md5(text || ':' || i) AS frame_md5,
+                   (i * 40)::BIGINT AS ts_ms
+            FROM meta, unnest(generate_series(0, n_frames - 1)) AS t(i)
         """,
         "events_hopping": f"""
             WITH ev AS (

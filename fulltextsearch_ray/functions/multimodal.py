@@ -88,6 +88,73 @@ class FeatureStage:
         )
 
 
+class ResizeStage:
+    """Actor-pool resize stage: fit the (decoded) dimensions into a
+    ``target`` square box, preserving aspect ratio.
+
+    The geometry is PURE INTEGER math (``dim * target // max(w, h)``)
+    so it is engine-reproducible; the pixel resample itself would live
+    where ``fake=False`` raises (no imaging libs in this environment).
+    Input = DecodeStage output (media_id, width, height, ...).
+    """
+
+    def __init__(self, target: int = 224, fake: bool = True):
+        self.target = target
+        if not fake:
+            raise NotImplementedError("media codecs are not available in this environment")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch["width"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        h = np.asarray(batch["height"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        longest = np.maximum(np.maximum(w, h), 1)
+        out_w = np.maximum(w * self.target // longest, 1)
+        out_h = np.maximum(h * self.target // longest, 1)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(w.astype(np.int32)),
+                "height": pa.array(h.astype(np.int32)),
+                "out_width": pa.array(out_w.astype(np.int32)),
+                "out_height": pa.array(out_h.astype(np.int32)),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampler for video payloads: one output ROW per
+    sampled frame (a flat-map explode — the schema/layout a real
+    ffmpeg-backed sampler would produce).
+
+    Deterministic fake: frame count = 2 + md5[8:12] % 7, frame payload
+    digest = md5(payload + b':' + frame_idx), timestamp = 40 ms × idx
+    (25 fps).  ``fake=False`` raises where the demuxer would go.
+    """
+
+    def __init__(self, fake: bool = True):
+        if not fake:
+            raise NotImplementedError("media codecs are not available in this environment")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, md5_out, ts_out = [], [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            p = p or b""
+            d = hashlib.md5(p).hexdigest()
+            n_frames = 2 + int(d[8:12], 16) % 7
+            for i in range(n_frames):
+                ids_out.append(mid)
+                idx_out.append(i)
+                md5_out.append(hashlib.md5(p + b":" + str(i).encode()).hexdigest())
+                ts_out.append(i * 40)
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, pa.int64()),
+                "frame_idx": pa.array(idx_out, pa.int32()),
+                "frame_md5": pa.array(md5_out, pa.string()),
+                "ts_ms": pa.array(ts_out, pa.int64()),
+            }
+        )
+
+
 def text_as_media(batch: pa.Table) -> pa.Table:
     """Adapter used in tests/driver checks: documents → fake media rows
     (utf-8 payload bytes) so the multimodal plumbing is exercised on
