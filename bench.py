@@ -138,9 +138,10 @@ def bench_ops(sf_dir: str) -> dict:
     import __ray_entry__ as e
 
     names = [
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "embed_neardup", "ann_cosine", "ann_lsh", "ann_ivf",
-        "lang_id", "quality_score", "fingerprint", "events_window",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_neardup",
+        "dedup_ngram_jaccard", "embed_neardup", "ann_cosine", "ann_lsh", "ann_ivf",
+        "lang_id", "quality_score", "fingerprint",
+        "events_window", "events_session",
     ]
     qs = e.queries()
     out = {}

@@ -5,24 +5,29 @@ Scale shapes (each documented where it matters):
 * exact        — hash-partitioned groupby(md5) keep-first: one shuffle
                  over (hash, doc_id) pairs only, never the text.
 * minhash_lsh  — shingle→minhash signature per doc (vectorized
-                 map_batches: one DuckDB md5 pass + one numpy
-                 permutation grid per batch), band→bucket explode,
-                 groupby(bucket) capped pair emit, candidate verify by
+                 map_batches: one DuckDB md5 pass + one streaming
+                 permutation pass each), band→bucket explode, hash-
+                 partitioned capped pair emit, candidate verify by
                  vectorized signature agreement.
 * simhash      — 64-bit weighted-bit fingerprint per doc (one grouped
-                 Arrow pass + numpy bit matrix per batch).
+                 Arrow pass + numpy bit matrix per batch); plus
+                 Hamming-distance near-dup pairs via bit-band LSH
+                 (exact when max_hamming ≤ bands-1).
 * ngram_jaccard— exact Jaccard over word n-gram shingle sets via a
-                 shared-shingle join with a document-frequency cap on
-                 shingles; per-doc set sizes join back through Ray hash
-                 joins (no driver-side dict).  SQL-oracle-checkable.
+                 df-capped shared-shingle join; packed-pair counting
+                 with a local combiner; per-doc set sizes broadcast
+                 below a budget, distributed co-group join past it.
 * embedding    — banded random-hyperplane LSH buckets → per-bucket
-                 pairwise cosine ≥ τ (groupby(bucket), capped), pair
+                 pairwise cosine ≥ τ (hash-partitioned, capped), pair
                  dedup across bands.  ``method="exact"`` keeps the
                  all-pairs matmul as an explicitly small-input fallback.
 
-Every pair-emitting group stage is CAPPED: a degenerate bucket (empty
-docs, boilerplate, a stop-shingle) logs a skip instead of emitting
-O(g²) pairs.  No stage materializes the dataset on the driver.
+Every pair-emitting group stage is HASH-PARTITIONED (rows shuffle by
+key-hash % P; per-key grouping is vectorized inside the P partition
+tasks — never one scheduled task per key) and CAPPED: a degenerate
+bucket (empty docs, boilerplate, a stop-shingle) logs a skip instead
+of emitting O(g²) pairs.  No stage materializes the dataset on the
+driver.
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..tokenizer import TOKEN_RE, flat_tokens
-from .common import md5_hex, md5_u64, md5_u64_batch, round6
+from .common import md5_u64, md5_u64_batch, round6
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -147,10 +152,11 @@ class MinHashStage:
     """Actor-pool stage: doc → minhash signature (+ band-bucket rows).
 
     Fully batch-vectorized: ONE DuckDB md5 pass over every shingle of
-    the batch, ONE (num_perm × n_shingles) uint64 permutation grid,
-    segmented ``minimum.reduceat`` per document.  The bucket key is the
-    raw band signature string ``"<band>:v-v-…-v"`` (SQL-oracle
-    expressible via ``string_agg``), not an md5 of it.
+    the batch, one streaming (a·h+b) mod M31 pass per permutation with
+    segmented ``minimum.reduceat`` per document.  The bucket key is
+    md5_u64 of the band signature string ``"<band>:v-v-…-v"`` — a
+    fixed-width shuffle key whose grouping the SQL oracle mirrors by
+    joining on (band, string_agg pattern).
     """
 
     def __init__(self, num_perm: int = 64, bands: int = 16, n: int = 3, text_col: str = "text"):

@@ -40,8 +40,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..sources.corpus import normalize_corpus, read_corpus_with_ids, sha256_hex
-from ..stages.invert import DEFAULT_BLOCK_CF, InvertStage, merge_posting_runs
+from ..sources.corpus import normalize_corpus, sha256_hex
+from ..stages.invert import DEFAULT_BLOCK_CF, InvertStage
 from ..state.index import (
     IndexMeta,
     SegmentManifest,

@@ -38,7 +38,6 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from ..codecs import decode_posting_block
 from ..matchers import expand_pattern
 from ..occurrences import (
     Matches,
