@@ -517,6 +517,12 @@ def _q_multimodal_frames(sf_dir: str):
     )
 
 
+def _q_curate(sf_dir: str):
+    from fulltextsearch_ray.pipelines.curate import curate_corpus
+
+    return curate_corpus(_docs_ds(sf_dir), min_quality=0.5)
+
+
 def _q_events_window(sf_dir: str):
     import ray.data
 
@@ -619,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
+        "curate_corpus": _q_curate,
         "multimodal_meta": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -815,6 +822,56 @@ def oracle_sql() -> dict[str, str]:
                     FROM bits GROUP BY doc_id, b // 4)
             SELECT doc_id, lower(string_agg(to_hex(v), '' ORDER BY nibble DESC)) AS simhash
             FROM nib GROUP BY doc_id
+        """,
+        "curate_corpus": f"""
+            WITH {TOKENS_CTE},
+            c AS (SELECT d.doc_id,
+                    count(CASE WHEN term IN {stop_en} THEN 1 END) AS c_en,
+                    count(CASE WHEN term IN {stop_de} THEN 1 END) AS c_de,
+                    count(CASE WHEN term IN {stop_es} THEN 1 END) AS c_es,
+                    count(CASE WHEN term IN {stop_fr} THEN 1 END) AS c_fr,
+                    count(CASE WHEN term IN {stop_zh} THEN 1 END) AS c_zh,
+                    count(term)::DOUBLE AS n_tokens,
+                    coalesce(sum(length(term)), 0)::DOUBLE AS tok_chars
+                  FROM documents d LEFT JOIN tokens USING (doc_id)
+                  GROUP BY d.doc_id),
+            feats AS (
+              SELECT doc_id,
+                   CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                        WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                        WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                        WHEN c_fr >= c_zh THEN 'fr'
+                        ELSE 'zh' END AS pred_lang,
+                   n_tokens::BIGINT AS n_tokens,
+                   {_r6("0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - (c_en / greatest(n_tokens, 1))) + 0.3 * least((tok_chars / greatest(n_tokens, 1)) / 8.0, 1.0)")} AS quality
+              FROM c),
+            filt AS (SELECT * FROM feats WHERE quality >= 0.5),
+            ex AS (SELECT f.doc_id, d.text FROM filt f JOIN documents d USING (doc_id)),
+            keepers AS (SELECT min(doc_id) AS doc_id FROM ex GROUP BY text),
+            pe AS (SELECT * FROM filt WHERE doc_id IN (SELECT doc_id FROM keepers)),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokens
+                   WHERE doc_id IN (SELECT doc_id FROM pe) GROUP BY doc_id, term),
+            bits AS (
+              SELECT doc_id, b.b,
+                     sum(CASE WHEN ((('0x' || substr(md5(term), 1, 16))::UBIGINT >> b.b) & 1) = 1
+                              THEN tf ELSE -tf END) AS s
+              FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+              GROUP BY doc_id, b.b),
+            v AS (SELECT doc_id,
+                         sum(CASE WHEN s > 0 THEN (1::UBIGINT << b) ELSE 0 END)::UBIGINT AS h
+                  FROM bits GROUP BY doc_id),
+            bnd AS (SELECT doc_id, band.band, (h >> (16 * band.band)) & 65535 AS bits
+                    FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) band),
+            bsz AS (SELECT band, bits, count(*) AS g FROM bnd GROUP BY band, bits),
+            nd AS (SELECT DISTINCT y.doc_id AS b
+                   FROM bnd x
+                   JOIN bnd y ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
+                   JOIN bsz ON bsz.band = x.band AND bsz.bits = x.bits
+                   JOIN v va ON va.doc_id = x.doc_id
+                   JOIN v vb ON vb.doc_id = y.doc_id
+                   WHERE bsz.g <= 1024 AND bit_count(xor(va.h, vb.h)) <= 3)
+            SELECT doc_id, pred_lang, n_tokens, quality
+            FROM pe WHERE doc_id NOT IN (SELECT b FROM nd)
         """,
         "dedup_simhash_neardup": f"""
             WITH {TOKENS_CTE},

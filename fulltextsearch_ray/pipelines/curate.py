@@ -1,0 +1,222 @@
+"""Corpus curation — the composed training-data pipeline this engine
+exists for: language/quality filtering → exact dedup → near-dedup,
+all streaming, producing the curated document set.
+
+    documents ──► fused feature pass (ONE tokenize: lang, quality,
+                  token counts) ──► filter (quality ≥ τ, lang ∈ L)
+              ──► exact dedup (md5 groupby, keep lowest id)
+              ──► SimHash near-dedup (bit-band LSH pairs, drop the
+                  higher id of every pair — one shot against the
+                  post-exact set, deterministic)
+              ──► curated (doc_id, pred_lang, n_tokens, quality)
+
+Scale shape: one feature pass over the text; the only text-bearing
+shuffle is the SimHash band explode of the already-filtered survivors;
+id-set subtraction is a hash-partitioned co-group (never a driver-side
+set).  Every stage reuses the individually oracle-checked operators,
+and the composition itself is SQL-oracle-checked end-to-end
+(driver query ``curate_corpus``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..tokenizer import flat_tokens
+from ..functions.common import md5_hex_batch, round6
+from ..functions.text import LANG_ORDER, QUALITY_STOPWORDS, STOPWORDS, _stop_hits
+
+
+def curate_features_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """ONE tokenize pass → per-doc (pred_lang, n_tokens, stop_ratio,
+    mean_token_len, quality) — the fused form of lang_id_batch +
+    quality_batch (identical outputs, half the string work)."""
+    n_docs = batch.num_rows
+    toks, parent, counts = flat_tokens(batch[text_col])
+    hits = np.stack([_stop_hits(toks, parent, n_docs, STOPWORDS[lang]) for lang in LANG_ORDER])
+    best = np.argmax(hits, axis=0)
+    n_tokens = counts.astype(np.float64)
+    n_stop = _stop_hits(toks, parent, n_docs, QUALITY_STOPWORDS).astype(np.float64)
+    lens = np.asarray(pc.utf8_length(toks).to_numpy(zero_copy_only=False), dtype=np.float64)
+    tok_chars = np.bincount(parent, weights=lens, minlength=n_docs)
+    safe_n = np.maximum(n_tokens, 1.0)
+    stop_ratio = n_stop / safe_n
+    mean_len = tok_chars / safe_n
+    quality = (
+        0.4 * np.minimum(n_tokens / 100.0, 1.0)
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * np.minimum(mean_len / 8.0, 1.0)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            text_col: batch[text_col],
+            "pred_lang": pa.array([LANG_ORDER[b] for b in best], pa.string()),
+            "n_tokens": pa.array(n_tokens.astype(np.int64)),
+            "quality": pa.array(round6(quality), pa.float64()),
+        }
+    )
+
+
+def _subtract_ids(
+    ds: ray.data.Dataset,
+    drop_ids: ray.data.Dataset,
+    payload_cols: list[tuple[str, pa.DataType]],
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """ds minus rows whose doc_id appears in drop_ids (single-column
+    ``drop_id`` dataset) — a hash-partitioned anti-join; neither side
+    touches the driver."""
+    schema = pa.schema([("doc_id", pa.int64())] + payload_cols + [("_drop", pa.int64()), ("_part", pa.int64())])
+    out_schema = pa.schema([("doc_id", pa.int64())] + payload_cols)
+
+    def tag_data(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cols = {"doc_id": pa.array(ids)}
+        for c, _t in payload_cols:
+            cols[c] = b[c]
+        cols["_drop"] = pa.nulls(b.num_rows, pa.int64())
+        cols["_part"] = pa.array(ids % num_partitions)
+        return pa.table(cols).cast(schema)
+
+    def tag_drops(b: pa.Table) -> pa.Table:
+        if not b.num_columns or not b.num_rows:
+            return schema.empty_table()
+        ids = np.asarray(b["drop_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cols = {"doc_id": pa.array(ids)}
+        for c, t in payload_cols:
+            cols[c] = pa.nulls(len(ids), t)
+        cols["_drop"] = pa.array(np.ones(len(ids), dtype=np.int64))
+        cols["_part"] = pa.array(ids % num_partitions)
+        return pa.table(cols).cast(schema)
+
+    unioned = ds.map_batches(tag_data, batch_format="pyarrow").union(
+        drop_ids.map_batches(tag_drops, batch_format="pyarrow")
+    )
+
+    def anti(group: pa.Table) -> pa.Table:
+        if not group.num_columns or not group.num_rows:
+            return out_schema.empty_table()
+        is_drop = np.asarray(pc.is_valid(group["_drop"]).to_numpy(zero_copy_only=False))
+        ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        dropped = np.unique(ids[is_drop])
+        keep = ~is_drop & ~np.isin(ids, dropped)
+        kept = group.filter(pa.array(keep))
+        return pa.table(
+            {"doc_id": kept["doc_id"], **{c: kept[c] for c, _t in payload_cols}}
+        ).cast(out_schema)
+
+    return unioned.groupby("_part").map_groups(anti, batch_format="pyarrow")
+
+
+def curate_corpus(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    langs: "list[str] | None" = None,
+    exact_dedup: bool = True,
+    near_dedup: bool = True,
+    max_hamming: int = 3,
+    bands: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Curated corpus: (doc_id, pred_lang, n_tokens, quality) of the
+    documents that survive quality/language filtering, exact dedup
+    (keep lowest id per identical text) and SimHash near-dedup (drop
+    the higher id of every Hamming-≤k pair, computed ONCE against the
+    post-exact-dedup set)."""
+    from ..functions.common import default_partitions
+    from ..functions.dedup import simhash_neardup_pairs
+
+    P = num_partitions or default_partitions()
+    payload = [(text_col, pa.string()), ("pred_lang", pa.string()),
+               ("n_tokens", pa.int64()), ("quality", pa.float64())]
+
+    lang_set = pa.array(list(langs), pa.string()) if langs else None
+
+    def features_and_filter(b: pa.Table) -> pa.Table:
+        f = curate_features_batch(b, text_col)
+        keep = pc.greater_equal(f["quality"], min_quality)
+        if lang_set is not None:
+            keep = pc.and_(keep, pc.is_in(f["pred_lang"], value_set=lang_set))
+        return f.filter(keep)
+
+    filtered = ds.map_batches(features_and_filter, batch_format="pyarrow")
+
+    survivors = filtered
+    if exact_dedup:
+        def to_hash(b: pa.Table) -> pa.Table:
+            return pa.table({"h": md5_hex_batch(pc.fill_null(b[text_col], "")),
+                             "doc_id": b["doc_id"]})
+
+        from ray.data.aggregate import Min
+
+        keep_min = (
+            survivors.map_batches(to_hash, batch_format="pyarrow")
+            .groupby("h")
+            .aggregate(Min("doc_id", alias_name="keep"))
+        )
+
+        # drops = filtered ids minus the per-hash keepers: co-group on
+        # the hash, emit every id except the minimum
+        def tag_pairs(b: pa.Table) -> pa.Table:
+            return pa.table({"h": md5_hex_batch(pc.fill_null(b[text_col], "")),
+                             "doc_id": b["doc_id"].cast(pa.int64())})
+
+        hashed = survivors.map_batches(tag_pairs, batch_format="pyarrow")
+
+        def tag_part(b: pa.Table) -> pa.Table:
+            from ..functions.common import md5_u64_batch
+
+            hp = md5_u64_batch(b["h"].combine_chunks())
+            return b.append_column("_part", pa.array((hp % np.uint64(P)).astype(np.int64)))
+
+        def emit_drops(group: pa.Table) -> pa.Table:
+            h = np.asarray(group["h"].to_pylist(), dtype=object)
+            ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            order = np.lexsort((ids, h))
+            h, ids = h[order], ids[order]
+            n = len(h)
+            first = np.empty(n, dtype=bool)
+            if n:
+                first[0] = True
+                first[1:] = h[1:] != h[:-1]
+            return pa.table({"drop_id": pa.array(ids[~first])})
+
+        drops = (
+            hashed.map_batches(tag_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(emit_drops, batch_format="pyarrow")
+        )
+        survivors = _subtract_ids(survivors, drops, payload, P)
+
+    if near_dedup:
+        pairs = simhash_neardup_pairs(
+            survivors, max_hamming=max_hamming, bands=bands, text_col=text_col,
+            num_partitions=P,
+        )
+
+        def pair_drops(b: pa.Table) -> pa.Table:
+            if not b.num_columns or not b.num_rows:
+                return pa.table({"drop_id": pa.array([], pa.int64())})
+            return pa.table({"drop_id": b["b"].cast(pa.int64())})
+
+        survivors = _subtract_ids(
+            survivors, pairs.map_batches(pair_drops, batch_format="pyarrow"), payload, P
+        )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "pred_lang": b["pred_lang"],
+                "n_tokens": b["n_tokens"],
+                "quality": b["quality"],
+            }
+        )
+
+    return survivors.map_batches(project, batch_format="pyarrow")
