@@ -69,6 +69,44 @@ def _plane_values_sql(n_planes: int, dim: int = 64, seed: int = 13) -> str:
     )
 
 
+def _minhash_pairs_cte() -> str:
+    """CTE chain ending in ``agree(a, b, est)`` — the MinHash+LSH
+    candidate pairs with signature-agreement estimates (seeded perm
+    constants inlined); shared by dedup_minhash_lsh and
+    neardup_components."""
+    return f"""{TOKENS_CTE},
+            agg AS (SELECT doc_id, list(term ORDER BY token_id) AS toks FROM tokens GROUP BY doc_id),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+                    FROM agg)),
+            perms AS (SELECT * FROM (VALUES {_perm_values_sql(64)}) AS t(p, a, b)),
+            hashes AS (SELECT doc_id,
+                              ('0x' || substr(md5(shingle), 1, 16))::UBIGINT % 2147483647 AS h
+                       FROM sh),
+            sigs AS (SELECT doc_id, p,
+                            min((a::UBIGINT * h + b::UBIGINT) % 2147483647) AS sig
+                     FROM hashes CROSS JOIN perms GROUP BY doc_id, p),
+            bnd AS (SELECT doc_id, p // 4 AS band,
+                           string_agg(sig::VARCHAR, '-' ORDER BY p) AS pattern
+                    FROM sigs GROUP BY doc_id, p // 4),
+            bsz AS (SELECT band, pattern, count(*) AS g FROM bnd GROUP BY band, pattern),
+            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                     FROM bnd x
+                     JOIN bnd y ON x.band = y.band AND x.pattern = y.pattern
+                                AND x.doc_id < y.doc_id
+                     JOIN bsz ON bsz.band = x.band AND bsz.pattern = x.pattern
+                     WHERE bsz.g <= 256),
+            agree AS (SELECT cand.a, cand.b,
+                             sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / 64.0 AS est
+                      FROM cand
+                      JOIN sigs sa ON sa.doc_id = cand.a
+                      JOIN sigs sb ON sb.doc_id = cand.b AND sb.p = sa.p
+                      GROUP BY cand.a, cand.b)"""
+
+
 # LSH sign-bucket CTE fragment shared by embed_neardup / ann_lsh: raw
 # dot products (sign equals the normalized-dot sign) per (vec, plane).
 def _lsh_dots_cte(plane_vals: str) -> str:
@@ -368,6 +406,16 @@ def _q_simhash(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(simhash_batch, batch_format="pyarrow")
 
 
+def _q_neardup_components(sf_dir: str):
+    """MinHash-LSH pairs → connected components (near-dup clusters,
+    min-id canonical labels) via distributed label propagation."""
+    from fulltextsearch_ray.functions.components import connected_components
+    from fulltextsearch_ray.functions.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs_ds(sf_dir), num_perm=64, bands=16, threshold=0.5)
+    return connected_components(pairs)
+
+
 def _q_simhash_neardup(sf_dir: str):
     from fulltextsearch_ray.functions.dedup import simhash_neardup_pairs
 
@@ -617,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_simhash,
         "dedup_simhash_neardup": _q_simhash_neardup,
         "dedup_minhash_lsh": _q_minhash,
+        "neardup_components": _q_neardup_components,
         "embed_neardup": _q_embed_neardup,
         "ann_cosine": _q_ann,
         "ann_lsh": _q_ann_lsh,
@@ -774,39 +823,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_r6('common.c / (sa.n + sb.n - common.c)')} >= 0.02
         """,
         "dedup_minhash_lsh": f"""
-            WITH {TOKENS_CTE},
-            agg AS (SELECT doc_id, list(term ORDER BY token_id) AS toks FROM tokens GROUP BY doc_id),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                array_to_string(toks[i:i+2], ' ') AS shingle
-              FROM (SELECT doc_id, toks,
-                      unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
-                    FROM agg)),
-            perms AS (SELECT * FROM (VALUES {_perm_values_sql(64)}) AS t(p, a, b)),
-            hashes AS (SELECT doc_id,
-                              ('0x' || substr(md5(shingle), 1, 16))::UBIGINT % 2147483647 AS h
-                       FROM sh),
-            sigs AS (SELECT doc_id, p,
-                            min((a::UBIGINT * h + b::UBIGINT) % 2147483647) AS sig
-                     FROM hashes CROSS JOIN perms GROUP BY doc_id, p),
-            bnd AS (SELECT doc_id, p // 4 AS band,
-                           string_agg(sig::VARCHAR, '-' ORDER BY p) AS pattern
-                    FROM sigs GROUP BY doc_id, p // 4),
-            bsz AS (SELECT band, pattern, count(*) AS g FROM bnd GROUP BY band, pattern),
-            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                     FROM bnd x
-                     JOIN bnd y ON x.band = y.band AND x.pattern = y.pattern
-                                AND x.doc_id < y.doc_id
-                     JOIN bsz ON bsz.band = x.band AND bsz.pattern = x.pattern
-                     WHERE bsz.g <= 256),
-            agree AS (SELECT cand.a, cand.b,
-                             sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / 64.0 AS est
-                      FROM cand
-                      JOIN sigs sa ON sa.doc_id = cand.a
-                      JOIN sigs sb ON sb.doc_id = cand.b AND sb.p = sa.p
-                      GROUP BY cand.a, cand.b)
+            WITH {_minhash_pairs_cte()}
             SELECT a::BIGINT AS a, b::BIGINT AS b, {_r6('est')} AS est_jaccard
             FROM agree WHERE est >= 0.5
+        """,
+        "neardup_components": f"""
+            WITH RECURSIVE {_minhash_pairs_cte()},
+            prs AS (SELECT a, b FROM agree WHERE est >= 0.5),
+            e AS (SELECT a AS src, b AS dst FROM prs
+                  UNION ALL SELECT b, a FROM prs),
+            reach(n, m) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.n, e.dst FROM reach r JOIN e ON e.src = r.m)
+            SELECT n::BIGINT AS doc_id, least(n, min(m))::BIGINT AS component
+            FROM reach GROUP BY n
         """,
         "dedup_simhash": f"""
             WITH {TOKENS_CTE},
