@@ -388,6 +388,43 @@ def _q_highlight(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(hl, batch_format="pyarrow")
 
 
+def _q_enwiki_parse(sf_dir: str):
+    """XML round-trip gate for the enwiki source (reference input type
+    ``enwiki``): documents are rendered into abstract-dump-shaped XML
+    shards (title = "Wikipedia: " + first 40 chars, escaped), then
+    parsed back by ``read_enwiki_corpus`` — positional ids must equal
+    the doc_id rank and content must round-trip exactly."""
+    import xml.sax.saxutils as sax
+
+    import pyarrow.parquet as pq
+
+    from fulltextsearch_ray.sources.enwiki import read_enwiki_corpus
+
+    tag = hashlib.md5(f"{sf_dir}:enwiki-v1".encode()).hexdigest()[:10]
+    xml_dir = os.path.join("/tmp", "ftsray_cache", f"enwiki-{tag}")
+    done = os.path.join(xml_dir, "_done")
+    if not os.path.exists(done):
+        os.makedirs(xml_dir, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        t = t.sort_by("doc_id")
+        titles = [s[:40] for s in t["text"].to_pylist()]
+        shards = 4
+        per = (len(titles) + shards - 1) // shards
+        for s in range(shards):
+            chunk = titles[s * per : (s + 1) * per]
+            with open(os.path.join(xml_dir, f"shard-{s:02d}.xml"), "w", encoding="utf-8") as f:
+                f.write("<feed>\n")
+                for title in chunk:
+                    f.write(f"  <doc><title>Wikipedia: {sax.escape(title)}</title></doc>\n")
+                f.write("</feed>\n")
+        open(done, "w").close()
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"].cast(pa.int64()), "content": b["content"]})
+
+    return read_enwiki_corpus(xml_dir).map_batches(project, batch_format="pyarrow")
+
+
 def _q_dedup_exact(sf_dir: str):
     from fulltextsearch_ray.functions.dedup import exact_dedup
 
@@ -660,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_doc_groups": _q_search_docs,
         "highlight": _q_highlight,
         # — training-data operators —
+        "enwiki_parse": _q_enwiki_parse,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
@@ -792,6 +830,11 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(text, '\\btable\\b', 'TABLE', 'g') AS annotated
             FROM documents
             WHERE regexp_matches(text, '\\btable\\b')
+        """,
+        "enwiki_parse": """
+            SELECT row_number() OVER (ORDER BY doc_id)::BIGINT AS doc_id,
+                   substr(text, 1, 40) AS content
+            FROM documents
         """,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies

@@ -30,11 +30,23 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="fulltextsearch_ray")
     sub = p.add_subparsers(dest="verb", required=True)
 
-    p_index = sub.add_parser("index", help="build an inverted index from parquet")
+    p_index = sub.add_parser("index", help="build an inverted index")
     p_index.add_argument("--input", required=True)
     p_index.add_argument("--index", required=True)
     p_index.add_argument("--text-col", default="content")
     p_index.add_argument("--num-buckets", type=int, default=64)
+    p_index.add_argument(
+        "--input-type",
+        default="parquet",
+        choices=["parquet", "enwiki", "text", "name"],
+        help="parquet corpus (default), enwiki XML titles, directory of "
+        "text files, or file NAMES as documents (reference input types)",
+    )
+    p_index.add_argument("--filter", default=None, help="file glob for enwiki/text/name inputs")
+
+    p_fetch = sub.add_parser("download", help="mirror dump shards into a directory (resumable)")
+    p_fetch.add_argument("--url", action="append", required=True, dest="urls")
+    p_fetch.add_argument("--dest", required=True)
 
     for verb, arg in (("search", "--query"), ("bm25", "--query"), ("lookup", "--pattern")):
         sp = sub.add_parser(verb)
@@ -96,13 +108,49 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name:12s}  N={n}  bytes={len(buf)}  encode={e * 1000:.2f}ms  decode={dtd * 1000:.2f}ms")
         return 0
 
+    if args.verb == "download":
+        from .sources.enwiki import fetch_to_dir
+
+        for path in fetch_to_dir(args.urls, args.dest):
+            print(path)
+        return 0
+
     if args.verb == "index":
         _ensure_ray()
         from .pipelines.build import build_index
 
-        meta = build_index(
-            args.input, args.index, text_col=args.text_col, num_buckets=args.num_buckets
-        )
+        if args.input_type == "parquet":
+            meta = build_index(
+                args.input, args.index, text_col=args.text_col, num_buckets=args.num_buckets
+            )
+        else:
+            from .pipelines.build import load_meta
+            from .sources.enwiki import read_enwiki_corpus, read_text_dir
+            from .state.index import IndexMeta
+
+            try:
+                start_id = load_meta(args.index).next_doc_id
+            except FileNotFoundError:
+                start_id = IndexMeta().next_doc_id
+            if args.input_type == "enwiki":
+                ds = read_enwiki_corpus(
+                    args.input, start_id=start_id, **({"pattern": args.filter} if args.filter else {})
+                )
+            else:
+                ds = read_text_dir(
+                    args.input,
+                    mode=args.input_type,
+                    start_id=start_id,
+                    **({"pattern": args.filter} if args.filter else {}),
+                )
+            meta = build_index(
+                ds,
+                args.index,
+                text_col="content",
+                doc_id_col="doc_id",
+                meta_cols=("meta",),
+                num_buckets=args.num_buckets,
+            )
         print(f"Indexed documents: {meta.num_docs}, time: {time.time() - t0:.3f}s")
         return 0
 

@@ -1,0 +1,125 @@
+"""enwiki XML / text-directory sources (reference input types
+enwiki / text / name, ConsoleUtil/Program.cs:297-356) and the
+download-mirror helper (file:// URLs — no network in tests)."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from fulltextsearch_ray.sources.enwiki import (
+    fetch_to_dir,
+    iter_enwiki_titles,
+    read_enwiki_corpus,
+    read_text_dir,
+)
+
+XML_A = """<?xml version="1.0" encoding="utf-8"?>
+<feed xmlns="http://www.mediawiki.org/xml/export-0.10/">
+  <doc>
+    <title>Wikipedia: Anarchism</title>
+    <abstract>ignored text</abstract>
+  </doc>
+  <doc>
+    <title>Wikipedia: Apollo</title>
+  </doc>
+  <doc>
+    <title></title>
+  </doc>
+</feed>
+"""
+
+XML_B = """<feed>
+  <doc><title>Plain Banana</title></doc>
+</feed>
+"""
+
+
+@pytest.fixture(scope="module")
+def wiki_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wiki")
+    (d / "a-abstract.xml").write_text(XML_A, encoding="utf-8")
+    with gzip.open(d / "b-abstract.xml.gz", "wt", encoding="utf-8") as f:
+        f.write(XML_B)
+    return str(d)
+
+
+def test_iter_titles_strips_prefix_skips_empty(wiki_dir):
+    titles = list(iter_enwiki_titles(os.path.join(wiki_dir, "a-abstract.xml")))
+    assert titles == ["Anarchism", "Apollo"]  # empty title dropped, prefix stripped
+
+
+def test_iter_titles_gzip(wiki_dir):
+    assert list(iter_enwiki_titles(os.path.join(wiki_dir, "b-abstract.xml.gz"))) == [
+        "Plain Banana"
+    ]
+
+
+def test_read_enwiki_corpus_positional_ids(ray_session, wiki_dir):
+    rows = sorted(
+        read_enwiki_corpus(wiki_dir).take_all(), key=lambda r: r["doc_id"]
+    )
+    # sorted file list: a-abstract.xml (2 titles) then b-abstract.xml.gz (1)
+    assert [(r["doc_id"], r["content"]) for r in rows] == [
+        (1, "Anarchism"),
+        (2, "Apollo"),
+        (3, "Plain Banana"),
+    ]
+    # per-file ordinal restarts in file b, mirroring the reference's counter
+    assert [json.loads(r["meta"])["id"] for r in rows] == [1, 2, 1]
+
+
+def test_enwiki_index_end_to_end(ray_session, wiki_dir, tmp_path):
+    from fulltextsearch_ray.pipelines.build import build_index
+    from fulltextsearch_ray.pipelines.query import IndexSearcher
+
+    idx = str(tmp_path / "idx")
+    build_index(
+        read_enwiki_corpus(wiki_dir),
+        idx,
+        text_col="content",
+        doc_id_col="doc_id",
+        meta_cols=("meta",),
+        num_buckets=2,
+    )
+    s = IndexSearcher(idx)
+    assert s.search_to_string("WORD(apollo)") == "{[2,1,1]}"
+    assert s.search_to_string("WORD(banana)") == "{[3,1,2]}"
+    assert json.loads(s.get_metadata(3)["meta"]) == {"id": 1}
+
+
+@pytest.fixture(scope="module")
+def txt_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("txts")
+    (d / "one.txt").write_text("hello world", encoding="utf-8")
+    (d / "two.txt").write_text("goodbye world", encoding="utf-8")
+    return str(d)
+
+
+def test_read_text_dir_content_mode(ray_session, txt_dir):
+    rows = sorted(read_text_dir(txt_dir).take_all(), key=lambda r: r["doc_id"])
+    assert [r["content"] for r in rows] == ["hello world", "goodbye world"]
+    meta = json.loads(rows[0]["meta"])
+    assert meta["filename"].endswith("one.txt") and meta["size"] == 11
+
+
+def test_read_text_dir_name_mode(ray_session, txt_dir):
+    rows = sorted(
+        read_text_dir(txt_dir, mode="name").take_all(), key=lambda r: r["doc_id"]
+    )
+    assert rows[0]["content"].endswith("one.txt")
+    with pytest.raises(ValueError):
+        read_text_dir(txt_dir, mode="bogus")
+
+
+def test_fetch_to_dir_file_urls_resumable(wiki_dir, tmp_path):
+    src = os.path.join(wiki_dir, "a-abstract.xml")
+    urls = ["file://" + src]
+    dest = str(tmp_path / "mirror")
+    got = fetch_to_dir(urls, dest)
+    assert got == [os.path.join(dest, "a-abstract.xml")]
+    assert open(got[0]).read() == XML_A
+    mtime = os.path.getmtime(got[0])
+    assert fetch_to_dir(urls, dest) == got  # second run skips (resumable)
+    assert os.path.getmtime(got[0]) == mtime
