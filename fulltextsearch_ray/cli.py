@@ -97,15 +97,44 @@ def main(argv: list[str] | None = None) -> int:
               f"decode={td * 1000:.2f}ms  probes={probes}")
         deltas = np.diff(np.r_[np.uint64(0), t])
         for name, codec in POSTING_CODECS.items():
-            src = deltas.astype(np.uint32) if name in ("groupvarint", "binary") else deltas
+            # binarycompressed delta-encodes INTERNALLY: feed it the raw
+            # ascending stream; plain int codecs get the delta stream
+            if name == "binarycompressed":
+                src = expect = t
+            elif name in ("groupvarint", "binary"):
+                src, expect = deltas.astype(np.uint32), deltas
+            else:
+                src = expect = deltas
             e0 = time.perf_counter()
             buf = codec.encode(src)
             e = time.perf_counter() - e0
             d0 = time.perf_counter()
             out = codec.decode(buf)
             dtd = time.perf_counter() - d0
-            assert np.array_equal(np.asarray(out[:n], dtype=np.uint64), deltas), name
+            assert np.array_equal(np.asarray(out[:n], dtype=np.uint64), expect), name
             print(f"{name:12s}  N={n}  bytes={len(buf)}  encode={e * 1000:.2f}ms  decode={dtd * 1000:.2f}ms")
+
+        # dictionary-key encodings (C7 family): packed-key bytes vs
+        # raw utf-8 over a synthetic sorted vocabulary
+        from .sources.corpus import synth_code_batch
+        from .textcodec import BUILDERS, encode_sorted_terms
+        from .tokenizer import tokenize_batch
+
+        tbl = synth_code_batch(0, 200)
+        toks = tokenize_batch(tbl["content"])
+        terms = sorted(set(toks.terms.to_pylist()))
+        raw = sum(len(t.encode("utf-8")) for t in terms)
+        for bname in BUILDERS:
+            ke0 = time.perf_counter()
+            enc, encoded = encode_sorted_terms(terms, bname)
+            ke = time.perf_counter() - ke0
+            packed = sum(len(e) for e in encoded)
+            order_ok = encoded == sorted(encoded)
+            print(
+                f"dict-{bname:9s}  terms={len(terms)}  utf8={raw}B  packed={packed}B "
+                f"({100 * packed / raw:.0f}%)  build+encode={ke * 1000:.1f}ms  "
+                f"order_preserved={order_ok}"
+            )
         return 0
 
     if args.verb == "download":

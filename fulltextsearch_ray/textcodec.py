@@ -1,0 +1,260 @@
+"""Variable-length character encodings for dictionary keys — the
+reference's C7 text-encoding family (``Common/Compression/``:
+``HuffmanEncodingBuilder``, ``HuTuckerBuilder`` /
+``HuTuckerSimpleBuilder``, ``BalancedByWeightBuilder``,
+``VarLenCharEncoding`` — behavior observed, no code copied).
+
+Three prefix-free char codes over an observed alphabet + a terminal
+symbol (``\\x00``) that marks end-of-string inside packed bytes:
+
+- ``huffman`` — minimum-redundancy code (bit-length optimal, order NOT
+  preserved).
+- ``hutucker`` — optimal ALPHABETIC code: codewords of
+  alphabetically-ordered symbols are themselves in lexicographic
+  order, so ENCODED keys sort exactly like the source strings — range
+  scans and lower-bound seeks work directly on encoded bytes.
+  Computed with the interval DP for optimal alphabetic binary trees
+  (numpy-vectorized inner minimization; alphabets are char-scale so
+  O(n³) flops are trivial).
+- ``balanced`` — Shannon-Fano-style split by cumulative weight over
+  the alphabetic symbol order (also order-preserving, not optimal).
+
+The main serving path stores the term dictionary as Parquet
+(dictionary+zstd — SURVEY §1.5); these codecs exist for format-matrix
+parity and for the opt-in packed-key representation
+(:func:`encode_sorted_terms`), whose order-preservation is tested.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+
+TERMINAL = "\x00"
+
+Bits = tuple[int, ...]
+
+
+# ---------------------------------------------------------------------------
+# code builders: symbol->frequency  →  symbol->bit tuple
+# ---------------------------------------------------------------------------
+
+
+def build_huffman(freqs: dict[str, int]) -> dict[str, Bits]:
+    """Classic Huffman with deterministic tie-breaking (weight, then
+    insertion order; first-popped subtree becomes the 0 branch)."""
+    _check_freqs(freqs)
+    heap: list[tuple[int, int, object]] = []
+    for i, (sym, f) in enumerate(sorted(freqs.items())):
+        heapq.heappush(heap, (int(f), i, sym))
+    next_id = len(heap)
+    while len(heap) > 1:
+        f1, _, n1 = heapq.heappop(heap)
+        f2, _, n2 = heapq.heappop(heap)
+        heapq.heappush(heap, (f1 + f2, next_id, (n1, n2)))
+        next_id += 1
+    codes: dict[str, Bits] = {}
+
+    def walk(node, prefix: Bits) -> None:
+        if isinstance(node, str):
+            codes[node] = prefix or (0,)  # single-symbol alphabet edge case
+            return
+        walk(node[0], prefix + (0,))
+        walk(node[1], prefix + (1,))
+
+    walk(heap[0][2], ())
+    return codes
+
+
+def build_balanced(freqs: dict[str, int]) -> dict[str, Bits]:
+    """Shannon-Fano-style: recursively split the ALPHABETICALLY ordered
+    symbol run where cumulative weight balances — order-preserving."""
+    _check_freqs(freqs)
+    syms = sorted(freqs)
+    w = np.array([freqs[s] for s in syms], dtype=np.float64)
+    cum = np.concatenate([[0.0], np.cumsum(w)])
+    codes: dict[str, Bits] = {}
+
+    def split(lo: int, hi: int, prefix: Bits) -> None:
+        if hi - lo == 1:
+            codes[syms[lo]] = prefix or (0,)
+            return
+        total = cum[hi] - cum[lo]
+        # cut index minimizing |left - right| with both sides non-empty
+        lefts = cum[lo + 1 : hi] - cum[lo]
+        cut = lo + 1 + int(np.argmin(np.abs(2 * lefts - total)))
+        split(lo, cut, prefix + (0,))
+        split(cut, hi, prefix + (1,))
+
+    split(0, len(syms), ())
+    return codes
+
+
+def build_hutucker(freqs: dict[str, int]) -> dict[str, Bits]:
+    """Optimal alphabetic prefix code (Hu-Tucker cost) via the interval
+    DP for optimal alphabetic binary trees.
+
+    ``cost[i,j]`` = optimal external-path weight of a tree over leaves
+    ``i..j-1`` = ``min_k cost[i,k] + cost[k,j]`` + total weight.  The
+    inner minimization over ``k`` is one vectorized numpy pass per
+    ``(i, length)`` — n≤ a few thousand symbols is instant."""
+    _check_freqs(freqs)
+    syms = sorted(freqs)
+    n = len(syms)
+    if n == 1:
+        return {syms[0]: (0,)}
+    w = np.array([freqs[s] for s in syms], dtype=np.float64)
+    cum = np.concatenate([[0.0], np.cumsum(w)])
+    INF = np.inf
+    cost = np.full((n + 1, n + 1), INF)
+    cut = np.zeros((n + 1, n + 1), dtype=np.int64)
+    for i in range(n):
+        cost[i, i + 1] = 0.0  # a single leaf costs nothing beyond its weight path
+    for span in range(2, n + 1):
+        for i in range(0, n - span + 1):
+            j = i + span
+            ks = np.arange(i + 1, j)
+            totals = cost[i, ks] + cost[ks, j]
+            best = int(np.argmin(totals))
+            cost[i, j] = totals[best] + (cum[j] - cum[i])
+            cut[i, j] = ks[best]
+    codes: dict[str, Bits] = {}
+
+    def walk(i: int, j: int, prefix: Bits) -> None:
+        if j - i == 1:
+            codes[syms[i]] = prefix or (0,)
+            return
+        k = int(cut[i, j])
+        walk(i, k, prefix + (0,))
+        walk(k, j, prefix + (1,))
+
+    walk(0, n, ())
+    return codes
+
+
+def _check_freqs(freqs: dict[str, int]) -> None:
+    if not freqs:
+        raise ValueError("empty frequency table")
+    for s in freqs:
+        if len(s) != 1:
+            raise ValueError(f"symbols must be single characters, got {s!r}")
+
+
+BUILDERS = {
+    "huffman": build_huffman,
+    "hutucker": build_hutucker,
+    "balanced": build_balanced,
+}
+
+
+# ---------------------------------------------------------------------------
+# encoding object: text ↔ packed bits with terminal symbol
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class VarLenTextEncoding:
+    codes: dict[str, Bits]
+
+    @classmethod
+    def from_frequencies(cls, freqs: dict[str, int], builder: str = "hutucker") -> "VarLenTextEncoding":
+        f = dict(freqs)
+        f.setdefault(TERMINAL, 1)
+        return cls(BUILDERS[builder](f))
+
+    @classmethod
+    def from_text(cls, text: str, builder: str = "hutucker") -> "VarLenTextEncoding":
+        freqs: dict[str, int] = {}
+        for ch in text:
+            freqs[ch] = freqs.get(ch, 0) + 1
+        return cls.from_frequencies(freqs, builder)
+
+    @classmethod
+    def from_codes(cls, codes: dict[str, Bits]) -> "VarLenTextEncoding":
+        """Reconstruct from an explicit codebook (reference
+        ``VarLenCharEncoding.FromCodes``) — validates prefix-freedom."""
+        seen = sorted("".join(map(str, bits)) for bits in codes.values())
+        for a, b in zip(seen, seen[1:]):
+            if b.startswith(a):
+                raise ValueError(f"code {a} is a prefix of {b}: not prefix-free")
+        return cls(dict(codes))
+
+    def encode_bits(self, value: str, *, terminated: bool = True) -> Bits:
+        out: list[int] = []
+        for ch in value:
+            out.extend(self.codes[ch])
+        if terminated:
+            out.extend(self.codes[TERMINAL])
+        return tuple(out)
+
+    def encode(self, value: str) -> bytes:
+        """Pack ``value``'s bits (+ terminal code) into bytes, zero
+        padded — the reference's ``EncodeBits`` layout (MSB first)."""
+        bits = np.array(self.encode_bits(value), dtype=np.uint8)
+        return np.packbits(bits).tobytes()
+
+    def decode(self, data: bytes | Bits) -> str:
+        """Decode packed bytes (stop at terminal) or a raw bit tuple
+        (consume fully, no terminal required — reference ``Decode``)."""
+        stop_at_terminal = isinstance(data, (bytes, bytearray))
+        if stop_at_terminal:
+            bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        else:
+            bits = np.asarray(data, dtype=np.uint8)
+        # walk a decoding trie built lazily from the codebook
+        trie = self._trie()
+        out: list[str] = []
+        node = trie
+        for b in bits:
+            node = node[int(b)]
+            if node is None:
+                raise ValueError("invalid bit sequence: no symbol on this path")
+            if isinstance(node, str):
+                if stop_at_terminal and node == TERMINAL:
+                    return "".join(out)
+                out.append(node)
+                node = trie
+        if stop_at_terminal:
+            raise ValueError("no terminal symbol found in encoded data")
+        return "".join(out)
+
+    def _trie(self):
+        if not hasattr(self, "_trie_cache"):
+            root: list = [None, None]
+            for sym, bits in self.codes.items():
+                node = root
+                for b in bits[:-1]:
+                    if node[b] is None:
+                        node[b] = [None, None]
+                    node = node[b]
+                node[bits[-1]] = sym
+            object.__setattr__(self, "_trie_cache", root)
+        return self._trie_cache
+
+    def mean_bits_per_char(self, freqs: dict[str, int]) -> float:
+        total = sum(freqs.values())
+        return sum(len(self.codes[s]) * f for s, f in freqs.items() if s in self.codes) / total
+
+
+# ---------------------------------------------------------------------------
+# dictionary-key application
+# ---------------------------------------------------------------------------
+
+
+def encode_sorted_terms(terms: list[str], builder: str = "hutucker") -> tuple[VarLenTextEncoding, list[bytes]]:
+    """Encode a SORTED term list with an order-preserving code.  With
+    ``hutucker``/``balanced`` the returned PACKED byte strings compare
+    in the same order as the terms (tested property), so a packed-key
+    term dictionary still supports binary search and prefix range
+    scans.  (Terminated encodings are mutually prefix-free, so the
+    first differing bit of two distinct keys always lands inside real
+    bits of both — zero padding can neither flip an order nor collide
+    two keys.)"""
+    freqs: dict[str, int] = {}
+    for t in terms:
+        for ch in t:
+            freqs[ch] = freqs.get(ch, 0) + 1
+    enc = VarLenTextEncoding.from_frequencies(freqs, builder)
+    return enc, [enc.encode(t) for t in terms]

@@ -1,0 +1,139 @@
+"""C7 text-encoding family (reference TextEncodingTests.cs ported:
+round-trips over the multilingual fixture, FromCodes reconstruction
+golden) plus order-preservation and optimality properties the
+reference relies on implicitly."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from fulltextsearch_ray.textcodec import (
+    TERMINAL,
+    VarLenTextEncoding,
+    build_balanced,
+    build_huffman,
+    build_hutucker,
+    encode_sorted_terms,
+)
+
+
+def _reference_fixture_text() -> str:
+    # the reference test corpus (TextEncodingTests.cs Test<T>)
+    parts = []
+    for j in range(1000):
+        parts.append("Hello" + str(j))
+        parts.append("Здоровенькі" + str(j))
+        parts.append("Були" + str(j))
+        parts.append("Окружение" + str(j))
+        parts.append("שלום" + str(j))
+        parts.append("עולם" + str(j))
+        parts.append("ТестыТексты" + str(j))
+        parts.append("ТестыТексты" + str(j))
+        parts.append("Ϩڀर஁Ⲫ" + str(j))
+    return "".join(parts)
+
+
+@pytest.mark.parametrize("builder", ["huffman", "hutucker", "balanced"])
+def test_roundtrip_reference_fixture(builder):
+    text = _reference_fixture_text()
+    enc = VarLenTextEncoding.from_text(text, builder)
+    data = enc.encode(text)
+    assert enc.decode(data) == text
+    # a real encoding: strictly fewer bits than 2 bytes/char
+    assert len(data) < 2 * len(text)
+
+
+def test_from_codes_reference_golden():
+    # exact reference expectation (TextEncodingTests.EncodingReconstruction)
+    codes = {
+        "_": (1, 1, 1),
+        "a": (0, 1, 0),
+        "e": (0, 0, 0),
+        "f": (1, 1, 0, 1),
+        "h": (1, 0, 1, 0),
+        "i": (1, 0, 0, 0),
+        "m": (0, 1, 1, 1),
+        "n": (0, 0, 1, 0),
+        "s": (1, 0, 1, 1),
+        "t": (0, 1, 1, 0),
+        "l": (1, 1, 0, 0, 1),
+        "o": (0, 0, 1, 1, 0),
+        "p": (1, 0, 0, 1, 1),
+        "r": (1, 1, 0, 0, 0),
+        "u": (0, 0, 1, 1, 1),
+        "x": (1, 0, 0, 1, 0),
+    }
+    enc = VarLenTextEncoding.from_codes(codes)
+    bits = (1, 0, 1, 0, 0, 0, 0, 1, 1, 0, 0, 1, 1, 1, 0, 0, 1, 0, 0, 1, 1, 0)
+    assert enc.decode(bits) == "hello"
+
+
+def test_from_codes_rejects_non_prefix_free():
+    with pytest.raises(ValueError, match="prefix"):
+        VarLenTextEncoding.from_codes({"a": (0,), "b": (0, 1)})
+
+
+@pytest.mark.parametrize("builder", ["hutucker", "balanced"])
+def test_alphabetic_codes_preserve_order(builder):
+    rng = np.random.default_rng(7)
+    alphabet = list("abcdefgzé߷")
+    terms = sorted(
+        {"".join(rng.choice(alphabet, size=rng.integers(1, 9))) for _ in range(300)}
+    )
+    enc, encoded = encode_sorted_terms(terms, builder)
+    assert encoded == sorted(encoded), "packed keys must sort like the terms"
+    assert len(set(encoded)) == len(terms), "packed keys must stay distinct"
+    # round-trip through the packed form
+    assert [enc.decode(e) for e in encoded] == terms
+
+
+def test_huffman_beats_or_ties_alphabetic_codes():
+    text = _reference_fixture_text()
+    freqs: dict[str, int] = {}
+    for ch in text:
+        freqs[ch] = freqs.get(ch, 0) + 1
+    freqs[TERMINAL] = 1
+    hu = VarLenTextEncoding(build_huffman(freqs)).mean_bits_per_char(freqs)
+    ht = VarLenTextEncoding(build_hutucker(freqs)).mean_bits_per_char(freqs)
+    ba = VarLenTextEncoding(build_balanced(freqs)).mean_bits_per_char(freqs)
+    assert hu <= ht + 1e-9  # Huffman is cost-optimal overall
+    assert ht <= ba + 1e-9  # Hu-Tucker is optimal among alphabetic codes
+
+
+def _brute_force_alphabetic_cost(weights):
+    """Min external path weight over ALL binary trees on ordered leaves."""
+    n = len(weights)
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def best(i, j):
+        if j - i == 1:
+            return 0
+        total = sum(weights[i:j])
+        return total + min(best(i, k) + best(k, j) for k in range(i + 1, j))
+
+    return best(0, n)
+
+
+def test_hutucker_matches_brute_force_optimum():
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(2, 9))
+        w = [int(x) for x in rng.integers(1, 50, size=n)]
+        syms = [chr(ord("a") + i) for i in range(n)]
+        codes = build_hutucker(dict(zip(syms, w)))
+        got = sum(len(codes[s]) * wi for s, wi in zip(syms, w))
+        assert got == _brute_force_alphabetic_cost(tuple(w)), (n, w)
+
+
+def test_decode_without_terminal_raises():
+    # explicit codebook where an all-zero stream can never reach the
+    # terminal symbol: decode must fail loudly, never return garbage
+    enc = VarLenTextEncoding.from_codes({TERMINAL: (1, 1), "a": (0,), "b": (1, 0)})
+    with pytest.raises(ValueError, match="terminal"):
+        enc.decode(b"\x00\x00")
+    # and a path that falls off the code trie is an error too
+    sparse = VarLenTextEncoding.from_codes({TERMINAL: (1, 1), "a": (0, 0)})
+    with pytest.raises(ValueError, match="no symbol"):
+        sparse.decode(b"\x40")  # 01... — dead branch
