@@ -425,6 +425,36 @@ def _q_enwiki_parse(sf_dir: str):
     return read_enwiki_corpus(xml_dir).map_batches(project, batch_format="pyarrow")
 
 
+def _q_split_hash(sf_dir: str):
+    from fulltextsearch_ray.functions.sampling import split_by_hash
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"].cast(pa.int64()), "split": b["split"]})
+
+    return split_by_hash(_docs_ds(sf_dir, ("doc_id",))).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
+def _q_sample_stratified(sf_dir: str):
+    from fulltextsearch_ray.functions.sampling import stratified_sample
+
+    rates = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1}
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"].cast(pa.int64()), "lang": b["lang"]})
+
+    return stratified_sample(
+        _docs_ds(sf_dir, ("doc_id", "lang")), group_col="lang", rates=rates
+    ).map_batches(project, batch_format="pyarrow")
+
+
+def _q_pack_sequences(sf_dir: str):
+    from fulltextsearch_ray.functions.sampling import pack_sequences
+
+    return pack_sequences(_docs_ds(sf_dir), seq_len=256)
+
+
 def _q_dedup_exact(sf_dir: str):
     from fulltextsearch_ray.functions.dedup import exact_dedup
 
@@ -698,6 +728,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight": _q_highlight,
         # — training-data operators —
         "enwiki_parse": _q_enwiki_parse,
+        "split_hash": _q_split_hash,
+        "sample_stratified": _q_sample_stratified,
+        "pack_sequences": _q_pack_sequences,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
@@ -835,6 +868,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY doc_id)::BIGINT AS doc_id,
                    substr(text, 1, 40) AS content
             FROM documents
+        """,
+        "split_hash": """
+            SELECT doc_id,
+                   CASE WHEN b < 9000 THEN 'train'
+                        WHEN b < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 16))::UBIGINT
+                           % 10000 AS b
+                  FROM documents)
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang
+            FROM (SELECT doc_id, lang,
+                         ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 16))::UBIGINT
+                           % 10000 AS b
+                  FROM documents)
+            WHERE b < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                                WHEN 'es' THEN 2500 WHEN 'fr' THEN 1000
+                                ELSE 0 END
+        """,
+        "pack_sequences": """
+            WITH counts AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '[a-z0-9_-]+'))::BIGINT AS n
+              FROM documents),
+            offs AS (
+              SELECT doc_id, n,
+                     COALESCE(sum(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+              FROM counts),
+            sp AS (
+              SELECT doc_id, n, s,
+                     unnest(generate_series(s // 256, (s + n - 1) // 256)) AS seq_id
+              FROM offs WHERE n > 0)
+            SELECT doc_id, seq_id::BIGINT AS seq_id,
+                   greatest(seq_id * 256 - s, 0)::BIGINT AS tok_lo,
+                   least((seq_id + 1) * 256 - s, n)::BIGINT AS tok_hi
+            FROM sp
         """,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies

@@ -1,0 +1,112 @@
+"""Deterministic splits, stratified sampling, sequence packing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from fulltextsearch_ray.functions.sampling import (
+    pack_sequences,
+    split_by_hash,
+    stratified_sample,
+)
+
+
+def _ids_ds(n, extra=None):
+    cols = {"doc_id": pa.array(range(n), pa.int64())}
+    if extra:
+        cols.update(extra)
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def test_split_ratios_and_determinism(ray_session):
+    out = split_by_hash(_ids_ds(4000)).take_all()
+    frac = {s: 0 for s in ("train", "val", "test")}
+    for r in out:
+        frac[r["split"]] += 1
+    assert 0.85 < frac["train"] / 4000 < 0.95
+    assert 0.03 < frac["val"] / 4000 < 0.08
+    # rerun → identical assignment
+    again = split_by_hash(_ids_ds(4000)).take_all()
+    assert {r["doc_id"]: r["split"] for r in out} == {r["doc_id"]: r["split"] for r in again}
+
+
+def test_split_membership_stable_under_corpus_growth(ray_session):
+    small = {r["doc_id"]: r["split"] for r in split_by_hash(_ids_ds(500)).take_all()}
+    big = {r["doc_id"]: r["split"] for r in split_by_hash(_ids_ds(2000)).take_all()}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_split_rejects_bad_ratios(ray_session):
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_by_hash(_ids_ds(10), ratios={"a": 0.5, "b": 0.2})
+
+
+def test_stratified_sample_rates(ray_session):
+    n = 3000
+    langs = pa.array([["en", "de", "xx"][i % 3] for i in range(n)], pa.string())
+    ds = _ids_ds(n, {"lang": langs})
+    kept = stratified_sample(ds, group_col="lang", rates={"en": 1.0, "de": 0.3}).take_all()
+    by = {"en": 0, "de": 0, "xx": 0}
+    for r in kept:
+        by[r["lang"]] += 1
+    assert by["en"] == n // 3  # rate 1.0 keeps everything
+    assert 0.2 < by["de"] / (n // 3) < 0.4
+    assert by["xx"] == 0  # default rate drops unlisted groups
+
+
+def _texts_ds(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_pack_sequences_hand_example(ray_session):
+    # docs with 3, 4, 0, 5 tokens; seq_len=4 → tape [0,12) cut at 4, 8
+    texts = ["a b c", "d e f g", "", "h i j k l"]
+    rows = sorted(
+        pack_sequences(_texts_ds(texts), seq_len=4).take_all(),
+        key=lambda r: (r["seq_id"], r["doc_id"]),
+    )
+    got = [(r["doc_id"], r["seq_id"], r["tok_lo"], r["tok_hi"]) for r in rows]
+    assert got == [
+        (0, 0, 0, 3),  # doc0 fills tape [0,3)
+        (1, 0, 0, 1),  # doc1 token 0 completes seq 0
+        (1, 1, 1, 4),  # doc1 tokens 1-3 into seq 1
+        (3, 1, 0, 1),  # doc3 token 0 completes seq 1
+        (3, 2, 1, 5),  # doc3 tokens 1-4 fill seq 2
+    ]
+
+
+def test_pack_sequences_invariants_vs_reference(ray_session):
+    rng = np.random.default_rng(3)
+    texts = [" ".join(f"t{j}" for j in range(rng.integers(0, 40))) for _ in range(200)]
+    seq_len = 64
+    rows = pack_sequences(_texts_ds(texts), seq_len=seq_len, bucket_size=32).take_all()
+
+    # driver-side reference: one linear pass over the token tape
+    expect = []
+    pos = 0
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        for s in range(pos // seq_len, (pos + n - 1) // seq_len + 1) if n else []:
+            expect.append((i, s, max(s * seq_len - pos, 0), min((s + 1) * seq_len - pos, n)))
+        pos += n
+    got = sorted((r["doc_id"], r["seq_id"], r["tok_lo"], r["tok_hi"]) for r in rows)
+    assert got == sorted(expect)
+    # every full sequence holds exactly seq_len tokens
+    per_seq = {}
+    for _, s, lo, hi in got:
+        per_seq[s] = per_seq.get(s, 0) + (hi - lo)
+    last = max(per_seq)
+    assert all(v == seq_len for s, v in per_seq.items() if s != last)
+
+
+def test_pack_sequences_rejects_bad_seq_len(ray_session):
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(_texts_ds(["a"]), seq_len=0)
