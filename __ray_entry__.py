@@ -455,6 +455,55 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs_ds(sf_dir), seq_len=256)
 
 
+def _q_redact_pii(sf_dir: str):
+    """Gate fixture: the corpus has no PII, so both sides prepend the
+    SAME deterministic email/IP/phone preamble derived from doc_id —
+    the redaction kernels then run on non-degenerate input."""
+    from fulltextsearch_ray.functions.cleaning import redact_pii_batch
+
+    def with_preamble(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pre = [
+            f"user{i}@example.com ip 10.0.{i % 256}.7 call +49{1000000 + i} " for i in ids
+        ]
+        import pyarrow.compute as pc
+
+        text = pc.binary_join_element_wise(pa.array(pre, pa.string()), b["text"], "")
+        return pa.table({"doc_id": b["doc_id"].cast(pa.int64()), "text": text})
+
+    return (
+        _docs_ds(sf_dir)
+        .map_batches(with_preamble, batch_format="pyarrow")
+        .map_batches(redact_pii_batch, batch_format="pyarrow")
+    )
+
+
+def _q_repetition(sf_dir: str):
+    """Gate fixture: inject line breaks (replace ' scan ' → newline) on
+    both sides so the duplicate-line statistics see multi-line docs."""
+    from fulltextsearch_ray.functions.cleaning import repetition_batch
+
+    def with_lines(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "text": pc.replace_substring(b["text"], " scan ", "\n"),
+            }
+        )
+
+    return _docs_ds(sf_dir).map_batches(with_lines, batch_format="pyarrow").map_batches(
+        repetition_batch, batch_format="pyarrow"
+    )
+
+
+def _q_top_bigrams(sf_dir: str):
+    from fulltextsearch_ray.functions.cleaning import top_bigrams
+
+    return top_bigrams(_docs_ds(sf_dir), k=20)
+
+
 def _q_dedup_exact(sf_dir: str):
     from fulltextsearch_ray.functions.dedup import exact_dedup
 
@@ -729,6 +778,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — training-data operators —
         "enwiki_parse": _q_enwiki_parse,
         "split_hash": _q_split_hash,
+        "redact_pii": _q_redact_pii,
+        "repetition": _q_repetition,
+        "top_bigrams": _q_top_bigrams,
         "sample_stratified": _q_sample_stratified,
         "pack_sequences": _q_pack_sequences,
         "dedup_exact": _q_dedup_exact,
@@ -868,6 +920,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY doc_id)::BIGINT AS doc_id,
                    substr(text, 1, 40) AS content
             FROM documents
+        """,
+        "redact_pii": f"""
+            WITH src AS (
+              SELECT doc_id,
+                     'user' || doc_id || '@example.com ip 10.0.' || (doc_id % 256)
+                       || '.7 call +49' || (1000000 + doc_id) || ' ' || text AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                       '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+                     '\\+\\d{{7,15}}', '<PHONE>', 'g') AS clean_text,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(text,
+                     '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))::BIGINT AS n_ip,
+                   len(regexp_extract_all(text, '\\+\\d{{7,15}}'))::BIGINT AS n_phone
+            FROM src
+        """,
+        "repetition": f"""
+            WITH src AS (
+              SELECT doc_id, replace(text, ' scan ', chr(10)) AS text FROM documents),
+            lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM src),
+            lc AS (
+              SELECT doc_id, line, count(*)::BIGINT AS c, len(line)::BIGINT AS ln
+              FROM lines GROUP BY doc_id, line),
+            la AS (
+              SELECT doc_id, sum(c) AS nl, count(*)::BIGINT AS nd,
+                     sum(c * ln) AS tc,
+                     sum(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS dc
+              FROM lc GROUP BY doc_id),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9_-]+')) AS term,
+                     generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_-]+'), 1) AS tid
+              FROM src),
+            big AS (
+              SELECT a.doc_id, a.term || ' ' || b.term AS bg
+              FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.tid = a.tid + 1),
+            bc AS (SELECT doc_id, bg, count(*)::BIGINT AS c FROM big GROUP BY doc_id, bg),
+            ba AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY doc_id)
+            SELECT la.doc_id,
+                   {_r6('1.0 - la.nd / la.nl')} AS dup_line_frac,
+                   {_r6('COALESCE(la.dc / nullif(la.tc, 0), 0)')} AS dup_line_char_frac,
+                   {_r6('COALESCE(ba.mx / ba.tot, 0)')} AS top_bigram_frac
+            FROM la LEFT JOIN ba ON ba.doc_id = la.doc_id
+        """,
+        "top_bigrams": f"""
+            WITH {TOKENS_CTE},
+            big AS (
+              SELECT a.doc_id, a.term || ' ' || b.term AS bigram
+              FROM tokens a JOIN tokens b
+                ON b.doc_id = a.doc_id AND b.token_id = a.token_id + 1),
+            cnt AS (SELECT bigram, count(*)::BIGINT AS n FROM big GROUP BY bigram)
+            SELECT bigram, n FROM cnt ORDER BY n DESC, bigram ASC LIMIT 20
         """,
         "split_hash": """
             SELECT doc_id,
