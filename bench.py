@@ -139,8 +139,10 @@ def bench_ops(sf_dir: str) -> dict:
 
     names = [
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_neardup",
-        "dedup_ngram_jaccard", "embed_neardup", "ann_cosine", "ann_lsh", "ann_ivf",
+        "dedup_ngram_jaccard", "neardup_components", "embed_neardup",
+        "ann_cosine", "ann_lsh", "ann_ivf",
         "lang_id", "quality_score", "fingerprint",
+        "split_hash", "pack_sequences", "redact_pii", "repetition", "top_bigrams",
         "events_window", "events_session",
     ]
     qs = e.queries()

@@ -3,13 +3,22 @@ turns pairwise dedup candidates into CLUSTERS (one canonical doc per
 group of mutual near-duplicates).
 
 Distributed min-label propagation WITH pointer jumping: every node
-starts labeled with its own id; each round (a) labels flow one hop
-across edges, (b) every node adopts its label's label (pointer
-doubling).  The jump step makes convergence O(log diameter) rounds
-instead of O(diameter) — a chain of 1M docs resolves in ~20 rounds.
-Each round is a few hash-partitioned shuffles over (node, label)
-pairs; convergence = the global label sum stops changing (labels are
-monotonically non-increasing).  No driver-side graph.
+starts labeled with the minimum of its own id and its neighbors'; each
+round (a) labels flow one hop across edges and (b) every node adopts
+its label's label (pointer doubling) — both message kinds ride the
+SAME hash-partitioned lookup pass, so one round costs one lookup
+groupby + one min-combine groupby.  The jump step makes convergence
+O(log diameter) rounds instead of O(diameter) — a chain of 1M docs
+resolves in ~20 rounds.  Convergence = the global label sum stops
+changing (labels are monotonically non-increasing).  No driver-side
+graph: driver state is one integer per round.
+
+Partition count tracks the EDGE COUNT (one partition per ~64k
+messages, capped by the cluster default) — groupby/sort output block
+counts follow input block counts, so tiny graphs would otherwise pay
+64-way shuffle scheduling per round, and every round's unions would
+grow the label dataset's block count geometrically without the
+explicit repartition clamp.
 """
 
 from __future__ import annotations
@@ -27,31 +36,27 @@ _MSG_SCHEMA = pa.schema(
 )
 
 
-def _lookup(requests: ray.data.Dataset, providers: ray.data.Dataset, P: int) -> ray.data.Dataset:
-    """Hash-partitioned key lookup: requests (k, dst) × providers
-    (k, lbl) → (node=dst, label=lbl) for every request whose key has a
-    provider.  The shared kernel of the edge pass and the jump pass."""
-
-    def route(group: pa.Table) -> pa.Table:
-        if not group.num_columns or not group.num_rows:
-            return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
-        has_lbl = np.asarray(pc.is_valid(group["lbl"]).to_numpy(zero_copy_only=False))
-        lab_rows = group.filter(pa.array(has_lbl))
-        req_rows = group.filter(pa.array(~has_lbl))
-        if not req_rows.num_rows or not lab_rows.num_rows:
-            return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
-        lk = np.asarray(lab_rows["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        lv = np.asarray(lab_rows["lbl"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        o = np.argsort(lk, kind="stable")
-        lk, lv = lk[o], lv[o]
-        rk = np.asarray(req_rows["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        rd = np.asarray(req_rows["dst"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        idx = np.searchsorted(lk, rk)
-        idx = np.minimum(idx, max(len(lk) - 1, 0))
-        found = lk[idx] == rk
-        return pa.table({"node": pa.array(rd[found]), "label": pa.array(lv[idx[found]])})
-
-    return requests.union(providers).groupby("_part").map_groups(route, batch_format="pyarrow")
+def _route_lookup(group: pa.Table) -> pa.Table:
+    """One partition of the lookup: provider rows (lbl set) answer
+    request rows (dst set) sharing their key — emits (node=dst,
+    label=provider's lbl) for every matched request."""
+    if not group.num_columns or not group.num_rows:
+        return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+    has_lbl = np.asarray(pc.is_valid(group["lbl"]).to_numpy(zero_copy_only=False))
+    lab_rows = group.filter(pa.array(has_lbl))
+    req_rows = group.filter(pa.array(~has_lbl))
+    if not req_rows.num_rows or not lab_rows.num_rows:
+        return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+    lk = np.asarray(lab_rows["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    lv = np.asarray(lab_rows["lbl"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    o = np.argsort(lk, kind="stable")
+    lk, lv = lk[o], lv[o]
+    rk = np.asarray(req_rows["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    rd = np.asarray(req_rows["dst"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    idx = np.searchsorted(lk, rk)
+    idx = np.minimum(idx, max(len(lk) - 1, 0))
+    found = lk[idx] == rk
+    return pa.table({"node": pa.array(rd[found]), "label": pa.array(lv[idx[found]])})
 
 
 def connected_components(
@@ -61,91 +66,91 @@ def connected_components(
     b_col: str = "b",
     max_iters: int = 30,
     num_partitions: int | None = None,
+    rows_per_partition: int = 65536,
 ) -> ray.data.Dataset:
     """(a, b) undirected pair rows → (doc_id, component) where
     ``component`` is the minimum doc id reachable from ``doc_id``
     (only nodes appearing in at least one pair are emitted)."""
-    P = num_partitions or default_partitions()
+    from ray.data.aggregate import Min, Sum
 
-    def to_edge_requests(b: pa.Table) -> pa.Table:
-        if not b.num_columns or not b.num_rows:
-            return _MSG_SCHEMA.empty_table()
-        x = np.asarray(b[a_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-        y = np.asarray(b[b_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-        src = np.concatenate([x, y])
-        dst = np.concatenate([y, x])
-        return pa.table(
-            {
-                "k": pa.array(src),
-                "dst": pa.array(dst),
-                "lbl": pa.nulls(len(src), pa.int64()),
-                "_part": pa.array(src % P),
-            }
-        ).cast(_MSG_SCHEMA)
+    P_cap = num_partitions or default_partitions()
 
-    # Clamp to P blocks once: groupby/sort output block count tracks the
-    # input block count, and every round unions three datasets — without
-    # the clamp the label dataset's block count (and thus per-round
-    # scheduling cost) grows geometrically across rounds.
+    def to_edge_requests(P: int):
+        def fn(b: pa.Table) -> pa.Table:
+            if not b.num_columns or not b.num_rows:
+                return _MSG_SCHEMA.empty_table()
+            x = np.asarray(b[a_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+            y = np.asarray(b[b_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+            src = np.concatenate([x, y])
+            dst = np.concatenate([y, x])
+            return pa.table(
+                {
+                    "k": pa.array(src),
+                    "dst": pa.array(dst),
+                    "lbl": pa.nulls(len(src), pa.int64()),
+                    "_part": pa.array(src % P),
+                }
+            ).cast(_MSG_SCHEMA)
+
+        return fn
+
+    # Materialize the pair set once (it feeds the count below AND the
+    # edge pass — without this the caller's whole candidate pipeline
+    # would re-execute for each consumer), then size P to the data.
+    pairs = pairs.materialize()
+    n_msgs = 2 * pairs.count()
+    if n_msgs == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
+        )
+    P = max(2, min(P_cap, (n_msgs + rows_per_partition - 1) // rows_per_partition))
+
     edge_requests = (
-        pairs.map_batches(to_edge_requests, batch_format="pyarrow").repartition(P).materialize()
+        pairs.map_batches(to_edge_requests(P), batch_format="pyarrow").repartition(P).materialize()
     )
 
+    # seed: label(node) = min(node, neighbors) — the Min aggregate over
+    # (k, dst) pairs folds the first hop into initialization for free
     def init_labels(b: pa.Table) -> pa.Table:
-        n = np.unique(np.asarray(b["k"].to_numpy(zero_copy_only=False), dtype=np.int64))
-        return pa.table({"node": pa.array(n), "label": pa.array(n)})
-
-    from ray.data.aggregate import Min, Sum
+        if not b.num_rows:
+            return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        k = np.asarray(b["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        d = np.asarray(b["dst"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({"node": pa.array(k), "label": pa.array(np.minimum(k, d))})
 
     labels = (
         edge_requests.map_batches(init_labels, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
+        .repartition(P)
         .materialize()
     )
 
-    def providers_of(ls: ray.data.Dataset) -> ray.data.Dataset:
-        def tag(b: pa.Table) -> pa.Table:
-            node = np.asarray(b["node"].to_numpy(zero_copy_only=False), dtype=np.int64)
-            return pa.table(
-                {
-                    "k": pa.array(node),
-                    "dst": pa.nulls(b.num_rows, pa.int64()),
-                    "lbl": b["label"].cast(pa.int64()),
-                    "_part": pa.array(node % P),
-                }
-            ).cast(_MSG_SCHEMA)
+    def requests_of(ls: ray.data.Dataset) -> ray.data.Dataset:
+        """Providers + jump requests in ONE pass over the labels."""
 
-        return ls.map_batches(tag, batch_format="pyarrow")
-
-    def jump_requests_of(ls: ray.data.Dataset) -> ray.data.Dataset:
-        # request label-of-label: key = my label, dst = me
         def tag(b: pa.Table) -> pa.Table:
             node = np.asarray(b["node"].to_numpy(zero_copy_only=False), dtype=np.int64)
             lbl = np.asarray(b["label"].to_numpy(zero_copy_only=False), dtype=np.int64)
-            return pa.table(
+            provider = pa.table(
+                {
+                    "k": pa.array(node),
+                    "dst": pa.nulls(len(node), pa.int64()),
+                    "lbl": pa.array(lbl),
+                    "_part": pa.array(node % P),
+                }
+            )
+            jump = pa.table(
                 {
                     "k": pa.array(lbl),
                     "dst": pa.array(node),
-                    "lbl": pa.nulls(b.num_rows, pa.int64()),
+                    "lbl": pa.nulls(len(node), pa.int64()),
                     "_part": pa.array(lbl % P),
                 }
-            ).cast(_MSG_SCHEMA)
+            )
+            return pa.concat_tables([provider.cast(_MSG_SCHEMA), jump.cast(_MSG_SCHEMA)])
 
         return ls.map_batches(tag, batch_format="pyarrow")
-
-    def combine(ls: ray.data.Dataset, msgs: ray.data.Dataset) -> ray.data.Dataset:
-        keep = ls.map_batches(
-            lambda b: pa.table({"node": b["node"], "label": b["label"]}),
-            batch_format="pyarrow",
-        )
-        return (
-            msgs.union(keep)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .repartition(P)
-            .materialize()
-        )
 
     def label_sum(ls: ray.data.Dataset) -> int:
         agg = ls.aggregate(Sum("label", alias_name="s"))
@@ -153,10 +158,25 @@ def connected_components(
 
     prev = label_sum(labels)
     for _ in range(max_iters):
-        # (a) one hop across edges
-        labels = combine(labels, _lookup(edge_requests, providers_of(labels), P))
-        # (b) pointer jump: adopt label[label]
-        labels = combine(labels, _lookup(jump_requests_of(labels), providers_of(labels), P))
+        # one fused round: edge-hop messages AND pointer-jump messages
+        # resolve in a single hash-partitioned lookup, then one
+        # min-combine with the current labels
+        msgs = (
+            edge_requests.union(requests_of(labels))
+            .groupby("_part")
+            .map_groups(_route_lookup, batch_format="pyarrow")
+        )
+        keep = labels.map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            msgs.union(keep)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(P)
+            .materialize()
+        )
         cur = label_sum(labels)
         if cur == prev:
             break
