@@ -614,6 +614,16 @@ def _q_token_count(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
 
 
+def _q_token_count_bpe(sf_dir: str):
+    from fulltextsearch_ray.functions.text import bpe_token_count_batch
+
+    def run(b: pa.Table) -> pa.Table:
+        out = bpe_token_count_batch(b)
+        return out.set_column(0, "doc_id", out["doc_id"].cast(pa.int64()))
+
+    return _docs_ds(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
 def _q_fingerprint(sf_dir: str):
     from fulltextsearch_ray.functions.text import fingerprint_batch
 
@@ -796,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "token_count": _q_token_count,
+        "token_count_bpe": _q_token_count_bpe,
         "fingerprint": _q_fingerprint,
         "curate_corpus": _q_curate,
         "multimodal_meta": _q_multimodal,
@@ -1255,6 +1266,14 @@ def oracle_sql() -> dict[str, str]:
                    {_r6('mean_len_raw')} AS mean_token_len,
                    {_r6('0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - stop_ratio_raw) + 0.3 * least(mean_len_raw / 8.0, 1.0)')} AS quality
             FROM r
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws,
+                   len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+                   ))::BIGINT AS n_bpe
+            FROM documents
         """,
         "token_count": f"""
             WITH {TOKENS_CTE}

@@ -108,6 +108,32 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# GPT-2-family pretokenizer pattern (public: Radford et al. 2019 /
+# tiktoken docs), minus the trailing `\s+(?!\S)` lookahead — RE2 (both
+# pyarrow.compute and DuckDB) has no lookahead, so runs of spaces
+# before a word count as one whitespace token here instead of
+# splitting; both gate sides share the divergence by construction.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Pretokenizer-level counts — the sizing signal a training
+    pipeline budgets by: ``n_ws`` whitespace-separated pieces and
+    ``n_bpe`` GPT-2-style pretokens (upper bound on BPE token count,
+    exact for whole-word vocabularies).  One RE2 kernel per column —
+    no per-row Python."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ws": pc.count_substring_regex(text, r"\S+").cast(pa.int64()),
+            "n_bpe": pc.count_substring_regex(text, BPE_PRETOKEN_RE).cast(pa.int64()),
+        }
+    )
+
+
 def fingerprint_batch(batch: pa.Table, n: int = 3) -> pa.Table:
     """Document fingerprint = lexicographic min of md5(shingle) over
     word n-gram shingles (space-joined).  Docs with < n tokens use the
