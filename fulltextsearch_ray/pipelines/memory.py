@@ -79,11 +79,10 @@ class InMemorySearcher(IndexSearcher):
         self._seg_buckets = {"mem": 0}
         self._seg_ranges = {}
         self._fwd_ranges = {}
-        from collections import OrderedDict
+        from ..state.caches import make_cache
 
-        self._cache = OrderedDict()
-        self._cache_entries = OrderedDict()
-        self._cache_blocks = 4096
+        self._cache = make_cache("lru", 64)
+        self._cache_entries = make_cache("lru", 4096)
 
     def _read_term_rows(self, seg: str, term: str, cols: list[str]) -> pa.Table:
         lo = int(np.searchsorted(self._post_terms, term, side="left"))

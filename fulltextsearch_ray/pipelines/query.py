@@ -150,6 +150,7 @@ class IndexSearcher:
         cache_blocks: int = 4096,
         catalog_budget_rows: int = 2_000_000,
         doclen_budget_rows: int = 50_000_000,
+        cache_policy: str = "lru",
     ):
         self.index_dir = index_dir
         self.meta = load_meta(index_dir)
@@ -263,9 +264,12 @@ class IndexSearcher:
                 self._postings_ds[seg] = pads.dataset(
                     os.path.join(segment_dir(index_dir, seg), "postings"), partitioning="hive"
                 )
-        self._cache: OrderedDict[str, OccurrenceList] = OrderedDict()
-        self._cache_entries: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
-        self._cache_blocks = cache_blocks
+        # posting caches: LRU default, LFU for skewed workloads (ST6;
+        # reference LRUCache/LFUCache — state/caches.py)
+        from ..state.caches import make_cache
+
+        self._cache = make_cache(cache_policy, 64)
+        self._cache_entries = make_cache(cache_policy, cache_blocks)
 
     # -- statistics ---------------------------------------------------------
 
@@ -434,7 +438,6 @@ class IndexSearcher:
         """Full decoded occurrence list of a term, global (d,f,t) order."""
         hit = self._cache.get(term)
         if hit is not None:
-            self._cache.move_to_end(term)
             return hit
         t = self._fetch_term_blocks(term, with_positions=True)
         if t is None:
@@ -448,9 +451,7 @@ class IndexSearcher:
                 np.asarray(t["df"].to_numpy(zero_copy_only=False)),
             )
             occ = lex_sort(OccurrenceList(od, of, ot))
-        self._cache[term] = occ
-        if len(self._cache) > 64:
-            self._cache.popitem(last=False)
+        self._cache.put(term, occ)
         return occ
 
     def get_doc_tfs(self, term: str) -> tuple[np.ndarray, np.ndarray]:
@@ -459,7 +460,6 @@ class IndexSearcher:
         decode in two varint passes via the concat decoder."""
         hit = self._cache_entries.get(term)
         if hit is not None:
-            self._cache_entries.move_to_end(term)
             return hit
         t = self._fetch_term_blocks(term, with_positions=False)
         if t is None:
@@ -477,9 +477,7 @@ class IndexSearcher:
             d, tf = d[o], tf[o]
             uniq, idx = np.unique(d, return_index=True)
             out = (uniq, np.add.reduceat(tf, idx))
-        self._cache_entries[term] = out
-        if len(self._cache_entries) > self._cache_blocks:
-            self._cache_entries.popitem(last=False)
+        self._cache_entries.put(term, out)
         return out
 
     # -- forward store (positions) ------------------------------------------
