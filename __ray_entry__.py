@@ -455,6 +455,46 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs_ds(sf_dir), seq_len=256)
 
 
+def _q_contamination(sf_dir: str):
+    """Benchmark set = documents with doc_id % 97 == 0 (small by
+    construction); every doc scored for shingle overlap against it."""
+    import duckdb
+
+    from fulltextsearch_ray.functions.cleaning import contamination_check
+
+    bench = (
+        duckdb.connect()
+        .execute(
+            "SELECT text FROM read_parquet(?) WHERE doc_id % 97 = 0 ORDER BY doc_id",
+            [os.path.join(sf_dir, "documents.parquet")],
+        )
+        .arrow()["text"]
+        .to_pylist()
+    )
+
+    def cast_ids(b: pa.Table) -> pa.Table:
+        return b.set_column(0, "doc_id", b["doc_id"].cast(pa.int64()))
+
+    return contamination_check(_docs_ds(sf_dir), bench, n=3).map_batches(
+        cast_ids, batch_format="pyarrow"
+    )
+
+
+def _q_dedup_canonical(sf_dir: str):
+    """End-to-end dedup APPLY: MinHash-LSH pairs → components →
+    canonical-only corpus (kept doc ids)."""
+    from fulltextsearch_ray.functions.components import canonical_docs
+    from fulltextsearch_ray.functions.dedup import minhash_lsh_pairs
+
+    docs = _docs_ds(sf_dir, ("doc_id",))
+    pairs = minhash_lsh_pairs(_docs_ds(sf_dir), num_perm=64, bands=16, threshold=0.5)
+
+    def cast_ids(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"].cast(pa.int64())})
+
+    return canonical_docs(docs, pairs).map_batches(cast_ids, batch_format="pyarrow")
+
+
 def _q_redact_pii(sf_dir: str):
     """Gate fixture: the corpus has no PII, so both sides prepend the
     SAME deterministic email/IP/phone preamble derived from doc_id —
@@ -789,6 +829,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enwiki_parse": _q_enwiki_parse,
         "split_hash": _q_split_hash,
         "redact_pii": _q_redact_pii,
+        "contamination": _q_contamination,
+        "dedup_canonical": _q_dedup_canonical,
         "repetition": _q_repetition,
         "top_bigrams": _q_top_bigrams,
         "sample_stratified": _q_sample_stratified,
@@ -931,6 +973,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY doc_id)::BIGINT AS doc_id,
                    substr(text, 1, 40) AS content
             FROM documents
+        """,
+        "contamination": f"""
+            WITH {TOKENS_CTE},
+            agg AS (SELECT doc_id, list(term ORDER BY token_id) AS toks FROM tokens GROUP BY doc_id),
+            sh AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+                   FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+                         FROM agg)),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+            per AS (SELECT sh.doc_id, count(*)::BIGINT AS tot,
+                           sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS hit
+                    FROM sh LEFT JOIN bench ON bench.s = sh.s
+                    GROUP BY sh.doc_id)
+            SELECT d.doc_id, COALESCE(per.tot, 0)::BIGINT AS n_shingles,
+                   {_r6('COALESCE(per.hit / per.tot, 0)')} AS contamination
+            FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        """,
+        "dedup_canonical": f"""
+            WITH RECURSIVE {_minhash_pairs_cte()},
+            prs AS (SELECT a, b FROM agree WHERE est >= 0.5),
+            e AS (SELECT a AS src, b AS dst FROM prs
+                  UNION ALL SELECT b, a FROM prs),
+            reach(n, m) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.n, e.dst FROM reach r JOIN e ON e.src = r.m),
+            kills AS (SELECT n FROM reach GROUP BY n HAVING least(n, min(m)) < n)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT n FROM kills)
         """,
         "redact_pii": f"""
             WITH src AS (

@@ -115,6 +115,66 @@ def repetition_batch(
     )
 
 
+class ContaminationStage:
+    """Benchmark-contamination scoring — the eval-leak check a training
+    pipeline runs before shipping a corpus: the fraction of each
+    document's word-n-gram shingles that appear in a (small) benchmark
+    shingle set.  The benchmark set is broadcast ONCE via ``ray.put``
+    and pinned per actor in ``__init__`` (never re-shipped per batch);
+    membership is one Arrow ``is_in`` kernel per batch."""
+
+    def __init__(self, bench_ref, n: int = 3, text_col: str = "text"):
+        self._set = ray.get(bench_ref)
+        self.n = n
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import shingle_batch
+
+        n_docs = batch.num_rows
+        sh, dix = shingle_batch(batch[self.text_col], self.n)
+        tot = np.bincount(dix, minlength=n_docs).astype(np.int64)
+        hits = np.zeros(n_docs)
+        if len(sh):
+            m = np.asarray(
+                pc.is_in(sh, value_set=self._set).to_numpy(zero_copy_only=False)
+            )
+            hits = np.bincount(dix[m], minlength=n_docs)
+        frac = np.where(tot > 0, hits / np.maximum(tot, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_shingles": pa.array(tot),
+                "contamination": pa.array(round6(frac)),
+            }
+        )
+
+
+def contamination_check(
+    ds: ray.data.Dataset,
+    bench_texts,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Score every document against a benchmark text set (the small
+    side by definition — eval suites are KBs to MBs, the corpus is the
+    100-TB side).  Benchmark shingling happens once up front."""
+    import ray as _ray
+
+    from .dedup import shingle_batch
+
+    sh, _ = shingle_batch(pa.array(list(bench_texts), pa.string()), n)
+    bench_ref = _ray.put(pc.unique(sh))
+    return ds.map_batches(
+        ContaminationStage,
+        fn_constructor_kwargs=dict(bench_ref=bench_ref, n=n, text_col=text_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def top_bigrams(ds: ray.data.Dataset, k: int = 20, text_col: str = "text") -> ray.data.Dataset:
     """Corpus-level top-k token bigrams — partial counts inside
     ``map_batches`` (combiner), ONE small groupby over distinct

@@ -186,3 +186,92 @@ def connected_components(
         lambda b: pa.table({"doc_id": b["node"], "component": b["label"]}),
         batch_format="pyarrow",
     )
+
+
+def canonical_docs(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    broadcast_budget: int = 5_000_000,
+    num_partitions: int | None = None,
+    **cc_kwargs,
+) -> ray.data.Dataset:
+    """APPLY near-dup clustering: keep each component's canonical
+    (minimum-id) member and every unpaired document — the final
+    "drop the duplicates" step of a dedup pipeline.
+
+    The kill set (non-canonical member ids) is usually a small
+    fraction of the corpus: below ``broadcast_budget`` rows it ships
+    once via ``ray.put`` (sorted array, searchsorted per batch — no
+    shuffle of the doc payloads).  Past the budget the filter becomes
+    a distributed anti-join: docs and kill keys hash-partition on
+    ``id % P`` and each partition task drops its matches — doc rows
+    shuffle once, driver holds nothing.
+    """
+    comp = connected_components(pairs, **cc_kwargs)
+
+    def kill_rows(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["doc_id"], b["component"])
+        return pa.table({"kill": b.filter(keep)["doc_id"].cast(pa.int64())})
+
+    kills = comp.map_batches(kill_rows, batch_format="pyarrow").materialize()
+    n_kills = kills.count()
+    if n_kills <= broadcast_budget:
+        arr = np.sort(
+            np.concatenate(
+                [
+                    np.asarray(b["kill"].to_numpy(zero_copy_only=False), dtype=np.int64)
+                    for b in kills.iter_batches(batch_format="pyarrow")
+                ]
+                or [np.array([], dtype=np.int64)]
+            )
+        )
+        kills_ref = ray.put(arr)
+
+        def drop(batch: pa.Table) -> pa.Table:
+            k = ray.get(kills_ref)
+            ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+            if not len(k):
+                return batch
+            idx = np.searchsorted(k, ids)
+            idx = np.minimum(idx, len(k) - 1)
+            return batch.filter(pa.array(k[idx] != ids))
+
+        return docs.map_batches(drop, batch_format="pyarrow")
+
+    # large-kill-set path: tagged-union hash-partitioned anti-join
+    P = num_partitions or default_partitions()
+    schema = docs.schema().base_schema
+    names = schema.names
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return b.append_column("_kill", pa.nulls(b.num_rows, pa.int64())).append_column(
+            "_part", pa.array(ids % P)
+        )
+
+    def tag_kills(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["kill"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cols = {n: pa.nulls(len(k), schema.field(n).type) for n in names}
+        cols["_kill"] = pa.array(k)
+        cols["_part"] = pa.array(k % P)
+        return pa.table(cols)
+
+    unioned = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        kills.map_batches(tag_kills, batch_format="pyarrow")
+    )
+
+    def anti(group: pa.Table) -> pa.Table:
+        if not group.num_columns or not group.num_rows:
+            return schema.empty_table()
+        is_kill = np.asarray(pc.is_valid(group["_kill"]).to_numpy(zero_copy_only=False))
+        doc_rows = group.filter(pa.array(~is_kill))
+        k = np.unique(
+            np.asarray(group.filter(pa.array(is_kill))["_kill"].to_numpy(zero_copy_only=False))
+        )
+        ids = np.asarray(doc_rows[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        keep = ~np.isin(ids, k)
+        return doc_rows.select(names).filter(pa.array(keep))
+
+    return unioned.groupby("_part").map_groups(anti, batch_format="pyarrow")
