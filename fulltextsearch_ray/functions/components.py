@@ -2,23 +2,29 @@
 turns pairwise dedup candidates into CLUSTERS (one canonical doc per
 group of mutual near-duplicates).
 
-Distributed min-label propagation WITH pointer jumping: every node
-starts labeled with the minimum of its own id and its neighbors'; each
-round (a) labels flow one hop across edges and (b) every node adopts
-its label's label (pointer doubling) — both message kinds ride the
-SAME hash-partitioned lookup pass, so one round costs one lookup
-groupby + one min-combine groupby.  The jump step makes convergence
-O(log diameter) rounds instead of O(diameter) — a chain of 1M docs
-resolves in ~20 rounds.  Convergence = the global label sum stops
-changing (labels are monotonically non-increasing).  No driver-side
-graph: driver state is one integer per round.
+Contraction scheme (the practical large-graph CC design, e.g. Kiveris
+et al., "Connected Components in MapReduce and Beyond" — public paper;
+structure only):
 
-Partition count tracks the EDGE COUNT (one partition per ~64k
-messages, capped by the cluster default) — groupby/sort output block
-counts follow input block counts, so tiny graphs would otherwise pay
-64-way shuffle scheduling per round, and every round's unions would
-grow the label dataset's block count geometrically without the
-explicit repartition clamp.
+1. Edges hash-partition on one endpoint; each partition task solves
+   its LOCAL subgraph exactly with a vectorized numpy min-label +
+   pointer-jumping kernel (O(E · log d) vector passes, no Python
+   loop over edges).
+2. A node seen in several partitions gets several local roots; star
+   edges between those roots form the next level's (much smaller)
+   edge set.  Contraction repeats until the surviving edges fit one
+   task (``task_budget``), which solves them exactly.
+3. Labels resolve top-down: each level's (node → local-min-root)
+   mapping looks up the next level's final label for its root
+   (hash-partitioned lookup, identity default for roots whose
+   component never left their partition).
+
+A near-dup candidate graph at bench scale is one task end-to-end; at
+100-TB scale each level is two shuffles and the edge set shrinks
+geometrically — versus O(diameter / log) shuffle ROUNDS for
+message-passing label propagation, whose fixed per-round cost
+dominated this op's wall time.  Driver state: one edge count per
+level.
 """
 
 from __future__ import annotations
@@ -31,32 +37,136 @@ import ray.data
 
 from .common import default_partitions
 
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+_LVL_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("kind", pa.int8())])
 _MSG_SCHEMA = pa.schema(
     [("k", pa.int64()), ("dst", pa.int64()), ("lbl", pa.int64()), ("_part", pa.int64())]
 )
 
 
-def _route_lookup(group: pa.Table) -> pa.Table:
-    """One partition of the lookup: provider rows (lbl set) answer
-    request rows (dst set) sharing their key — emits (node=dst,
-    label=provider's lbl) for every matched request."""
+def _numpy_components(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact CC over one edge list: (nodes, component-min root per
+    node).  Min-label iteration with pointer jumping on a dense local
+    relabeling — every step is a whole-array numpy kernel."""
+    ids = np.concatenate([a, b])
+    nodes, inv = np.unique(ids, return_inverse=True)
+    s, d = inv[: len(a)], inv[len(a) :]
+    lbl = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lbl.copy()
+        np.minimum.at(new, d, lbl[s])
+        np.minimum.at(new, s, lbl[d])
+        new = new[new]  # pointer jump: adopt label's label
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    return nodes, nodes[lbl]
+
+
+def _solve_batch(batch: pa.Table) -> pa.Table:
+    """(a, b) edge batch → exact (node, label) for its subgraph."""
+    if not batch.num_rows:
+        return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+    a = np.asarray(batch["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    b = np.asarray(batch["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    nodes, roots = _numpy_components(a, b)
+    return pa.table({"node": pa.array(nodes), "label": pa.array(roots)})
+
+
+def _contract_group(group: pa.Table) -> pa.Table:
+    """One partition's (node, root) rows → unified-schema output:
+    mapping rows (node, min-root, kind=0) and star edges
+    (min-root, other-root, kind=1)."""
     if not group.num_columns or not group.num_rows:
-        return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
-    has_lbl = np.asarray(pc.is_valid(group["lbl"]).to_numpy(zero_copy_only=False))
-    lab_rows = group.filter(pa.array(has_lbl))
-    req_rows = group.filter(pa.array(~has_lbl))
-    if not req_rows.num_rows or not lab_rows.num_rows:
-        return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
-    lk = np.asarray(lab_rows["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    lv = np.asarray(lab_rows["lbl"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    o = np.argsort(lk, kind="stable")
-    lk, lv = lk[o], lv[o]
-    rk = np.asarray(req_rows["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    rd = np.asarray(req_rows["dst"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    idx = np.searchsorted(lk, rk)
-    idx = np.minimum(idx, max(len(lk) - 1, 0))
-    found = lk[idx] == rk
-    return pa.table({"node": pa.array(rd[found]), "label": pa.array(lv[idx[found]])})
+        return _LVL_SCHEMA.empty_table()
+    n = np.asarray(group["node"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    r = np.asarray(group["root"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.lexsort((r, n))
+    n, r = n[order], r[order]
+    first = np.concatenate([[True], n[1:] != n[:-1]])
+    starts = np.flatnonzero(first)
+    m = r[starts]  # per-node min root (rows sorted by (node, root))
+    group_idx = np.cumsum(first) - 1
+    mapping = pa.table(
+        {
+            "u": pa.array(n[starts]),
+            "v": pa.array(m),
+            "kind": pa.array(np.zeros(len(starts), dtype=np.int8)),
+        }
+    )
+    # star edges: every non-min root links to its node's min root
+    star = r != m[group_idx]
+    # dedupe (m, root) star pairs within the partition
+    eu, ev = m[group_idx][star], r[star]
+    if len(eu):
+        key = np.stack([eu, ev], axis=1)
+        key = np.unique(key, axis=0)
+        eu, ev = key[:, 0], key[:, 1]
+    edges = pa.table(
+        {
+            "u": pa.array(eu),
+            "v": pa.array(ev),
+            "kind": pa.array(np.ones(len(eu), dtype=np.int8)),
+        }
+    )
+    return pa.concat_tables([mapping.cast(_LVL_SCHEMA), edges.cast(_LVL_SCHEMA)])
+
+
+def _resolve(mapping: ray.data.Dataset, labels: ray.data.Dataset, P: int) -> ray.data.Dataset:
+    """node→root mapping + root→label table → node→label (identity for
+    roots without an entry).  Tagged union, hash-partitioned on the
+    root key, one searchsorted per partition task."""
+
+    def tag_requests(b: pa.Table) -> pa.Table:
+        root = np.asarray(b["v"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "k": pa.array(root),
+                "dst": b["u"].cast(pa.int64()),
+                "lbl": pa.nulls(b.num_rows, pa.int64()),
+                "_part": pa.array(root % P),
+            }
+        ).cast(_MSG_SCHEMA)
+
+    def tag_providers(b: pa.Table) -> pa.Table:
+        node = np.asarray(b["node"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "k": pa.array(node),
+                "dst": pa.nulls(b.num_rows, pa.int64()),
+                "lbl": b["label"].cast(pa.int64()),
+                "_part": pa.array(node % P),
+            }
+        ).cast(_MSG_SCHEMA)
+
+    def route(group: pa.Table) -> pa.Table:
+        if not group.num_columns or not group.num_rows:
+            return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        has_lbl = np.asarray(pc.is_valid(group["lbl"]).to_numpy(zero_copy_only=False))
+        lab_rows = group.filter(pa.array(has_lbl))
+        req_rows = group.filter(pa.array(~has_lbl))
+        if not req_rows.num_rows:
+            return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        rk = np.asarray(req_rows["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        rd = np.asarray(req_rows["dst"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        out = rk.copy()  # identity default: root labels itself
+        if lab_rows.num_rows:
+            lk = np.asarray(lab_rows["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            lv = np.asarray(lab_rows["lbl"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            o = np.argsort(lk, kind="stable")
+            lk, lv = lk[o], lv[o]
+            idx = np.searchsorted(lk, rk)
+            idx = np.minimum(idx, max(len(lk) - 1, 0))
+            found = lk[idx] == rk
+            out[found] = lv[idx[found]]
+        return pa.table({"node": pa.array(rd), "label": pa.array(out)})
+
+    return (
+        mapping.map_batches(tag_requests, batch_format="pyarrow")
+        .union(labels.map_batches(tag_providers, batch_format="pyarrow"))
+        .groupby("_part")
+        .map_groups(route, batch_format="pyarrow")
+    )
 
 
 def connected_components(
@@ -64,123 +174,117 @@ def connected_components(
     *,
     a_col: str = "a",
     b_col: str = "b",
-    max_iters: int = 30,
+    max_levels: int = 12,
     num_partitions: int | None = None,
-    rows_per_partition: int = 65536,
+    rows_per_partition: int = 1_000_000,
+    task_budget: int = 5_000_000,
 ) -> ray.data.Dataset:
     """(a, b) undirected pair rows → (doc_id, component) where
     ``component`` is the minimum doc id reachable from ``doc_id``
     (only nodes appearing in at least one pair are emitted)."""
-    from ray.data.aggregate import Min, Sum
-
     P_cap = num_partitions or default_partitions()
 
-    def to_edge_requests(P: int):
-        def fn(b: pa.Table) -> pa.Table:
-            if not b.num_columns or not b.num_rows:
-                return _MSG_SCHEMA.empty_table()
-            x = np.asarray(b[a_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-            y = np.asarray(b[b_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-            src = np.concatenate([x, y])
-            dst = np.concatenate([y, x])
-            return pa.table(
-                {
-                    "k": pa.array(src),
-                    "dst": pa.array(dst),
-                    "lbl": pa.nulls(len(src), pa.int64()),
-                    "_part": pa.array(src % P),
-                }
-            ).cast(_MSG_SCHEMA)
+    def project(b: pa.Table) -> pa.Table:
+        if not b.num_columns or not b.num_rows:
+            return _PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {"a": b[a_col].cast(pa.int64()), "b": b[b_col].cast(pa.int64())}
+        ).cast(_PAIR_SCHEMA)
 
-        return fn
+    # Materialize once: feeds the count AND the first contraction (or
+    # single-task solve) without re-executing the caller's candidate
+    # pipeline per consumer.
+    edges = pairs.map_batches(project, batch_format="pyarrow").materialize()
 
-    # Materialize the pair set once (it feeds the count below AND the
-    # edge pass — without this the caller's whole candidate pipeline
-    # would re-execute for each consumer), then size P to the data.
-    pairs = pairs.materialize()
-    n_msgs = 2 * pairs.count()
-    if n_msgs == 0:
+    mappings: list[ray.data.Dataset] = []  # per level: (u=node, v=min root, kind=0) rows
+    labels: ray.data.Dataset | None = None
+    prev_P: int | None = None
+    for _level in range(max_levels):
+        n_edges = edges.count()
+        if n_edges == 0:
+            labels = None
+            break
+        P = max(1, min(P_cap, (n_edges + rows_per_partition - 1) // rows_per_partition))
+        if prev_P is not None:
+            # Guaranteed termination: sparse giant components can
+            # contract slowly under hash partitioning (each level only
+            # merges what co-locates), so the partition count decays
+            # ≥8× per level — within log8(P) levels the survivors land
+            # in ONE task regardless of graph shape.  Per-task edge
+            # count grows only when contraction underperforms; a task
+            # solves ~100M edges in numpy comfortably.
+            P = min(P, max(1, prev_P // 8))
+        prev_P = P
+        if P <= 1 or n_edges <= task_budget:
+            # the whole surviving graph fits one task: exact solve there
+            labels = edges.repartition(1).map_batches(
+                _solve_batch, batch_format="pyarrow", batch_size=None
+            )
+            break
+
+        def tag(b: pa.Table, P: int = P) -> pa.Table:
+            a = np.asarray(b["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            return b.append_column("_part", pa.array(a % P))
+
+        def local_solve(group: pa.Table) -> pa.Table:
+            if not group.num_columns or not group.num_rows:
+                return pa.table(
+                    {"node": pa.array([], pa.int64()), "root": pa.array([], pa.int64())}
+                )
+            a = np.asarray(group["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            b = np.asarray(group["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            nodes, roots = _numpy_components(a, b)
+            return pa.table({"node": pa.array(nodes), "root": pa.array(roots)})
+
+        lvl_rows = (
+            edges.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(local_solve, batch_format="pyarrow")
+        )
+
+        # combine per node across partitions: hash-partition on node
+        def tag_node(b: pa.Table, P: int = P) -> pa.Table:
+            n = np.asarray(b["node"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            return b.append_column("_part", pa.array(n % P))
+
+        combined = (
+            lvl_rows.map_batches(tag_node, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(_contract_group, batch_format="pyarrow")
+            .materialize()
+        )
+        def keep_kind(k: int):
+            def fn(b: pa.Table) -> pa.Table:
+                sel = b.filter(pc.equal(b["kind"], k))
+                return pa.table({"u": sel["u"], "v": sel["v"]})
+
+            return fn
+
+        mappings.append(combined.map_batches(keep_kind(0), batch_format="pyarrow"))
+        edges = (
+            combined.map_batches(keep_kind(1), batch_format="pyarrow")
+            .map_batches(
+                lambda b: pa.table({"a": b["u"], "b": b["v"]}).cast(_PAIR_SCHEMA),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    else:
+        raise RuntimeError(f"connected_components did not contract within {max_levels} levels")
+
+    # top-down resolution through the contraction levels
+    if labels is None and not mappings:
         return ray.data.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
         )
-    P = max(2, min(P_cap, (n_msgs + rows_per_partition - 1) // rows_per_partition))
-
-    edge_requests = (
-        pairs.map_batches(to_edge_requests(P), batch_format="pyarrow").repartition(P).materialize()
-    )
-
-    # seed: label(node) = min(node, neighbors) — the Min aggregate over
-    # (k, dst) pairs folds the first hop into initialization for free
-    def init_labels(b: pa.Table) -> pa.Table:
-        if not b.num_rows:
-            return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
-        k = np.asarray(b["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        d = np.asarray(b["dst"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        return pa.table({"node": pa.array(k), "label": pa.array(np.minimum(k, d))})
-
-    labels = (
-        edge_requests.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .repartition(P)
-        .materialize()
-    )
-
-    def requests_of(ls: ray.data.Dataset) -> ray.data.Dataset:
-        """Providers + jump requests in ONE pass over the labels."""
-
-        def tag(b: pa.Table) -> pa.Table:
-            node = np.asarray(b["node"].to_numpy(zero_copy_only=False), dtype=np.int64)
-            lbl = np.asarray(b["label"].to_numpy(zero_copy_only=False), dtype=np.int64)
-            provider = pa.table(
-                {
-                    "k": pa.array(node),
-                    "dst": pa.nulls(len(node), pa.int64()),
-                    "lbl": pa.array(lbl),
-                    "_part": pa.array(node % P),
-                }
+    P = max(2, min(P_cap, 8))
+    for mapping in reversed(mappings):
+        if labels is None:
+            labels = mapping.map_batches(
+                lambda b: pa.table({"node": b["u"], "label": b["v"]}), batch_format="pyarrow"
             )
-            jump = pa.table(
-                {
-                    "k": pa.array(lbl),
-                    "dst": pa.array(node),
-                    "lbl": pa.nulls(len(node), pa.int64()),
-                    "_part": pa.array(lbl % P),
-                }
-            )
-            return pa.concat_tables([provider.cast(_MSG_SCHEMA), jump.cast(_MSG_SCHEMA)])
-
-        return ls.map_batches(tag, batch_format="pyarrow")
-
-    def label_sum(ls: ray.data.Dataset) -> int:
-        agg = ls.aggregate(Sum("label", alias_name="s"))
-        return int(agg["s"] or 0)
-
-    prev = label_sum(labels)
-    for _ in range(max_iters):
-        # one fused round: edge-hop messages AND pointer-jump messages
-        # resolve in a single hash-partitioned lookup, then one
-        # min-combine with the current labels
-        msgs = (
-            edge_requests.union(requests_of(labels))
-            .groupby("_part")
-            .map_groups(_route_lookup, batch_format="pyarrow")
-        )
-        keep = labels.map_batches(
-            lambda b: pa.table({"node": b["node"], "label": b["label"]}),
-            batch_format="pyarrow",
-        )
-        labels = (
-            msgs.union(keep)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .repartition(P)
-            .materialize()
-        )
-        cur = label_sum(labels)
-        if cur == prev:
-            break
-        prev = cur
+        else:
+            labels = _resolve(mapping, labels, P).materialize()
 
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "component": b["label"]}),

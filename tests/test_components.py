@@ -37,6 +37,26 @@ def test_merging_components(ray_session):
     assert set(got.values()) == {1}
 
 
+def test_multilevel_contraction_matches_single_task(ray_session):
+    # task_budget=0 forbids the single-task solve: the contraction
+    # levels + top-down resolution must produce identical labels
+    import ray.data
+    from fulltextsearch_ray.functions.components import connected_components
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (4, 10), (20, 21)]
+    ds = ray.data.from_arrow(
+        pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                  "b": pa.array([p[1] for p in pairs], pa.int64())})
+    )
+    multi = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            ds, task_budget=0, rows_per_partition=1, num_partitions=3
+        ).take_all()
+    }
+    assert multi == _cc(pairs)
+
+
 def test_random_graph_matches_reference(ray_session):
     rng = np.random.default_rng(5)
     n = 80
