@@ -61,6 +61,7 @@ def repetition_batch(
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
+    text = pc.fill_null(text, "")  # null text = empty doc, like flat_tokens
 
     # --- line duplication: group (doc, line) once, reduce with bincount
     lines = pc.split_pattern(text, line_sep)

@@ -82,11 +82,14 @@ def stratified_sample(
 
     def keep(batch: pa.Table) -> pa.Table:
         b = _hash_buckets(batch[id_col], salt)
-        groups = batch[group_col].to_pylist()
-        thresholds = np.array(
-            [round(rates.get(g, default_rate) * HASH_BUCKETS) for g in groups], dtype=np.int64
+        # vectorized per-group thresholds: resolve each DISTINCT group
+        # value once, then fancy-index (no per-row Python)
+        groups = np.asarray(batch[group_col].to_numpy(zero_copy_only=False), dtype=object)
+        uniq, inv = np.unique(groups, return_inverse=True)
+        per_group = np.array(
+            [round(rates.get(g, default_rate) * HASH_BUCKETS) for g in uniq], dtype=np.int64
         )
-        return batch.filter(pa.array(b < thresholds))
+        return batch.filter(pa.array(b < per_group[inv]))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 

@@ -90,7 +90,16 @@ def compact_index(
         )
     from ..stages.invert import merge_runs_batch
 
-    runs = ray.data.read_parquet(post_files)
+    def ensure_ndocs(b: pa.Table) -> pa.Table:
+        # legacy (pre-n_docs) segments: per-block unique-doc proxy = df,
+        # the same fallback the searcher's catalog reader applies
+        if "n_docs" not in b.column_names:
+            return b.append_column("n_docs", b["df"])
+        return b.set_column(
+            b.column_names.index("n_docs"), "n_docs", pc.coalesce(b["n_docs"], b["df"])
+        )
+
+    runs = ray.data.read_parquet(post_files).map_batches(ensure_ndocs, batch_format="pyarrow")
     merged = runs.sort("term").map_batches(
         lambda b: merge_runs_batch(b, block_cf=block_cf),
         batch_format="pyarrow",
@@ -120,7 +129,25 @@ def compact_index(
         docs = docs.take(pa.array(np.argsort(docs["doc_id"].to_numpy(zero_copy_only=False))))
         pq.write_table(docs, os.path.join(seg_path, "docs", "part-0.parquet"))
 
-    _write_catalog_and_manifest(index_dir, new_seg, seg_path, num_buckets=0, lineage=old_segments)
+    # carry the forward store and docs_meta tables into the compact
+    # segment (they are doc-keyed, ids are disjoint across segments —
+    # a file copy is the merge); without this, compaction destroyed
+    # highlight-from-store and per-doc metadata
+    for sub in ("forward", "docs_meta"):
+        for s in old_segments:
+            src = os.path.join(segment_dir(index_dir, s), sub)
+            if not os.path.isdir(src):
+                continue
+            dst = os.path.join(seg_path, sub)
+            os.makedirs(dst, exist_ok=True)
+            for f in sorted(_glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)):
+                shutil.copy2(f, os.path.join(dst, f"{s}-{os.path.basename(f)}"))
+    forward_ranges = _scan_doc_ranges(os.path.join(seg_path, "forward"), seg_path)
+
+    _write_catalog_and_manifest(
+        index_dir, new_seg, seg_path, num_buckets=0, lineage=old_segments,
+        forward_ranges=forward_ranges,
+    )
 
     meta.segments = [new_seg]
     save_meta(index_dir, meta)
@@ -129,8 +156,34 @@ def compact_index(
     return meta
 
 
+def _scan_doc_ranges(dir_path: str, seg_path: str) -> list:
+    """[relpath, min_doc, max_doc] per parquet file under ``dir_path``
+    (footer statistics of the first column only), sorted by min —
+    the forward-store range catalog shape."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out: list = []
+    if not os.path.isdir(dir_path):
+        return out
+    for f in sorted(_glob.glob(os.path.join(dir_path, "**", "*.parquet"), recursive=True)):
+        md = pq.ParquetFile(f).metadata
+        dmins, dmaxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            if st is not None and st.has_min_max:
+                dmins.append(st.min)
+                dmaxs.append(st.max)
+        if dmins:
+            out.append([os.path.relpath(f, seg_path), min(dmins), max(dmaxs)])
+    out.sort(key=lambda r: r[1])
+    return out
+
+
 def _write_catalog_and_manifest(
-    index_dir: str, segment: str, seg_path: str, num_buckets: int, lineage: list[str]
+    index_dir: str, segment: str, seg_path: str, num_buckets: int, lineage: list[str],
+    forward_ranges: list | None = None,
 ) -> "SegmentManifest":
     """Catalog + file-range + counter/manifest writes shared by
     build_index and compact_index (driver-side, footer/metadata reads
@@ -199,6 +252,7 @@ def _write_catalog_and_manifest(
         complete=True,
         num_buckets=num_buckets,
         file_ranges=file_ranges,
+        forward_ranges=forward_ranges or [],
     )
     save_manifest(index_dir, manifest)
     return manifest
@@ -474,17 +528,7 @@ def build_index(
                 batch_size=batch_size,
             )
         fwd.write_parquet(fwd_dir, row_group_size=2048)
-        for f in sorted(_glob.glob(os.path.join(fwd_dir, "**", "*.parquet"), recursive=True)):
-            md = _pq.ParquetFile(f).metadata
-            dmins, dmaxs = [], []
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(0).statistics  # doc_id column
-                if st is not None and st.has_min_max:
-                    dmins.append(st.min)
-                    dmaxs.append(st.max)
-            if dmins:
-                forward_ranges.append([os.path.relpath(f, seg_path), min(dmins), max(dmaxs)])
-        forward_ranges.sort(key=lambda r: r[1])
+        forward_ranges = _scan_doc_ranges(fwd_dir, seg_path)
         _mark("forward", t0)
 
     # --- catalog: per-term totals over blocks (metadata-sized).

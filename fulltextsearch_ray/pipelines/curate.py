@@ -74,6 +74,8 @@ def _subtract_ids(
     out_schema = pa.schema([("doc_id", pa.int64())] + payload_cols)
 
     def tag_data(b: pa.Table) -> pa.Table:
+        if not b.num_columns or not b.num_rows:
+            return schema.empty_table()
         ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         cols = {"doc_id": pa.array(ids)}
         for c, _t in payload_cols:
@@ -145,22 +147,13 @@ def curate_corpus(
             keep = pc.and_(keep, pc.is_in(f["pred_lang"], value_set=lang_set))
         return f.filter(keep)
 
-    filtered = ds.map_batches(features_and_filter, batch_format="pyarrow")
+    # Materialize the feature pass once: it feeds BOTH the drop-set
+    # pipeline and the anti-join's data side — without this the full
+    # tokenize+score pass re-executes per consumer.
+    filtered = ds.map_batches(features_and_filter, batch_format="pyarrow").materialize()
 
     survivors = filtered
     if exact_dedup:
-        def to_hash(b: pa.Table) -> pa.Table:
-            return pa.table({"h": md5_hex_batch(pc.fill_null(b[text_col], "")),
-                             "doc_id": b["doc_id"]})
-
-        from ray.data.aggregate import Min
-
-        keep_min = (
-            survivors.map_batches(to_hash, batch_format="pyarrow")
-            .groupby("h")
-            .aggregate(Min("doc_id", alias_name="keep"))
-        )
-
         # drops = filtered ids minus the per-hash keepers: co-group on
         # the hash, emit every id except the minimum
         def tag_pairs(b: pa.Table) -> pa.Table:
@@ -192,7 +185,8 @@ def curate_corpus(
             .groupby("_part")
             .map_groups(emit_drops, batch_format="pyarrow")
         )
-        survivors = _subtract_ids(survivors, drops, payload, P)
+        # consumed twice below (near-dup pair generation + anti-join)
+        survivors = _subtract_ids(survivors, drops, payload, P).materialize()
 
     if near_dedup:
         pairs = simhash_neardup_pairs(

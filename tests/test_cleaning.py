@@ -56,6 +56,15 @@ def test_repetition_short_docs_zero():
     assert out["dup_line_frac"].to_pylist() == [0.0, 0.0]
 
 
+def test_repetition_null_text_is_empty_doc():
+    out = repetition_batch(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a b\na b", None], pa.string())})
+    )
+    assert out["dup_line_frac"].to_pylist() == [0.5, 0.0]
+    assert out["top_bigram_frac"].to_pylist()[1] == 0.0
+
+
 def test_top_bigrams_counts_and_ties(ray_session):
     ds = ray.data.from_arrow(_batch(["x y x y z", "x y q", "q z"]))
     rows = top_bigrams(ds, k=3).take_all()

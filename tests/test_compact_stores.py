@@ -1,0 +1,75 @@
+"""Compaction must carry the forward store, docs_meta and legacy
+segments — regression tests for segment-merge data loss."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from fulltextsearch_ray.pipelines.build import build_index, compact_index
+from fulltextsearch_ray.pipelines.query import IndexSearcher
+
+
+def _tbl(ids, texts, metas=None):
+    cols = {
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }
+    if metas is not None:
+        cols["meta"] = pa.array([json.dumps(m) for m in metas], pa.string())
+    return pa.table(cols)
+
+
+def test_compact_preserves_forward_and_metadata(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    kw = dict(text_col="text", doc_id_col="doc_id", meta_cols=("meta",),
+              num_buckets=2, store_forward=True)
+    build_index(
+        ray.data.from_arrow(_tbl([1, 2], ["apple pie", "banana split"],
+                                 [{"k": 1}, {"k": 2}])),
+        idx, **kw,
+    )
+    build_index(
+        ray.data.from_arrow(_tbl([3], ["cherry apple tart"], [{"k": 3}])),
+        idx, **kw,
+    )
+    before = IndexSearcher(idx)
+    assert before.has_forward
+    want_search = before.search_to_string("WORD(apple)")
+    want_pos = before.get_positions_many([3])
+
+    compact_index(idx)
+
+    after = IndexSearcher(idx)
+    assert after.search_to_string("WORD(apple)") == want_search
+    # forward store survived: positions served without re-tokenization
+    assert after.has_forward
+    assert after.get_positions_many([3]) == want_pos
+    # per-doc metadata survived
+    assert json.loads(after.get_metadata(2)["meta"]) == {"k": 2}
+    assert json.loads(after.get_metadata(3)["meta"]) == {"k": 3}
+
+
+def test_compact_legacy_segment_without_ndocs(ray_session, tmp_path):
+    import glob
+    import os
+
+    idx = str(tmp_path / "idx")
+    for tbl in (_tbl([1, 2], ["apple pie", "banana split"]),
+                _tbl([3], ["cherry apple tart"])):
+        build_index(ray.data.from_arrow(tbl), idx, text_col="text",
+                    doc_id_col="doc_id", num_buckets=2)
+    # simulate a pre-n_docs segment: rewrite its postings without the column
+    seg0 = sorted(glob.glob(os.path.join(idx, "segments", "*")))[0]
+    for f in glob.glob(os.path.join(seg0, "postings", "**", "*.parquet"), recursive=True):
+        t = pq.read_table(f)
+        pq.write_table(t.drop_columns(["n_docs"]), f)
+    want = IndexSearcher(idx).search_to_string("WORD(apple)")
+
+    compact_index(idx)
+
+    s = IndexSearcher(idx)
+    assert s.search_to_string("WORD(apple)") == want
+    assert s.bm25_topk("apple").num_rows > 0
