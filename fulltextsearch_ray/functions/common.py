@@ -62,6 +62,100 @@ def _duck():
     return _DUCK
 
 
+def sorted_runs(keys: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """(starts, counts) of equal-key runs in a SORTED key array — the
+    shared run-detection step of every bucketed pair stage."""
+    n = len(keys)
+    change = np.empty(n, dtype=bool)
+    if n:
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]  # assignment casts: works for object keys too
+    starts = np.flatnonzero(change)
+    return starts, np.diff(np.r_[starts, n])
+
+
+def iter_capped_runs(keys: np.ndarray, cap: int, op_name: str):
+    """Yield (start, size) for equal-key runs of size 2..cap in a
+    sorted key array; larger runs are LOGGED and skipped (a capped
+    pair stage never truncates silently)."""
+    starts, counts = sorted_runs(keys)
+    for s, g in zip(starts, counts):
+        if g < 2:
+            continue
+        if g > cap:
+            print(f"{op_name}: skipping bucket of {g} docs (> cap {cap}); key={keys[s]}")
+            continue
+        yield int(s), int(g)
+
+
+def subtract_ids(
+    ds,
+    drop_ids,
+    *,
+    id_col: str = "doc_id",
+    drop_col: str = "drop_id",
+    num_partitions: int | None = None,
+):
+    """Distributed anti-join: ``ds`` minus rows whose ``id_col`` appears
+    in the single-column ``drop_ids`` dataset.  Tagged union, null-
+    padded to ``ds``'s schema, hash-partitioned on ``id % P``; each
+    partition task drops its matches with one ``np.isin`` — neither
+    side touches the driver.  Shared by the curation pipeline and the
+    dedup-apply path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    P = num_partitions or default_partitions()
+    sch = ds.schema(fetch_if_missing=True)
+    if sch is None:  # fully-empty data side: nothing to subtract from
+        return ds
+    schema = sch.base_schema
+    names = schema.names
+
+    tagged_schema = pa.schema(
+        list(schema) + [pa.field("_drop", pa.int64()), pa.field("_part", pa.int64())]
+    )
+
+    def tag_data(b: pa.Table) -> pa.Table:
+        if not b.num_columns or not b.num_rows:
+            return tagged_schema.empty_table()
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return b.append_column("_drop", pa.nulls(b.num_rows, pa.int64())).append_column(
+            "_part", pa.array(ids % P)
+        )
+
+    def tag_drops(b: pa.Table) -> pa.Table:
+        if not b.num_columns or not b.num_rows:
+            return tagged_schema.empty_table()
+        k = np.asarray(b[drop_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cols = {n: pa.nulls(len(k), schema.field(n).type) for n in names}
+        cols[id_col] = pa.array(k)
+        cols["_drop"] = pa.array(np.ones(len(k), dtype=np.int64))
+        cols["_part"] = pa.array(k % P)
+        return pa.table(cols).cast(tagged_schema)
+
+    unioned = ds.map_batches(tag_data, batch_format="pyarrow").union(
+        drop_ids.map_batches(tag_drops, batch_format="pyarrow")
+    )
+
+    def anti(group: pa.Table) -> pa.Table:
+        if not group.num_columns or not group.num_rows:
+            return schema.empty_table()
+        is_drop = np.asarray(pc.is_valid(group["_drop"]).to_numpy(zero_copy_only=False))
+        doc_rows = group.filter(pa.array(~is_drop))
+        dropped = np.unique(
+            np.asarray(
+                group.filter(pa.array(is_drop))[id_col].to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+        )
+        ids = np.asarray(doc_rows[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        keep = ~np.isin(ids, dropped)
+        return doc_rows.select(names).filter(pa.array(keep))
+
+    return unioned.groupby("_part").map_groups(anti, batch_format="pyarrow")
+
+
 def default_partitions(scale: int = 2, cap: int = 64) -> int:
     """Hash-partition count for partitioned group stages: tracks the
     cluster CPU count (× scale, capped).  At real cluster scale pass an

@@ -344,38 +344,9 @@ def canonical_docs(
 
         return docs.map_batches(drop, batch_format="pyarrow")
 
-    # large-kill-set path: tagged-union hash-partitioned anti-join
-    P = num_partitions or default_partitions()
-    schema = docs.schema().base_schema
-    names = schema.names
+    # large-kill-set path: shared hash-partitioned anti-join
+    from .common import subtract_ids
 
-    def tag_docs(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-        return b.append_column("_kill", pa.nulls(b.num_rows, pa.int64())).append_column(
-            "_part", pa.array(ids % P)
-        )
-
-    def tag_kills(b: pa.Table) -> pa.Table:
-        k = np.asarray(b["kill"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        cols = {n: pa.nulls(len(k), schema.field(n).type) for n in names}
-        cols["_kill"] = pa.array(k)
-        cols["_part"] = pa.array(k % P)
-        return pa.table(cols)
-
-    unioned = docs.map_batches(tag_docs, batch_format="pyarrow").union(
-        kills.map_batches(tag_kills, batch_format="pyarrow")
+    return subtract_ids(
+        docs, kills, id_col=id_col, drop_col="kill", num_partitions=num_partitions
     )
-
-    def anti(group: pa.Table) -> pa.Table:
-        if not group.num_columns or not group.num_rows:
-            return schema.empty_table()
-        is_kill = np.asarray(pc.is_valid(group["_kill"]).to_numpy(zero_copy_only=False))
-        doc_rows = group.filter(pa.array(~is_kill))
-        k = np.unique(
-            np.asarray(group.filter(pa.array(is_kill))["_kill"].to_numpy(zero_copy_only=False))
-        )
-        ids = np.asarray(doc_rows[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-        keep = ~np.isin(ids, k)
-        return doc_rows.select(names).filter(pa.array(keep))
-
-    return unioned.groupby("_part").map_groups(anti, batch_format="pyarrow")

@@ -38,7 +38,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..tokenizer import TOKEN_RE, flat_tokens
-from .common import md5_u64, md5_u64_batch, round6
+from .common import iter_capped_runs, md5_u64, md5_u64_batch, round6, sorted_runs
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -179,10 +179,7 @@ class MinHashStage:
         present = np.zeros(n_docs, dtype=bool)
         if len(sh):
             h = md5_u64_batch(sh) % _MERSENNE31
-            change = np.empty(len(sh_doc), dtype=bool)
-            change[0] = True
-            np.not_equal(sh_doc[1:], sh_doc[:-1], out=change[1:])
-            starts = np.flatnonzero(change)
+            starts, _ = sorted_runs(sh_doc)
             docs_present = sh_doc[starts]
             # one streaming pass per permutation (an S-element vector
             # stays cache/stream friendly; a (num_perm × S) grid would
@@ -265,23 +262,8 @@ def minhash_lsh_pairs(
         order = np.lexsort((ids, bk))
         bk, ids = bk[order], ids[order]
         sigs_raw = group["sig"].to_pylist()
-        n_rows = len(bk)
-        change = np.empty(n_rows, dtype=bool)
-        if n_rows:
-            change[0] = True
-            np.not_equal(bk[1:], bk[:-1], out=change[1:])
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.r_[starts, n_rows])
         out_a, out_b, out_e = [], [], []
-        for s, g in zip(starts, counts):
-            if g < 2:
-                continue
-            if g > max_bucket:
-                print(
-                    f"minhash_lsh: skipping bucket of {g} docs (> cap {max_bucket}); "
-                    f"bucket={int(bk[s])}"
-                )
-                continue
+        for s, g in iter_capped_runs(bk, max_bucket, "minhash_lsh"):
             rows = order[s : s + g]
             sigs = np.stack([np.frombuffer(sigs_raw[r], dtype=">u8") for r in rows]).astype(np.uint64)
             agree = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
@@ -340,10 +322,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         d, tf, h = d[order], tf[order], h[order]
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
         weighted = np.where(bits == 1, tf[:, None], -tf[:, None])
-        change = np.empty(len(d), dtype=bool)
-        change[0] = True
-        np.not_equal(d[1:], d[:-1], out=change[1:])
-        starts = np.flatnonzero(change)
+        starts, _ = sorted_runs(d)
         sums = np.add.reduceat(weighted, starts, axis=0)  # (docs_present, 64)
         packed = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
         present = d[starts]
@@ -421,23 +400,8 @@ def simhash_neardup_pairs(
         h = np.asarray(group["h"].to_numpy(zero_copy_only=False), dtype=np.uint64)
         order = np.lexsort((ids, keys))
         keys, ids, h = keys[order], ids[order], h[order]
-        n_rows = len(keys)
-        change = np.empty(n_rows, dtype=bool)
-        if n_rows:
-            change[0] = True
-            np.not_equal(keys[1:], keys[:-1], out=change[1:])
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.r_[starts, n_rows])
         out_a, out_b, out_h = [], [], []
-        for s, g in zip(starts, counts):
-            if g < 2:
-                continue
-            if g > max_bucket:
-                print(
-                    f"simhash_neardup: skipping band bucket of {g} docs "
-                    f"(> cap {max_bucket}); key={int(keys[s])}"
-                )
-                continue
+        for s, g in iter_capped_runs(keys, max_bucket, "simhash_neardup"):
             gi = ids[s : s + g]
             gh = h[s : s + g]
             iu, ju = np.triu_indices(int(g), k=1)
@@ -612,23 +576,8 @@ def ngram_jaccard_pairs(
             )
         order = np.lexsort((ids, sh))
         sh, ids = sh[order], ids[order]
-        n_rows = len(sh)
-        change = np.empty(n_rows, dtype=bool)
-        if n_rows:
-            change[0] = True
-            change[1:] = sh[1:] != sh[:-1]
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.r_[starts, n_rows])
         packed_parts = []
-        for s, g in zip(starts, counts):
-            if g < 2:
-                continue
-            if g > shingle_df_cap:
-                print(
-                    f"ngram_jaccard: dropping shingle with df={g} (> cap {shingle_df_cap}); "
-                    f"shingle={sh[s]!r}"
-                )
-                continue
+        for s, g in iter_capped_runs(sh, shingle_df_cap, "ngram_jaccard"):
             gi = ids[s : s + g]
             iu, ju = np.triu_indices(int(g), k=1)
             packed_parts.append((gi[iu] << np.int64(32)) | gi[ju])
@@ -829,23 +778,8 @@ def embedding_neardup_pairs(
         order = np.lexsort((ids, keys))
         keys, ids = keys[order], ids[order]
         mat = _to_matrix(group, "vec")[order]
-        n_rows = len(keys)
-        change = np.empty(n_rows, dtype=bool)
-        if n_rows:
-            change[0] = True
-            np.not_equal(keys[1:], keys[:-1], out=change[1:])
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.r_[starts, n_rows])
         out_a, out_b, out_c = [], [], []
-        for s, g in zip(starts, counts):
-            if g < 2:
-                continue
-            if g > max_bucket:
-                print(
-                    f"embedding_neardup: skipping LSH bucket of {g} vectors "
-                    f"(> cap {max_bucket}); key={int(keys[s])}"
-                )
-                continue
+        for s, g in iter_capped_runs(keys, max_bucket, "embedding_neardup"):
             gm = mat[s : s + g]
             sims = gm @ gm.T
             iu, ju = np.triu_indices(int(g), k=1)

@@ -68,50 +68,11 @@ def _subtract_ids(
     num_partitions: int,
 ) -> ray.data.Dataset:
     """ds minus rows whose doc_id appears in drop_ids (single-column
-    ``drop_id`` dataset) — a hash-partitioned anti-join; neither side
-    touches the driver."""
-    schema = pa.schema([("doc_id", pa.int64())] + payload_cols + [("_drop", pa.int64()), ("_part", pa.int64())])
-    out_schema = pa.schema([("doc_id", pa.int64())] + payload_cols)
+    ``drop_id`` dataset) — delegates to the shared hash-partitioned
+    anti-join; neither side touches the driver."""
+    from ..functions.common import subtract_ids
 
-    def tag_data(b: pa.Table) -> pa.Table:
-        if not b.num_columns or not b.num_rows:
-            return schema.empty_table()
-        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        cols = {"doc_id": pa.array(ids)}
-        for c, _t in payload_cols:
-            cols[c] = b[c]
-        cols["_drop"] = pa.nulls(b.num_rows, pa.int64())
-        cols["_part"] = pa.array(ids % num_partitions)
-        return pa.table(cols).cast(schema)
-
-    def tag_drops(b: pa.Table) -> pa.Table:
-        if not b.num_columns or not b.num_rows:
-            return schema.empty_table()
-        ids = np.asarray(b["drop_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        cols = {"doc_id": pa.array(ids)}
-        for c, t in payload_cols:
-            cols[c] = pa.nulls(len(ids), t)
-        cols["_drop"] = pa.array(np.ones(len(ids), dtype=np.int64))
-        cols["_part"] = pa.array(ids % num_partitions)
-        return pa.table(cols).cast(schema)
-
-    unioned = ds.map_batches(tag_data, batch_format="pyarrow").union(
-        drop_ids.map_batches(tag_drops, batch_format="pyarrow")
-    )
-
-    def anti(group: pa.Table) -> pa.Table:
-        if not group.num_columns or not group.num_rows:
-            return out_schema.empty_table()
-        is_drop = np.asarray(pc.is_valid(group["_drop"]).to_numpy(zero_copy_only=False))
-        ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        dropped = np.unique(ids[is_drop])
-        keep = ~is_drop & ~np.isin(ids, dropped)
-        kept = group.filter(pa.array(keep))
-        return pa.table(
-            {"doc_id": kept["doc_id"], **{c: kept[c] for c, _t in payload_cols}}
-        ).cast(out_schema)
-
-    return unioned.groupby("_part").map_groups(anti, batch_format="pyarrow")
+    return subtract_ids(ds, drop_ids, id_col="doc_id", num_partitions=num_partitions)
 
 
 def curate_corpus(
