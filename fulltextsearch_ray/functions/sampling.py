@@ -110,24 +110,34 @@ def pack_sequences(
     tok_hi)`` — a document crossing a boundary yields one row per
     sequence it feeds.  Empty documents emit nothing.
 
-    ``bucket_size`` trades driver memory (#buckets partial sums) for
-    group size; at 10^12 docs raise it so #buckets stays ~1e5-1e6.
+    ``bucket_size`` is a floor: the effective bucket width auto-widens
+    so the driver's partial-sum table never exceeds ``max_buckets``
+    entries regardless of the id range — at 10^12 docs the driver
+    still holds ~1e6 integers, not id_range/4096.
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    max_buckets = 1_000_000
 
     def count_tokens(batch: pa.Table) -> pa.Table:
         _, _, counts = flat_tokens(batch[text_col])
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
         return pa.table(
-            {
-                "doc_id": pa.array(ids),
-                "n_tok": pa.array(counts.astype(np.int64)),
-                "_bucket": pa.array(ids // bucket_size),
-            }
+            {"doc_id": pa.array(ids), "n_tok": pa.array(counts.astype(np.int64))}
         )
 
-    counted = ds.map_batches(count_tokens, batch_format="pyarrow").materialize()
+    sized = ds.map_batches(count_tokens, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Max
+
+    max_id = int(sized.aggregate(Max("doc_id", alias_name="m"))["m"] or 0)
+    bucket_size = max(bucket_size, (max_id + max_buckets) // max_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return batch.append_column("_bucket", pa.array(ids // bucket_size))
+
+    counted = sized.map_batches(add_bucket, batch_format="pyarrow")
 
     # stage 1: per-bucket totals → driver prefix sum (#buckets values)
     def bucket_sums(batch: pa.Table) -> pa.Table:

@@ -107,6 +107,29 @@ def test_pack_sequences_invariants_vs_reference(ray_session):
     assert all(v == seq_len for s, v in per_seq.items() if s != last)
 
 
+def test_pack_sequences_sparse_huge_ids(ray_session):
+    # ids spread over a 10^10 range: the bucket width must auto-widen
+    # (driver partial-sum table stays bounded) and spans stay exact
+    ids = [3, 10_000, 5_000_000_000, 9_999_999_999]
+    texts = ["a b c", "d e", "f g h i", "j"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+    )
+    rows = sorted(
+        pack_sequences(ds, seq_len=4).take_all(), key=lambda r: (r["seq_id"], r["doc_id"])
+    )
+    got = [(r["doc_id"], r["seq_id"], r["tok_lo"], r["tok_hi"]) for r in rows]
+    # tape: 3+2+4+1 tokens in doc_id order, cut at 4, 8
+    assert got == [
+        (3, 0, 0, 3),
+        (10_000, 0, 0, 1),
+        (10_000, 1, 1, 2),
+        (5_000_000_000, 1, 0, 3),
+        (5_000_000_000, 2, 3, 4),
+        (9_999_999_999, 2, 0, 1),
+    ]
+
+
 def test_pack_sequences_rejects_bad_seq_len(ray_session):
     with pytest.raises(ValueError, match="positive"):
         pack_sequences(_texts_ds(["a"]), seq_len=0)
