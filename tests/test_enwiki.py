@@ -89,6 +89,28 @@ def test_enwiki_index_end_to_end(ray_session, wiki_dir, tmp_path):
     assert json.loads(s.get_metadata(3)["meta"]) == {"id": 1}
 
 
+def test_enwiki_cli_incremental_sessions(ray_session, wiki_dir, tmp_path):
+    """Second CLI index run appends a segment and continues doc ids
+    (reference header contract), searchable across both sessions."""
+    from fulltextsearch_ray.cli import main
+    from fulltextsearch_ray.pipelines.query import IndexSearcher
+
+    more = tmp_path / "more"
+    more.mkdir()
+    (more / "c.xml").write_text(
+        "<feed><doc><title>Wikipedia: Cherry orchard</title></doc></feed>", encoding="utf-8"
+    )
+    idx = str(tmp_path / "idx")
+    assert main(["index", "--input", wiki_dir, "--index", idx,
+                 "--input-type", "enwiki", "--num-buckets", "2"]) == 0
+    assert main(["index", "--input", str(more), "--index", idx,
+                 "--input-type", "enwiki", "--num-buckets", "2"]) == 0
+    s = IndexSearcher(idx)
+    assert s.search_to_string("WORD(apollo)") == "{[2,1,1]}"  # session 1
+    assert s.search_to_string("WORD(cherry)") == "{[4,1,1]}"  # session 2 continues ids
+    assert json.loads(s.get_metadata(4)["meta"]) == {"id": 1}
+
+
 @pytest.fixture(scope="module")
 def txt_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("txts")
