@@ -636,6 +636,17 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _q_embed_project(sf_dir: str):
+    from fulltextsearch_ray.functions.similarity import project_embeddings
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return project_embeddings(ds, out_dim=16)
+
+
 def _q_lang_id(sf_dir: str):
     from fulltextsearch_ray.functions.text import lang_id_batch
 
@@ -845,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": _q_ann,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "embed_project": _q_embed_project,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "token_count": _q_token_count,
@@ -1279,6 +1291,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "ann_ivf": _ivf_oracle_sql(n_clusters=8, nprobe=3, iters=2, k=10, n_queries=5),
+        "embed_project": f"""
+            WITH {_lsh_dots_cte(_plane_values_sql(16))}
+            SELECT vec_id, plane_id::BIGINT AS p, {_r6('d')} AS val FROM dots
+        """,
         "ann_cosine": f"""
             WITH qv AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
                                generate_subscripts(embedding, 1) AS i

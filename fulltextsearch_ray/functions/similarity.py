@@ -299,6 +299,40 @@ def ivf_topk(
     return _final_topk(cand_tbl, q_ids, k)
 
 
+def project_embeddings(
+    ds: ray.data.Dataset,
+    *,
+    out_dim: int = 16,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Johnson-Lindenstrauss random projection — the standard
+    dimensionality-reduction step ahead of ANN indexing (Achlioptas
+    2003 / JL lemma; public results).  The seeded Gaussian projection
+    matrix is derived INSIDE each task from (vector width, out_dim,
+    seed) — deterministic everywhere, nothing broadcast or re-shipped.
+    Emits one row per (vector, output dimension): ``(id, p, val)``
+    with values rounded to 1e-6 for oracle-exact comparison."""
+    from .common import round6
+
+    def proj(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch, vec_col).astype(np.float64)
+        planes = lsh_hyperplanes(mat.shape[1], bits=out_dim, seed=seed)
+        out = round6(mat @ planes.T)  # (rows, out_dim)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n = len(ids)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, out_dim)),
+                "p": pa.array(np.tile(np.arange(out_dim, dtype=np.int64), n)),
+                "val": pa.array(out.ravel(), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
 def lsh_hyperplanes(dim: int, bits: int = 8, seed: int = 13) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))

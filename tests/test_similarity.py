@@ -77,3 +77,30 @@ def test_ivf_deterministic(vectors):
     a = ivf_topk(ds, q_ids, q_mat, k=5, n_clusters=8, nprobe=2)
     b = ivf_topk(ds, q_ids, q_mat, k=5, n_clusters=8, nprobe=2)
     assert a.equals(b)
+
+
+def test_project_embeddings_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fulltextsearch_ray.functions.common import round6
+    from fulltextsearch_ray.functions.similarity import (
+        lsh_hyperplanes,
+        project_embeddings,
+    )
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(range(20), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs])})
+    )
+    rows = project_embeddings(ds, out_dim=4, seed=7).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["vec_id"], {})[r["p"]] = r["val"]
+    planes = lsh_hyperplanes(8, bits=4, seed=7)
+    want = round6(vecs.astype(np.float64) @ planes.T)
+    for i in range(20):
+        assert [got[i][p] for p in range(4)] == list(want[i])
