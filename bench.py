@@ -140,7 +140,7 @@ def bench_ops(sf_dir: str) -> dict:
     names = [
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_neardup",
         "dedup_ngram_jaccard", "neardup_components", "embed_neardup",
-        "ann_cosine", "ann_lsh", "ann_ivf",
+        "ann_cosine", "ann_lsh", "ann_ivf", "embed_project",
         "lang_id", "quality_score", "fingerprint",
         "split_hash", "pack_sequences", "redact_pii", "repetition", "top_bigrams",
         "events_window", "events_session",
