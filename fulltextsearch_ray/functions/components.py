@@ -260,7 +260,10 @@ def connected_components(
 
             return fn
 
-        mappings.append(combined.map_batches(keep_kind(0), batch_format="pyarrow"))
+        # carry this level's partition count: the mapping has one row
+        # per level-node (same scale as this level's edges), so its
+        # resolution shuffle uses the same P the contraction did
+        mappings.append((combined.map_batches(keep_kind(0), batch_format="pyarrow"), P))
         edges = (
             combined.map_batches(keep_kind(1), batch_format="pyarrow")
             .map_batches(
@@ -277,14 +280,13 @@ def connected_components(
         return ray.data.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
         )
-    P = max(2, min(P_cap, 8))
-    for mapping in reversed(mappings):
+    for mapping, lvl_P in reversed(mappings):
         if labels is None:
             labels = mapping.map_batches(
                 lambda b: pa.table({"node": b["u"], "label": b["v"]}), batch_format="pyarrow"
             )
         else:
-            labels = _resolve(mapping, labels, P).materialize()
+            labels = _resolve(mapping, labels, max(2, lvl_P)).materialize()
 
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "component": b["label"]}),

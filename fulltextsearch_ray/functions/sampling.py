@@ -81,15 +81,26 @@ def stratified_sample(
     shuffle-free filter."""
 
     def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         b = _hash_buckets(batch[id_col], salt)
-        # vectorized per-group thresholds: resolve each DISTINCT group
-        # value once, then fancy-index (no per-row Python)
-        groups = np.asarray(batch[group_col].to_numpy(zero_copy_only=False), dtype=object)
-        uniq, inv = np.unique(groups, return_inverse=True)
+        # vectorized per-group thresholds: dictionary-encode resolves
+        # each DISTINCT group value once (nulls included — they take
+        # the default rate), then fancy-index; no per-row Python
+        col = batch[group_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = col.dictionary_encode()
+        vals = d.dictionary.to_pylist()
         per_group = np.array(
-            [round(rates.get(g, default_rate) * HASH_BUCKETS) for g in uniq], dtype=np.int64
+            [round(rates.get(g, default_rate) * HASH_BUCKETS) for g in vals]
+            + [round(default_rate * HASH_BUCKETS)],  # sentinel slot for null rows
+            dtype=np.int64,
         )
-        return batch.filter(pa.array(b < per_group[inv]))
+        idx = np.asarray(
+            pc.fill_null(d.indices, len(vals)).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        return batch.filter(pa.array(b < per_group[idx]))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 

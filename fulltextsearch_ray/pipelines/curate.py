@@ -13,7 +13,11 @@ all streaming, producing the curated document set.
 Scale shape: one feature pass over the text; the only text-bearing
 shuffle is the SimHash band explode of the already-filtered survivors;
 id-set subtraction is a hash-partitioned co-group (never a driver-side
-set).  Every stage reuses the individually oracle-checked operators,
+set).  The filtered set and the exact-dedup survivors are checkpointed
+in the (spillable) object store because each feeds two downstream
+consumers — re-running the tokenize+score pass per consumer costs more
+than spill at every scale; nothing is ever pulled to the driver.
+Every stage reuses the individually oracle-checked operators,
 and the composition itself is SQL-oracle-checked end-to-end
 (driver query ``curate_corpus``).
 """
@@ -61,20 +65,6 @@ def curate_features_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def _subtract_ids(
-    ds: ray.data.Dataset,
-    drop_ids: ray.data.Dataset,
-    payload_cols: list[tuple[str, pa.DataType]],
-    num_partitions: int,
-) -> ray.data.Dataset:
-    """ds minus rows whose doc_id appears in drop_ids (single-column
-    ``drop_id`` dataset) — delegates to the shared hash-partitioned
-    anti-join; neither side touches the driver."""
-    from ..functions.common import subtract_ids
-
-    return subtract_ids(ds, drop_ids, id_col="doc_id", num_partitions=num_partitions)
-
-
 def curate_corpus(
     ds: ray.data.Dataset,
     *,
@@ -92,13 +82,10 @@ def curate_corpus(
     (keep lowest id per identical text) and SimHash near-dedup (drop
     the higher id of every Hamming-≤k pair, computed ONCE against the
     post-exact-dedup set)."""
-    from ..functions.common import default_partitions
+    from ..functions.common import default_partitions, subtract_ids
     from ..functions.dedup import simhash_neardup_pairs
 
     P = num_partitions or default_partitions()
-    payload = [(text_col, pa.string()), ("pred_lang", pa.string()),
-               ("n_tokens", pa.int64()), ("quality", pa.float64())]
-
     lang_set = pa.array(list(langs), pa.string()) if langs else None
 
     def features_and_filter(b: pa.Table) -> pa.Table:
@@ -147,7 +134,7 @@ def curate_corpus(
             .map_groups(emit_drops, batch_format="pyarrow")
         )
         # consumed twice below (near-dup pair generation + anti-join)
-        survivors = _subtract_ids(survivors, drops, payload, P).materialize()
+        survivors = subtract_ids(survivors, drops, id_col="doc_id", num_partitions=P).materialize()
 
     if near_dedup:
         pairs = simhash_neardup_pairs(
@@ -160,8 +147,9 @@ def curate_corpus(
                 return pa.table({"drop_id": pa.array([], pa.int64())})
             return pa.table({"drop_id": b["b"].cast(pa.int64())})
 
-        survivors = _subtract_ids(
-            survivors, pairs.map_batches(pair_drops, batch_format="pyarrow"), payload, P
+        survivors = subtract_ids(
+            survivors, pairs.map_batches(pair_drops, batch_format="pyarrow"),
+            id_col="doc_id", num_partitions=P,
         )
 
     def project(b: pa.Table) -> pa.Table:

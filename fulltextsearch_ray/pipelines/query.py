@@ -534,14 +534,22 @@ class IndexSearcher:
         core = {"doc_id", "doc_len", "sha256"}
         for seg in self.segments:
             base = segment_dir(self.index_dir, seg)
-            d = os.path.join(base, "docs_meta")
-            if not os.path.isdir(d):
-                d = os.path.join(base, "docs")
-            t = pq.read_table(d, filters=[("doc_id", "in", wanted)])
-            meta_cols = [c for c in t.column_names if c not in core]
-            ids = t["doc_id"].to_pylist()
-            for j, did in enumerate(ids):
-                out[int(did)] = {c: t[c][j].as_py() for c in meta_cols}
+            # consult BOTH tables: docs_meta first (richer), then docs
+            # for ids it does not cover — a compacted segment can hold
+            # docs_meta rows for only a subset of its documents (built
+            # from a mix of meta and meta-less sessions)
+            for sub in ("docs_meta", "docs"):
+                remaining = [w for w in wanted if w not in out]
+                if not remaining:
+                    break
+                d = os.path.join(base, sub)
+                if not os.path.isdir(d):
+                    continue
+                t = pq.read_table(d, filters=[("doc_id", "in", remaining)])
+                meta_cols = [c for c in t.column_names if c not in core]
+                ids = t["doc_id"].to_pylist()
+                for j, did in enumerate(ids):
+                    out[int(did)] = {c: t[c][j].as_py() for c in meta_cols}
         return out
 
     def get_metadata(self, doc_id: int) -> dict:

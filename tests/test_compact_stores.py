@@ -52,6 +52,24 @@ def test_compact_preserves_forward_and_metadata(ray_session, tmp_path):
     assert json.loads(after.get_metadata(3)["meta"]) == {"k": 3}
 
 
+def test_compact_mixed_meta_sessions(ray_session, tmp_path):
+    """One session with meta_cols, one without: metadata stays
+    reachable for BOTH after compaction (docs fallback per segment)."""
+    idx = str(tmp_path / "idx")
+    build_index(
+        ray.data.from_arrow(_tbl([1], ["apple pie"], [{"k": 1}])),
+        idx, text_col="text", doc_id_col="doc_id", meta_cols=("meta",), num_buckets=2,
+    )
+    build_index(
+        ray.data.from_arrow(_tbl([2], ["banana split"])),
+        idx, text_col="text", doc_id_col="doc_id", num_buckets=2,
+    )
+    compact_index(idx)
+    s = IndexSearcher(idx)
+    assert json.loads(s.get_metadata(1)["meta"]) == {"k": 1}
+    assert s.get_metadata(2) == {}  # exists, no stored metadata — not a KeyError
+
+
 def test_compact_legacy_segment_without_ndocs(ray_session, tmp_path):
     import glob
     import os

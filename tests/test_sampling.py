@@ -55,6 +55,24 @@ def test_stratified_sample_rates(ray_session):
     assert by["xx"] == 0  # default rate drops unlisted groups
 
 
+def test_stratified_sample_null_groups_take_default(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(100), pa.int64()),
+                "lang": pa.array(["en" if i % 2 else None for i in range(100)], pa.string()),
+            }
+        )
+    )
+    kept = stratified_sample(ds, group_col="lang", rates={"en": 1.0}).take_all()
+    assert len(kept) == 50 and all(r["lang"] == "en" for r in kept)
+    # and a null row CAN be kept under a nonzero default rate
+    kept2 = stratified_sample(
+        ds, group_col="lang", rates={"en": 0.0}, default_rate=1.0
+    ).take_all()
+    assert len(kept2) == 50 and all(r["lang"] is None for r in kept2)
+
+
 def _texts_ds(texts):
     return ray.data.from_arrow(
         pa.table(
