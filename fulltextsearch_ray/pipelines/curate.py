@@ -117,15 +117,15 @@ def curate_corpus(
             return b.append_column("_part", pa.array((hp % np.uint64(P)).astype(np.int64)))
 
         def emit_drops(group: pa.Table) -> pa.Table:
+            from ..functions.common import sorted_runs
+
             h = np.asarray(group["h"].to_pylist(), dtype=object)
             ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
             order = np.lexsort((ids, h))
             h, ids = h[order], ids[order]
-            n = len(h)
-            first = np.empty(n, dtype=bool)
-            if n:
-                first[0] = True
-                first[1:] = h[1:] != h[:-1]
+            starts, _counts = sorted_runs(h)
+            first = np.zeros(len(h), dtype=bool)
+            first[starts] = True
             return pa.table({"drop_id": pa.array(ids[~first])})
 
         drops = (
