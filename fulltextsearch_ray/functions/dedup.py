@@ -153,10 +153,13 @@ class MinHashStage:
 
     Fully batch-vectorized: ONE DuckDB md5 pass over every shingle of
     the batch, one streaming (a·h+b) mod M31 pass per permutation with
-    segmented ``minimum.reduceat`` per document.  The bucket key is
-    md5_u64 of the band signature string ``"<band>:v-v-…-v"`` — a
-    fixed-width shuffle key whose grouping the SQL oracle mirrors by
-    joining on (band, string_agg pattern).
+    segmented ``minimum.reduceat`` per document.  The bucket key is a
+    64-bit FNV fold of the band's signature values (pure numpy, no
+    per-doc Python work and no string materialization); grouping
+    EXACTNESS does not depend on it — the pair stage sub-groups every
+    bucket run by the true band signature bytes, so a key collision can
+    neither merge buckets nor flip the cap decision, and the SQL
+    oracle's (band, pattern) grouping is mirrored exactly.
     """
 
     def __init__(self, num_perm: int = 64, bands: int = 16, n: int = 3, text_col: str = "text"):
@@ -193,28 +196,45 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         sig, present = self.signatures(batch)
         docs = np.flatnonzero(present)
-        sig_bytes = {int(d): sig[:, d].astype(">u8").tobytes() for d in docs}
-        doc_ids = batch["doc_id"].to_pylist()
+        nd = len(docs)
+        if not nd:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.uint64()),
+                    "sig": pa.array([], pa.binary(self.num_perm * 8)),
+                }
+            )
+        doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         r = self.rows_per_band
-        out_ids, out_band, out_pattern, out_sig = [], [], [], []
+        sp = sig[:, docs]  # (num_perm, nd)
+        # full-signature bytes per doc: ONE big-endian buffer pass into
+        # a fixed-size binary array (numpy S dtype / pa.array would
+        # strip trailing null bytes — unusable for raw signatures)
+        width = self.num_perm * 8
+        be = np.ascontiguousarray(sp.T).astype(">u8")
+        sig_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), nd, [None, pa.py_buffer(be.tobytes())]
+        )
+        # numeric band bucket key: FNV-1a fold of (band, r sig values),
+        # fully vectorized over docs — exactness is enforced downstream
+        # (part_pairs sub-groups by the true band signature bytes)
+        FNV_PRIME = np.uint64(0x100000001B3)
+        keys = np.empty((self.bands, nd), dtype=np.uint64)
         for band in range(self.bands):
-            chunk = sig[band * r : (band + 1) * r]
-            for d in docs:
-                out_ids.append(doc_ids[d])
-                out_band.append(band)
-                out_pattern.append(f"{band}:" + "-".join(map(str, chunk[:, d].tolist())))
-                out_sig.append(sig_bytes[int(d)])
-        # bucket id = md5_u64 of the band signature string (ONE DuckDB
-        # pass) — a fixed-width shuffle key instead of a long string;
-        # 64-bit collisions are vanishingly rare and harmless (the
-        # signature-agreement verify still gates every pair).
-        bucket = md5_u64_batch(pa.array(out_pattern, pa.string())) if out_pattern else np.empty(0, np.uint64)
+            h = np.full(nd, 0xCBF29CE484222325, dtype=np.uint64)
+            h = (h ^ np.uint64(band)) * FNV_PRIME
+            for row in sp[band * r : (band + 1) * r]:
+                h = (h ^ row) * FNV_PRIME
+            keys[band] = h
+        tile = np.tile(np.arange(nd), self.bands)
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, type=pa.int64()),
-                "band": pa.array(out_band, type=pa.int32()),
-                "bucket": pa.array(bucket, type=pa.uint64()),
-                "sig": pa.array(out_sig, type=pa.binary()),
+                "doc_id": pa.array(doc_ids[docs][tile], type=pa.int64()),
+                "band": pa.array(np.repeat(np.arange(self.bands, dtype=np.int32), nd)),
+                "bucket": pa.array(keys.reshape(-1), type=pa.uint64()),
+                "sig": sig_arr.take(pa.array(tile)),
             }
         )
 
@@ -254,18 +274,53 @@ def minhash_lsh_pairs(
         bk = np.asarray(b["bucket"].to_numpy(zero_copy_only=False), dtype=np.uint64)
         return b.append_column("_part", pa.array((bk % np.uint64(P)).astype(np.int64)))
 
+    rows_per_band = num_perm // bands
+
     def part_pairs(group: pa.Table) -> pa.Table:
-        """All rows of one hash partition: sort by bucket, emit verified
-        pairs for every bucket run of size 2..max_bucket."""
+        """All rows of one hash partition: sort by (bucket, exact band
+        signature), emit verified pairs for every EXACT band-signature
+        run of size 2..max_bucket.  Sub-grouping by the true signature
+        bytes (not just the 64-bit bucket key) makes the grouping — and
+        the cap decision — bit-identical to the SQL oracle's
+        (band, pattern) groups even under key collisions."""
+        n = group.num_rows
         bk = np.asarray(group["bucket"].to_numpy(zero_copy_only=False), dtype=np.uint64)
         ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        order = np.lexsort((ids, bk))
-        bk, ids = bk[order], ids[order]
-        sigs_raw = group["sig"].to_pylist()
+        bnd = np.asarray(group["band"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        # (n, num_perm) signature matrix — one zero-copy buffer view of
+        # the fixed-size binary column
+        if n:
+            sig_col = group["sig"].combine_chunks()
+            M = (
+                np.frombuffer(sig_col.buffers()[1], dtype=">u8")[
+                    sig_col.offset * num_perm : (sig_col.offset + n) * num_perm
+                ]
+                .reshape(n, num_perm)
+                .astype(np.uint64)
+            )
+        else:
+            M = np.empty((0, num_perm), dtype=np.uint64)
+        # per-row EXACT band-signature bytes: gather the band's columns
+        r = rows_per_band
+        col_idx = bnd[:, None] * r + np.arange(r, dtype=np.int64)[None, :]
+        sub = np.take_along_axis(M, col_idx, axis=1)  # (n, r)
+        subb = np.ascontiguousarray(sub).view(f"S{r * 8}").ravel()
+        order = np.lexsort((ids, subb, bk))
+        bk, subb, ids, M = bk[order], subb[order], ids[order], M[order]
+        change = np.empty(n, dtype=bool)
+        if n:
+            change[0] = True
+            change[1:] = (bk[1:] != bk[:-1]) | (subb[1:] != subb[:-1])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.r_[starts, n])
         out_a, out_b, out_e = [], [], []
-        for s, g in iter_capped_runs(bk, max_bucket, "minhash_lsh"):
-            rows = order[s : s + g]
-            sigs = np.stack([np.frombuffer(sigs_raw[r], dtype=">u8") for r in rows]).astype(np.uint64)
+        for s, g in zip(starts, counts):
+            if g < 2:
+                continue
+            if g > max_bucket:
+                print(f"minhash_lsh: skipping bucket of {g} docs (> cap {max_bucket})")
+                continue
+            sigs = M[s : s + g]
             agree = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
             iu, ju = np.triu_indices(int(g), k=1)
             est = agree[iu, ju]
