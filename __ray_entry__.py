@@ -122,12 +122,19 @@ dots AS (SELECT ev.vec_id, pl.plane_id, sum(ev.v * pl.w) AS d
 
 
 def _ivf_oracle_sql(
-    n_clusters: int = 8, nprobe: int = 3, iters: int = 2, k: int = 10, n_queries: int = 5
+    n_clusters: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+    k: int = 10,
+    n_queries: int = 5,
+    output: str = "topk",
 ) -> str:
     """Unrolled deterministic k-means + probe phase mirroring
     functions.similarity.ivf_topk exactly: lowest-id seeding, per-round
     12-decimal centroid quantization (so summation-order float noise
-    cannot flip an assignment), argmax ties to the lower cluster."""
+    cannot flip an assignment), argmax ties to the lower cluster.
+    ``output="assign"`` returns the final (vec_id, cluster) assignment
+    instead of the probe top-k (the ann_index_build twin)."""
     parts = [
         """
 ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
@@ -164,6 +171,19 @@ c{it} AS (SELECT * FROM cn{it}
 """.format(it=it, prev=prev, r12w=_r12("m.mw / greatest(mn.nr, 1e-12)"))
         )
         prev = f"c{it}"
+    if output == "assign":
+        parts.append(
+            """
+dfin AS (SELECT nv.vec_id, c.cluster, sum(nv.v * c.w) AS d
+         FROM nv JOIN {cf} c USING (i) GROUP BY nv.vec_id, c.cluster),
+afin AS (SELECT vec_id, cluster FROM (
+          SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cluster ASC) AS rn
+          FROM dfin) q WHERE rn = 1)
+SELECT vec_id::BIGINT AS vec_id, cluster::BIGINT AS cluster FROM afin
+""".format(cf=prev)
+        )
+        return "WITH " + ",\n".join(p.strip() for p in parts)
     parts.append(
         """
 qd AS (SELECT nv.vec_id AS query_id, c.cluster, sum(nv.v * c.w) AS d
@@ -636,6 +656,48 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _ann_index_dir(sf_dir: str, *, rebuild: bool) -> str:
+    """Persisted IVF index artifact for the sf dir's embeddings —
+    built once, served by ann_index_query without re-clustering."""
+    import ray.data
+
+    from fulltextsearch_ray.functions.similarity import build_ann_index
+
+    tag = hashlib.md5(f"{sf_dir}:annidx-v1".encode()).hexdigest()[:10]
+    idx = os.path.join("/tmp", "ftsray_cache", f"annidx-{tag}")
+    if rebuild or not os.path.exists(os.path.join(idx, "meta.json")):
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        build_ann_index(ds, idx, n_clusters=8, iters=2, overwrite=True)
+    return idx
+
+
+def _q_ann_index_build(sf_dir: str):
+    """Train + persist the IVF index; returns every vector's final
+    coarse-cluster assignment (the index content the oracle can see)."""
+    from fulltextsearch_ray.functions.similarity import read_ann_assignments
+
+    return read_ann_assignments(_ann_index_dir(sf_dir, rebuild=True))
+
+
+def _q_ann_index_query(sf_dir: str):
+    """Serve IVF top-k FROM the persisted index (no re-clustering):
+    must match the from-scratch ann_ivf result exactly, so it shares
+    its oracle."""
+    import pyarrow.parquet as pq
+
+    from fulltextsearch_ray.functions.similarity import query_ann_index
+
+    idx = _ann_index_dir(sf_dir, rebuild=False)
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), filters=[("vec_id", "<", 5)]
+    )
+    q_ids = np.asarray(qt["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    return query_ann_index(idx, q_ids, q_mat, k=10, nprobe=3)
+
+
 def _q_embed_project(sf_dir: str):
     from fulltextsearch_ray.functions.similarity import project_embeddings
 
@@ -856,6 +918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": _q_ann,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_index_build": _q_ann_index_build,
+        "ann_index_query": _q_ann_index_query,
         "embed_project": _q_embed_project,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
@@ -1291,6 +1355,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "ann_ivf": _ivf_oracle_sql(n_clusters=8, nprobe=3, iters=2, k=10, n_queries=5),
+        "ann_index_build": _ivf_oracle_sql(n_clusters=8, iters=2, output="assign"),
+        "ann_index_query": _ivf_oracle_sql(n_clusters=8, nprobe=3, iters=2, k=10, n_queries=5),
         "embed_project": f"""
             WITH {_lsh_dots_cte(_plane_values_sql(16))}
             SELECT vec_id, plane_id::BIGINT AS p, {_r6('d')} AS val FROM dots

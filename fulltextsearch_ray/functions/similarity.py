@@ -122,6 +122,33 @@ def round12(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 1e12 + 0.5) / 1e12
 
 
+def _lowest_id_vectors(
+    ds: ray.data.Dataset, n: int, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, matrix) of the GLOBALLY ``n`` lowest-id vectors: each batch
+    emits its local n lowest (k-bounded), the driver merges the tiny
+    partials — correct for any row order, no full materialization."""
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        if len(ids) > n:
+            part = np.argpartition(ids, n - 1)[:n]
+            sel = part[np.argsort(ids[part], kind="stable")]
+        else:
+            sel = np.argsort(ids, kind="stable")
+        col = batch[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({id_col: pa.array(ids[sel]), vec_col: col.take(pa.array(sel))})
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(local_min, batch_format="pyarrow").to_arrow_refs())
+    )
+    ids = np.asarray(parts[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")[: min(n, len(ids))]
+    return ids[order], _to_matrix(parts, vec_col)[order]
+
+
 def ivf_centroids(
     ds: ray.data.Dataset,
     *,
@@ -131,16 +158,14 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic IVF coarse quantizer: k-means on normalized
-    vectors, seeded with the ``n_clusters`` lowest-id vectors (fully
-    deterministic AND SQL-expressible — the oracle unrolls the same
-    iterations).  Partial sums per batch (map_batches) → driver combine
-    — each iteration is one streaming pass, no full materialization.
-    Centroids are quantized to 12 decimals each round (see round12)."""
-    first = ds.take_batch(1024, batch_format="pyarrow")
-    ids0 = np.asarray(first[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-    mat0 = _normalize(_to_matrix(first, vec_col))
-    seed_order = np.argsort(ids0, kind="stable")[: min(n_clusters, len(ids0))]
-    centroids = round12(mat0[seed_order])
+    vectors, seeded with the GLOBALLY ``n_clusters`` lowest-id vectors
+    (fully deterministic for any input row order AND SQL-expressible —
+    the oracle unrolls the same iterations).  Partial sums per batch
+    (map_batches) → driver combine — each iteration is one streaming
+    pass, no full materialization.  Centroids are quantized to 12
+    decimals each round (see round12)."""
+    _seed_ids, seed_mat = _lowest_id_vectors(ds, n_clusters, id_col, vec_col)
+    centroids = round12(_normalize(seed_mat))
 
     for _ in range(iters):
         c_ref = ray.put(centroids)
@@ -204,6 +229,50 @@ def _final_topk(
     )
 
 
+_EMPTY_CAND = pa.table(
+    {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+     "cosine": pa.array([], pa.float64())}
+)
+
+
+def _score_allowed(
+    q: dict, ids: np.ndarray, mat: np.ndarray, allowed: np.ndarray, k: int
+) -> pa.Table:
+    """Per-batch candidate emit: score the batch against every query,
+    mask to each query's allowed members (and self), keep the batch-
+    local top-k per query.  Per-task memory is bounded by the BATCH,
+    never by a cluster or bucket — ``allowed`` is (n_queries, n_batch)
+    and the emit is ≤ k rows per query per batch."""
+    allowed = allowed & (ids[None, :] != q["ids"][:, None])
+    live = np.flatnonzero(allowed.any(axis=1))
+    if not len(live):
+        return _EMPTY_CAND
+    sims = q["mat"][live] @ mat.T  # (n_live, n_batch)
+    sims = np.where(allowed[live], sims, -np.inf)
+    out_q, out_n, out_s = [], [], []
+    for row, qi in enumerate(live):
+        s = sims[row]
+        cand = np.flatnonzero(np.isfinite(s))
+        if len(cand) > k:
+            cand = cand[np.argpartition(-s[cand], k - 1)[:k]]
+        out_q.extend([int(q["ids"][qi])] * len(cand))
+        out_n.extend(ids[cand].tolist())
+        out_s.extend(s[cand].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def _collect_candidates(cand_ds: ray.data.Dataset) -> pa.Table:
+    tbls = ray.get(cand_ds.to_arrow_refs())
+    tbls = [t for t in tbls if t.num_rows]
+    return pa.concat_tables(tbls) if tbls else _EMPTY_CAND
+
+
 def ivf_topk(
     ds: ray.data.Dataset,
     query_ids: np.ndarray,
@@ -219,82 +288,34 @@ def ivf_topk(
     """IVF approximate top-k: score only vectors in each query's
     ``nprobe`` nearest coarse clusters.
 
-    Probe phase is fully distributed: vectors are tagged with their
-    cluster, filtered to probed clusters, then scored per cluster in
-    ``groupby("_cluster").map_groups`` against the (broadcast) queries
-    probing that cluster — each group emits at most k rows per query,
-    so the driver merge sees a k-bounded table, never the vector set.
-    At cluster scale ``_cluster`` is the partition key (co-locate
-    once, probe per query)."""
+    Probe phase is one streaming ``map_batches`` pass — each batch
+    assigns its vectors to clusters, masks per query to its probed
+    clusters, scores, and emits a batch-local top-k (≤ k rows per
+    query per batch).  No shuffle and no per-cluster task: per-task
+    memory is bounded by the batch size even when one cluster holds
+    the whole dataset.  The driver merge sees a k-bounded candidate
+    table, never the vector set."""
     cents = ivf_centroids(ds, n_clusters=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
     q_mat = _normalize(np.asarray(query_mat, dtype=np.float64))
     # stable sort: tied centroid scores break toward the lower cluster
     # id (deterministic; mirrored by the SQL oracle's ORDER BY)
     q_probes = np.argsort(-(q_mat @ cents.T), axis=1, kind="stable")[:, :nprobe]
     q_ids = np.asarray(query_ids, dtype=np.int64)
+    member = np.zeros((len(q_ids), len(cents)), dtype=bool)
+    member[np.arange(len(q_ids))[:, None], q_probes] = True
     c_ref = ray.put(cents)
-    wanted = np.unique(q_probes)
-    wanted_ref = ray.put(wanted)
-    queries_ref = ray.put({"ids": q_ids, "mat": q_mat, "probes": q_probes})
+    queries_ref = ray.put({"ids": q_ids, "mat": q_mat, "member": member})
 
-    def tag_and_filter(batch: pa.Table) -> pa.Table:
+    def score_batch(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
-        want = ray.get(wanted_ref)
-        m = _normalize(_to_matrix(batch, vec_col))
-        assign = np.argmax(m @ c.T, axis=1).astype(np.int32)
-        mask = np.isin(assign, want)
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-        return pa.table(
-            {
-                "_cluster": pa.array(assign[mask], pa.int32()),
-                "vid": pa.array(ids[mask], pa.int64()),
-                "vec": pa.array(m[mask].tolist(), pa.list_(pa.float64())),
-            }
-        )
-
-    empty = pa.table(
-        {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
-         "cosine": pa.array([], pa.float64())}
-    )
-
-    def score_cluster(group: pa.Table) -> pa.Table:
         q = ray.get(queries_ref)
-        cluster = int(group["_cluster"][0].as_py())
-        q_sel = np.flatnonzero((q["probes"] == cluster).any(axis=1))
-        if not len(q_sel):
-            return empty
-        ids = np.asarray(group["vid"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        mat = _to_matrix(group, "vec")
-        sims = q["mat"][q_sel] @ mat.T  # (n_sel, g)
-        out_q, out_n, out_s = [], [], []
-        for row, qi in enumerate(q_sel):
-            s = sims[row]
-            keep = ids != int(q["ids"][qi])
-            s, cand = s[keep], ids[keep]
-            order = np.lexsort((cand, -s))[:k]
-            out_q.extend([int(q["ids"][qi])] * len(order))
-            out_n.extend(cand[order].tolist())
-            out_s.extend(s[order].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "cosine": pa.array(out_s, pa.float64()),
-            }
-        )
+        m = _normalize(_to_matrix(batch, vec_col))
+        assign = np.argmax(m @ c.T, axis=1)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return _score_allowed(q, ids, m, q["member"][:, assign], k)
 
-    cand = (
-        ds.map_batches(tag_and_filter, batch_format="pyarrow")
-        .groupby("_cluster")
-        .map_groups(score_cluster, batch_format="pyarrow")
-        .take_all()
-    )
-    cand_tbl = pa.table(
-        {
-            "query_id": pa.array([r["query_id"] for r in cand], pa.int64()),
-            "neighbor_id": pa.array([r["neighbor_id"] for r in cand], pa.int64()),
-            "cosine": pa.array([r["cosine"] for r in cand], pa.float64()),
-        }
+    cand_tbl = _collect_candidates(
+        ds.map_batches(score_batch, batch_format="pyarrow", batch_size=1024)
     )
     return _final_topk(cand_tbl, q_ids, k)
 
@@ -333,6 +354,165 @@ def project_embeddings(
     return ds.map_batches(proj, batch_format="pyarrow")
 
 
+# --------------------------------------------------------------------------
+# persisted IVF index artifact
+# --------------------------------------------------------------------------
+
+
+def build_ann_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    n_clusters: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    overwrite: bool = True,
+) -> dict:
+    """Persist an IVF index so repeated ANN queries skip re-clustering —
+    mirrors the engine's segment/catalog model (train once, serve many).
+
+    Layout (all Parquet, resumable / partition-pruned at read):
+      ``centroids.parquet``      — (cluster, w) final quantized centroids
+      ``vectors/cluster=K/…``    — normalized vectors hash-partitioned
+                                   by their assigned coarse cluster
+      ``meta.json``              — n_clusters, iters, dim, column names
+
+    The cluster directories are the probe unit: a query reads ONLY its
+    ``nprobe`` probed cluster partitions (file-level pruning), then
+    scores per batch — per-task memory stays batch-bounded."""
+    import json
+    import os
+    import shutil
+
+    if overwrite and os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    cents = ivf_centroids(ds, n_clusters=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "cluster": pa.array(np.arange(len(cents), dtype=np.int32)),
+                "w": pa.array(cents.tolist(), pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    c_ref = ray.put(cents)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _normalize(_to_matrix(batch, vec_col))
+        assign = np.argmax(m @ c.T, axis=1)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        # ``cluster`` becomes the hive partition directory (stripped
+        # from the files); ``cluster_id`` stays IN the files so readers
+        # of leaf dirs get the assignment without re-deriving it
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(assign.astype(np.int32)),
+                "cluster_id": pa.array(assign.astype(np.int32)),
+                "vec": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    ds.map_batches(assign_batch, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "vectors"), partition_cols=["cluster"]
+    )
+    meta = {
+        "n_clusters": int(len(cents)),
+        "iters": int(iters),
+        "dim": int(cents.shape[1]),
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _cluster_files(index_dir: str, clusters) -> list[str]:
+    """Parquet files of the given cluster partitions (file-level
+    pruning: unprobed clusters never leave storage)."""
+    import glob
+    import os
+
+    files: list[str] = []
+    for c in clusters:
+        files.extend(
+            sorted(glob.glob(os.path.join(index_dir, "vectors", f"cluster={int(c)}", "*.parquet")))
+        )
+    return files
+
+
+def read_ann_assignments(index_dir: str) -> ray.data.Dataset:
+    """(vec_id, cluster) of every indexed vector."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        n_clusters = json.load(f)["n_clusters"]
+    ds = ray.data.read_parquet(
+        _cluster_files(index_dir, range(n_clusters)), columns=["vec_id", "cluster_id"]
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": b["vec_id"].cast(pa.int64()),
+                "cluster": b["cluster_id"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def query_ann_index(
+    index_dir: str,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Serve IVF top-k from a persisted index: read ONLY the probed
+    cluster partitions (file-level pruning — the unprobed vectors never
+    leave storage), score per batch against the broadcast queries with
+    batch-bounded memory, merge the k-bounded candidates."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cents = _to_matrix(ct, "w")
+    q_mat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    q_probes = np.argsort(-(q_mat @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    member = np.zeros((len(q_ids), len(cents)), dtype=bool)
+    member[np.arange(len(q_ids))[:, None], q_probes] = True
+    queries_ref = ray.put({"ids": q_ids, "mat": q_mat, "member": member})
+
+    probed_files = _cluster_files(index_dir, np.unique(q_probes))
+    if not probed_files:
+        return _final_topk(_EMPTY_CAND, q_ids, k)
+    vec_ds = ray.data.read_parquet(probed_files, columns=["vec_id", "cluster_id", "vec"])
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        q = ray.get(queries_ref)
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cluster = np.asarray(batch["cluster_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        mat = _to_matrix(batch, "vec")  # stored normalized
+        return _score_allowed(q, ids, mat, q["member"][:, cluster], k)
+
+    cand_tbl = _collect_candidates(
+        vec_ds.map_batches(score_batch, batch_format="pyarrow", batch_size=1024)
+    )
+    return _final_topk(cand_tbl, q_ids, k)
+
+
 def lsh_hyperplanes(dim: int, bits: int = 8, seed: int = 13) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))
@@ -356,77 +536,29 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
 ) -> pa.Table:
     """Approximate top-k: only vectors sharing the query's LSH bucket
-    are scored — per bucket in ``groupby("_bucket").map_groups`` with
-    the query matrix broadcast (``ray.put`` once), each group emitting
-    at most k rows per query.  The bucket column is the partition key
-    at scale (co-locate bucket → one shuffle, then per-bucket brute
-    force); nothing dataset-sized ever reaches the driver."""
+    are scored — one streaming ``map_batches`` pass with the query
+    matrix broadcast (``ray.put`` once): each batch computes its
+    vectors' buckets, masks per query to bucket equality, and emits a
+    batch-local top-k.  No shuffle and no per-bucket task — per-task
+    memory is bounded by the batch even for a degenerate hot bucket;
+    nothing dataset-sized ever reaches the driver."""
     q_mat = _normalize(np.asarray(query_mat, dtype=np.float64))
     q_ids = np.asarray(query_ids, dtype=np.int64)
     planes = lsh_hyperplanes(q_mat.shape[1], bits=bits)
     q_buckets = lsh_bucket(q_mat, planes)
-    wanted = np.unique(q_buckets)
     planes_ref = ray.put(planes)
-    wanted_ref = ray.put(wanted)
     queries_ref = ray.put({"ids": q_ids, "mat": q_mat, "buckets": q_buckets})
 
-    def filter_buckets(batch: pa.Table) -> pa.Table:
+    def score_batch(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
-        want = ray.get(wanted_ref)
+        q = ray.get(queries_ref)
         mat = _normalize(_to_matrix(batch, vec_col))
         buckets = lsh_bucket(mat, pl)
-        mask = np.isin(buckets, want)
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-        return pa.table(
-            {
-                "_bucket": pa.array(buckets[mask], pa.uint64()),
-                "vid": pa.array(ids[mask], pa.int64()),
-                "vec": pa.array(mat[mask].tolist(), pa.list_(pa.float64())),
-            }
-        )
+        allowed = q["buckets"][:, None] == buckets[None, :]
+        return _score_allowed(q, ids, mat, allowed, k)
 
-    empty = pa.table(
-        {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
-         "cosine": pa.array([], pa.float64())}
-    )
-
-    def score_bucket(group: pa.Table) -> pa.Table:
-        q = ray.get(queries_ref)
-        bucket = np.uint64(group["_bucket"][0].as_py())
-        q_sel = np.flatnonzero(q["buckets"] == bucket)
-        if not len(q_sel):
-            return empty
-        ids = np.asarray(group["vid"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        mat = _to_matrix(group, "vec")
-        sims = q["mat"][q_sel] @ mat.T
-        out_q, out_n, out_s = [], [], []
-        for row, qi in enumerate(q_sel):
-            s = sims[row]
-            keep = ids != int(q["ids"][qi])
-            s, cand = s[keep], ids[keep]
-            order = np.lexsort((cand, -s))[:k]
-            out_q.extend([int(q["ids"][qi])] * len(order))
-            out_n.extend(cand[order].tolist())
-            out_s.extend(s[order].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "cosine": pa.array(out_s, pa.float64()),
-            }
-        )
-
-    cand = (
-        ds.map_batches(filter_buckets, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(score_bucket, batch_format="pyarrow")
-        .take_all()
-    )
-    cand_tbl = pa.table(
-        {
-            "query_id": pa.array([r["query_id"] for r in cand], pa.int64()),
-            "neighbor_id": pa.array([r["neighbor_id"] for r in cand], pa.int64()),
-            "cosine": pa.array([r["cosine"] for r in cand], pa.float64()),
-        }
+    cand_tbl = _collect_candidates(
+        ds.map_batches(score_batch, batch_format="pyarrow", batch_size=1024)
     )
     return _final_topk(cand_tbl, q_ids, k)

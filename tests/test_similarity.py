@@ -79,6 +79,85 @@ def test_ivf_deterministic(vectors):
     assert a.equals(b)
 
 
+def test_ivf_hot_cluster_is_batch_bounded(ray_session):
+    """All vectors in ONE cluster (degenerate hot cluster): the probe
+    path must still be exact vs brute force, and — the scale shape —
+    every per-batch emit must be ≤ k rows per query regardless of
+    cluster size (no per-cluster task ever holds the whole cluster)."""
+    from fulltextsearch_ray.functions.similarity import (
+        _score_allowed,
+        _normalize,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim = 600, 16
+    base = rng.standard_normal(dim)
+    mat = base[None, :] * 5 + rng.standard_normal((n, dim)) * 0.1  # one tight cluster
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    q_ids = np.arange(2, dtype=np.int64)
+    q_mat = mat[:2]
+    k = 7
+    got = ivf_topk(ds, q_ids, q_mat, k=k, n_clusters=1, nprobe=1, iters=2)
+    oracle = _exact_oracle(mat, q_mat, q_ids, k=k)
+    for qid in q_ids:
+        mine = [x for q, x in zip(got["query_id"].to_pylist(), got["neighbor_id"].to_pylist()) if q == qid]
+        # one cluster holds the WHOLE dataset and nprobe=1 → exact
+        assert mine == oracle[int(qid)]
+    # batch-bounded emit: a 600-vector "cluster" scored as a 64-row
+    # batch emits ≤ k rows per query, never the cluster
+    q = {"ids": q_ids, "mat": _normalize(q_mat)}
+    batch_ids = np.arange(100, 164, dtype=np.int64)
+    batch_mat = _normalize(mat[100:164])
+    allowed = np.ones((len(q_ids), 64), dtype=bool)
+    emitted = _score_allowed(q, batch_ids, batch_mat, allowed, k)
+    assert emitted.num_rows <= k * len(q_ids)
+
+
+def test_ann_index_build_query_roundtrip(ray_session, tmp_path):
+    """Persisted IVF artifact: query_ann_index over the written
+    cluster partitions must equal the from-scratch ivf_topk, and the
+    probed read must touch only the probed cluster files."""
+    from fulltextsearch_ray.functions.similarity import (
+        _cluster_files,
+        build_ann_index,
+        ivf_topk,
+        query_ann_index,
+        read_ann_assignments,
+    )
+
+    rng = np.random.default_rng(9)
+    n, dim = 300, 12
+    centers = rng.standard_normal((4, dim)) * 4
+    mat = centers[np.arange(n) % 4] + rng.standard_normal((n, dim)) * 0.2
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    idx = str(tmp_path / "annidx")
+    meta = build_ann_index(ds, idx, n_clusters=4, iters=2)
+    assert meta["n_clusters"] == 4
+    assigns = read_ann_assignments(idx).take_all()
+    assert len(assigns) == n
+    q_ids = np.arange(3, dtype=np.int64)
+    q_mat = mat[:3]
+    served = query_ann_index(idx, q_ids, q_mat, k=6, nprobe=2)
+    scratch = ivf_topk(ds, q_ids, q_mat, k=6, n_clusters=4, nprobe=2, iters=2)
+    assert served.equals(scratch)
+    # file-level pruning: probing 1 cluster reads strictly fewer files
+    all_files = _cluster_files(idx, range(4))
+    one = _cluster_files(idx, [0])
+    assert len(one) < len(all_files)
+
+
 def test_project_embeddings_matches_numpy(ray_session):
     import numpy as np
     import pyarrow as pa
