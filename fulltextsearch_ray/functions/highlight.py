@@ -61,3 +61,82 @@ def annotate_matches_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     for text, tids in zip(batch[text_col].to_pylist(), batch["token_ids"].to_pylist()):
         out.append(annotate(text or "", tids or []))
     return pa.table({"doc_id": batch["doc_id"], "annotated": pa.array(out, pa.string())})
+
+
+class HighlightStage:
+    """Actor-pool highlight stage — the distributed search-display
+    pipeline (Q8) with NO driver-side per-match state.
+
+    The (doc_id, token_ids) hit table travels through the object store
+    (``ray.put`` once, pinned per actor in ``__init__`` — never shipped
+    per batch and never a driver dict); per-doc character spans are
+    fetched INSIDE the task from the forward store, restricted to the
+    batch's matching ids (point lookups, nothing tokenized).  Driver
+    memory is O(1); per-task memory is O(batch ∩ matches)."""
+
+    def __init__(self, hits_ref, index_dir: str, text_col: str = "text"):
+        import ray
+
+        from ..pipelines.query import IndexSearcher
+
+        hits: pa.Table = ray.get(hits_ref)  # zero-copy object-store read
+        self.hit_docs = np.asarray(hits["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(self.hit_docs, kind="stable")
+        self.hit_docs = self.hit_docs[order]
+        self.hit_tokens = hits["token_ids"].combine_chunks().take(pa.array(order))
+        self.searcher = IndexSearcher(index_dir)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pos = np.searchsorted(self.hit_docs, ids)
+        pos = np.minimum(pos, max(len(self.hit_docs) - 1, 0))
+        hit = (self.hit_docs[pos] == ids) if len(self.hit_docs) else np.zeros(len(ids), bool)
+        if not hit.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "annotated": pa.array([], pa.string())}
+            )
+        rows = np.flatnonzero(hit)
+        spans = self.searcher.get_positions_many(ids[rows])
+        texts = batch[self.text_col].to_pylist()
+        out_ids, out = [], []
+        for r in rows:
+            did = int(ids[r])
+            offs, lens = spans[did]
+            tids = self.hit_tokens[int(pos[r])].as_py()
+            out_ids.append(did)
+            out.append(annotate_from_positions(texts[r] or "", tids, offs, lens))
+        return pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()), "annotated": pa.array(out, pa.string())}
+        )
+
+
+def highlight_matches(
+    docs_ds,
+    index_dir: str,
+    query: str,
+    *,
+    text_col: str = "text",
+    concurrency: int = 4,
+):
+    """Distributed highlight of every document matching ``query``:
+    one searcher query produces the (match-sized) hit table, which is
+    broadcast via the OBJECT STORE and joined to the corpus inside an
+    actor-pool stage (:class:`HighlightStage`).  The driver never holds
+    a per-match dict or any character spans."""
+    import ray
+
+    from ..pipelines.query import get_searcher
+
+    hits = get_searcher(index_dir).search_docs(query)
+    hits_ref = ray.put(
+        pa.table(
+            {"doc_id": hits["doc_id"].cast(pa.int64()), "token_ids": hits["token_ids"]}
+        )
+    )
+    return docs_ds.map_batches(
+        HighlightStage,
+        fn_constructor_args=(hits_ref, index_dir, text_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -16,6 +16,19 @@ import pyarrow.compute as pc
 import ray.data
 
 
+def _to_cents(values: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """value → exact integer cents with DuckDB ``round`` semantics
+    (half AWAY from zero; Arrow's default is half-to-even, which
+    disagrees by one cent on binary-exact midpoints like 0.125*100)."""
+    return pc.cast(
+        pc.round(
+            pc.multiply(pc.cast(values, pa.float64()), 100.0),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+
+
 def tumbling_window_agg(
     ds: ray.data.Dataset,
     *,
@@ -37,12 +50,11 @@ def tumbling_window_agg(
         # differs between engines/partitionings, and 2-decimal inputs
         # produce averages that sit exactly on rounding boundaries —
         # integer sums make the aggregate bit-reproducible.
-        cents = pc.round(pc.multiply(pc.cast(batch[value_col], pa.float64()), 100.0))
         return pa.table(
             {
                 "window_start": w,
                 key_col: batch[key_col],
-                "_cents": pc.cast(cents, pa.int64()),
+                "_cents": _to_cents(batch[value_col]),
             }
         )
 
@@ -101,12 +113,7 @@ def hopping_window_agg(
             ts = ts.combine_chunks()
         us = np.asarray(ts.cast(pa.int64()).to_numpy(zero_copy_only=False))
         base = (us // hop_us) * hop_us  # latest window containing the event
-        cents = np.asarray(
-            pc.cast(
-                pc.round(pc.multiply(pc.cast(batch[value_col], pa.float64()), 100.0)),
-                pa.int64(),
-            ).to_numpy(zero_copy_only=False)
-        )
+        cents = np.asarray(_to_cents(batch[value_col]).to_numpy(zero_copy_only=False))
         keys = batch[key_col]
         tables = []
         for i in range(k):
@@ -175,12 +182,7 @@ def session_window_agg(
             ts = ts.combine_chunks()
         us = np.asarray(ts.cast(pa.int64()).to_numpy(zero_copy_only=False))
         users = np.asarray(batch[user_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-        cents = np.asarray(
-            pc.cast(
-                pc.round(pc.multiply(pc.cast(batch[value_col], pa.float64()), 100.0)),
-                pa.int64(),
-            ).to_numpy(zero_copy_only=False)
-        )
+        cents = np.asarray(_to_cents(batch[value_col]).to_numpy(zero_copy_only=False))
         return pa.table(
             {
                 "u": pa.array(users),

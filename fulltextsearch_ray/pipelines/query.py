@@ -325,6 +325,65 @@ class IndexSearcher:
             return (0, 0)
         return row[0], row[1]
 
+    def term_stats_dataset(self) -> "ray.data.Dataset":
+        """Streaming (term, df, cf) over the whole vocabulary — the
+        scale-mode twin of iterating ``self.terms`` (which only exists
+        in eager mode): the catalog parquet is read as a Ray dataset,
+        so a multi-billion-term index enumerates its terms without ever
+        materializing the vocabulary in one process.  Cross-segment
+        totals come from one groupby (skipped for single-segment
+        indexes — a segment catalog is already one row per term).
+        The reference analog is ``Visit``-based printing
+        (``FullTextIndexExtensions.cs:7-17``), which also streams."""
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        def norm(b: pa.Table) -> pa.Table:
+            df = b["df_docs"] if "df_docs" in b.column_names else b["df"]
+            return pa.table(
+                {"term": b["term"], "df": df.cast(pa.int64()), "cf": b["cf"].cast(pa.int64())}
+            )
+
+        parts = []
+        for seg in self.segments:
+            d = os.path.join(segment_dir(self.index_dir, seg), "catalog")
+            has_dd = "df_docs" in pads.dataset(d).schema.names
+            cols = ["term", "cf"] + (["df_docs"] if has_dd else ["df"])
+            parts.append(
+                ray.data.read_parquet(pq.ParquetDataset(d).files, columns=cols).map_batches(
+                    norm, batch_format="pyarrow"
+                )
+            )
+        if not parts:
+            import ray.data as rd
+
+            return rd.from_arrow(
+                pa.table({"term": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()), "cf": pa.array([], pa.int64())})
+            )
+        ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+        if len(parts) == 1:
+            return ds
+        return ds.groupby("term").aggregate(
+            Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+        )
+
+    def top_terms(self, k: int = 20) -> pa.Table:
+        """Top-k terms by collection frequency (tie: term asc) via a
+        distributed sort-limit over the catalog dataset — never a
+        whole-vocabulary materialization on the driver."""
+        ds = self.term_stats_dataset().sort(["cf", "term"], descending=[True, False]).limit(k)
+        import ray
+
+        tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        out = (
+            pa.concat_tables(tbls)
+            if tbls
+            else pa.table({"term": pa.array([], pa.string()),
+                           "df": pa.array([], pa.int64()), "cf": pa.array([], pa.int64())})
+        )
+        return out.select(["term", "df", "cf"])
+
     # -- dictionary ---------------------------------------------------------
 
     def _expand(self, ast: "TermQueryAst") -> list[str]:
@@ -647,20 +706,25 @@ class IndexSearcher:
         np.not_equal(docs[1:], docs[:-1], out=change[1:])
         starts = np.flatnonzero(change)
         counts = np.diff(np.r_[starts, len(docs)])
-        # each match covers `width` consecutive token ids
-        tok_lists = []
+        # each match covers `width` consecutive token ids — grouped
+        # arange explode (np.repeat + offset subtraction), then one
+        # ListArray build from per-doc token-count offsets: no Python
+        # loop over matches or docs
         toks = m.tokens.astype(np.int64)
-        for s, c in zip(starts, counts):
-            ids = []
-            for j in range(s, s + c):
-                t = int(toks[j])
-                ids.extend(range(t, t + int(widths[j])))
-            tok_lists.append(ids)
+        total = int(widths.sum())
+        run_starts = np.cumsum(widths) - widths
+        flat = np.repeat(toks, widths) + (np.arange(total, dtype=np.int64) - np.repeat(run_starts, widths))
+        toks_per_doc = np.add.reduceat(widths, starts) if len(starts) else np.empty(0, dtype=np.int64)
+        offsets = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(toks_per_doc, out=offsets[1:])
+        tok_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.int64())
+        )
         return pa.table(
             {
                 "doc_id": pa.array(docs[starts], pa.uint64()),
                 "n_matches": pa.array(counts.astype(np.int64)),
-                "token_ids": pa.array(tok_lists, pa.list_(pa.int64())),
+                "token_ids": tok_col,
             }
         )
 

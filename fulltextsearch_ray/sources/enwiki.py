@@ -44,10 +44,17 @@ def _open_maybe_gzip(path: str) -> IO[bytes]:
 
 
 def iter_enwiki_titles(path: str) -> Iterator[str]:
-    """Stream non-empty ``<title>`` texts from an (optionally gzipped)
-    XML file, stripping the ``"Wikipedia: "`` prefix.  Incremental
-    pull parse — constant memory regardless of file size; tag match is
-    namespace-agnostic (dump files carry a default xmlns)."""
+    """Stream ``<title>`` texts from an (optionally gzipped) XML file,
+    stripping the ``"Wikipedia: "`` prefix.  Incremental pull parse —
+    constant memory regardless of file size; tag match is
+    namespace-agnostic (dump files carry a default xmlns).
+
+    A title that is empty (or becomes empty after the prefix strip) is
+    yielded as an EMPTY string rather than dropped: positional doc ids
+    must stay dense — one per ``<title>`` element — so that the
+    "ids depend only on file list + contents" contract (and the
+    row_number-based oracle) holds even on degenerate inputs.  An empty
+    document simply indexes to zero tokens."""
     with _open_maybe_gzip(path) as f:
         for _, elem in ET.iterparse(f, events=("end",)):
             tag = elem.tag.rsplit("}", 1)[-1]
@@ -55,8 +62,7 @@ def iter_enwiki_titles(path: str) -> Iterator[str]:
                 text = elem.text or ""
                 if text.startswith(_WIKI_PREFIX):
                     text = text[len(_WIKI_PREFIX):]
-                if text:
-                    yield text
+                yield text
             elem.clear()  # free the subtree — keeps iterparse O(1) memory
 
 

@@ -100,9 +100,12 @@ def _posting_rows(
 ) -> pa.Table:
     """Encode per-term occurrence slices into posting block rows,
     chunking long lists at ~``block_cf`` occurrences.  Chunk points
-    snap to ENTRY boundaries so a (doc, field) entry never spans two
-    blocks (which would double-count df in the catalog roll-up); the
-    only exception is a single entry larger than ``block_cf`` itself.
+    snap to DOC boundaries (the first entry of a new doc) so a
+    document never spans two blocks — per-block ``n_docs`` counts sum
+    to the true per-term df in the catalog roll-up.  Fallbacks, in
+    order, when a single doc / entry exceeds ``block_cf``: entry
+    boundary (a multi-field doc splits, inflating that term's summed
+    n_docs by one per extra block), then mid-entry.
     """
     cols: dict[str, list] = {k: [] for k in POSTINGS_SCHEMA.names}
     for i, term in enumerate(terms_sorted):
@@ -112,20 +115,27 @@ def _posting_rows(
         d = occ_docs[lo:hi]
         f = occ_fields[lo:hi]
         echange = np.empty(hi - lo, dtype=bool)
+        dchange = np.empty(hi - lo, dtype=bool)
         if hi > lo:
             echange[0] = True
             np.logical_or(d[1:] != d[:-1], f[1:] != f[:-1], out=echange[1:])
+            dchange[0] = True
+            np.not_equal(d[1:], d[:-1], out=dchange[1:])
         entry_starts = np.flatnonzero(echange) + lo
+        doc_starts = np.flatnonzero(dchange) + lo
         s = lo
         while s < hi:
             cap = s + block_cf
             if cap >= hi:
                 e = hi
             else:
-                j = int(np.searchsorted(entry_starts, cap, side="right")) - 1
-                e = int(entry_starts[j])
-                if e <= s:  # one entry exceeds block_cf: split mid-entry
-                    e = min(cap, hi)
+                j = int(np.searchsorted(doc_starts, cap, side="right")) - 1
+                e = int(doc_starts[j])
+                if e <= s:  # one doc exceeds block_cf: split at an entry
+                    j = int(np.searchsorted(entry_starts, cap, side="right")) - 1
+                    e = int(entry_starts[j])
+                    if e <= s:  # one ENTRY exceeds block_cf: split mid-entry
+                        e = min(cap, hi)
             blk: PostingBlock = encode_posting_block(
                 occ_docs[s:e], occ_fields[s:e], occ_tokens[s:e]
             )

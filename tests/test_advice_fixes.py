@@ -157,3 +157,101 @@ def test_binary_search_lookup_parity(multifield_index):
     assert s.term_stats("absent") == (0, 0)
     assert s._term_index("alpha") >= 0
     assert s._term_index("zzzz") == -1
+
+
+# ---------------------------------------------------------------------------
+# round-2 ADVICE findings
+# ---------------------------------------------------------------------------
+
+
+def test_block_chunking_snaps_to_doc_boundaries():
+    """A multi-field doc whose entries straddle the block_cf point must
+    NOT split across blocks: per-block n_docs counts sum to the true
+    unique-doc df (round-2 ADVICE #2)."""
+    # doc 1: 2 occurrences; doc 2: field1 ×2 + field2 ×2.  block_cf=4
+    # lands exactly BETWEEN doc 2's two field entries — entry-boundary
+    # snapping would split doc 2 across blocks (counting it twice);
+    # doc-boundary snapping moves the chunk point back to doc 2's start.
+    occ_docs = np.array([1, 1, 2, 2, 2, 2], dtype=np.uint64)
+    occ_fields = np.array([1, 1, 1, 1, 2, 2], dtype=np.uint64)
+    occ_tokens = np.array([1, 2, 1, 2, 1, 2], dtype=np.uint64)
+    bounds = np.array([0, 6], dtype=np.int64)
+    tbl = _posting_rows(
+        np.array(["t"], dtype=object), bounds, occ_docs, occ_fields, occ_tokens,
+        num_buckets=4, block_cf=4,
+    )
+    n_docs = tbl["n_docs"].to_pylist()
+    assert sum(n_docs) == 2  # true df — no doc counted twice
+    # every block holds whole docs
+    firsts = tbl["first_doc"].to_pylist()
+    lasts = tbl["last_doc"].to_pylist()
+    for i in range(len(firsts) - 1):
+        assert lasts[i] < firsts[i + 1]
+
+
+def test_block_chunking_single_giant_doc_falls_back():
+    """A single doc larger than block_cf still splits (at entry then
+    mid-entry boundaries) — bounded blocks beat exact df there."""
+    occ_docs = np.full(10, 1, dtype=np.uint64)
+    occ_fields = np.full(10, 1, dtype=np.uint64)
+    occ_tokens = np.arange(1, 11, dtype=np.uint64)
+    bounds = np.array([0, 10], dtype=np.int64)
+    tbl = _posting_rows(
+        np.array(["t"], dtype=object), bounds, occ_docs, occ_fields, occ_tokens,
+        num_buckets=4, block_cf=4,
+    )
+    assert tbl.num_rows == 3  # 4+4+2 occurrences
+    assert tbl["cf"].to_pylist() == [4, 4, 2]
+
+
+def test_window_cents_round_half_away_from_zero(ray_session):
+    """Binary-exact midpoint values (0.125*100 == 12.5 exactly) must
+    round like DuckDB round (half AWAY from zero), not Arrow's default
+    half-to-even (round-2 ADVICE #4)."""
+    import ray.data
+
+    from fulltextsearch_ray.functions.windows import tumbling_window_agg
+
+    tbl = pa.table(
+        {
+            "ts": pa.array([1_000_000] * 2, pa.timestamp("us")),
+            "event_type": pa.array(["a", "a"]),
+            "value": pa.array([0.125, -0.125], pa.float64()),
+        }
+    )
+    out = tumbling_window_agg(ray.data.from_arrow(tbl), window="1h").take_all()
+    assert len(out) == 1
+    # 13 + (-13) cents = 0.0; half-to-even would give 12 + (-12) = 0 too,
+    # so ALSO check the one-sided sum
+    tbl2 = pa.table(
+        {
+            "ts": pa.array([1_000_000], pa.timestamp("us")),
+            "event_type": pa.array(["a"]),
+            "value": pa.array([0.125], pa.float64()),
+        }
+    )
+    out2 = tumbling_window_agg(ray.data.from_arrow(tbl2), window="1h").take_all()
+    assert out2[0]["sum_value"] == 0.13  # DuckDB round(12.5) = 13 cents
+
+
+def test_enwiki_empty_titles_keep_dense_ids(tmp_path, ray_session):
+    """An empty <title> (or one that empties after the prefix strip)
+    must keep its positional id slot — ids stay dense, matching the
+    row_number oracle (round-2 ADVICE #3)."""
+    from fulltextsearch_ray.sources.enwiki import read_enwiki_corpus
+
+    xml = (
+        "<feed>"
+        "<doc><title>Wikipedia: alpha</title></doc>"
+        "<doc><title>Wikipedia: </title></doc>"
+        "<doc><title></title></doc>"
+        "<doc><title>Wikipedia: beta</title></doc>"
+        "</feed>"
+    )
+    p = tmp_path / "shard-00.xml"
+    p.write_text(xml, encoding="utf-8")
+    rows = sorted(
+        read_enwiki_corpus(str(tmp_path)).take_all(), key=lambda r: r["doc_id"]
+    )
+    assert [r["doc_id"] for r in rows] == [1, 2, 3, 4]
+    assert [r["content"] for r in rows] == ["alpha", "", "", "beta"]

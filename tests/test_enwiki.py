@@ -45,9 +45,11 @@ def wiki_dir(tmp_path_factory):
     return str(d)
 
 
-def test_iter_titles_strips_prefix_skips_empty(wiki_dir):
+def test_iter_titles_strips_prefix_keeps_empty(wiki_dir):
+    # empty titles yield EMPTY documents (not dropped) so positional
+    # ids stay dense — round-2 ADVICE #3
     titles = list(iter_enwiki_titles(os.path.join(wiki_dir, "a-abstract.xml")))
-    assert titles == ["Anarchism", "Apollo"]  # empty title dropped, prefix stripped
+    assert titles == ["Anarchism", "Apollo", ""]
 
 
 def test_iter_titles_gzip(wiki_dir):
@@ -60,14 +62,16 @@ def test_read_enwiki_corpus_positional_ids(ray_session, wiki_dir):
     rows = sorted(
         read_enwiki_corpus(wiki_dir).take_all(), key=lambda r: r["doc_id"]
     )
-    # sorted file list: a-abstract.xml (2 titles) then b-abstract.xml.gz (1)
+    # sorted file list: a-abstract.xml (3 titles, one empty) then
+    # b-abstract.xml.gz (1)
     assert [(r["doc_id"], r["content"]) for r in rows] == [
         (1, "Anarchism"),
         (2, "Apollo"),
-        (3, "Plain Banana"),
+        (3, ""),
+        (4, "Plain Banana"),
     ]
     # per-file ordinal restarts in file b, mirroring the reference's counter
-    assert [json.loads(r["meta"])["id"] for r in rows] == [1, 2, 1]
+    assert [json.loads(r["meta"])["id"] for r in rows] == [1, 2, 3, 1]
 
 
 def test_enwiki_index_end_to_end(ray_session, wiki_dir, tmp_path):
@@ -85,8 +89,8 @@ def test_enwiki_index_end_to_end(ray_session, wiki_dir, tmp_path):
     )
     s = IndexSearcher(idx)
     assert s.search_to_string("WORD(apollo)") == "{[2,1,1]}"
-    assert s.search_to_string("WORD(banana)") == "{[3,1,2]}"
-    assert json.loads(s.get_metadata(3)["meta"]) == {"id": 1}
+    assert s.search_to_string("WORD(banana)") == "{[4,1,2]}"
+    assert json.loads(s.get_metadata(4)["meta"]) == {"id": 1}
 
 
 def test_enwiki_cli_incremental_sessions(ray_session, wiki_dir, tmp_path):
@@ -107,8 +111,8 @@ def test_enwiki_cli_incremental_sessions(ray_session, wiki_dir, tmp_path):
                  "--input-type", "enwiki", "--num-buckets", "2"]) == 0
     s = IndexSearcher(idx)
     assert s.search_to_string("WORD(apollo)") == "{[2,1,1]}"  # session 1
-    assert s.search_to_string("WORD(cherry)") == "{[4,1,1]}"  # session 2 continues ids
-    assert json.loads(s.get_metadata(4)["meta"]) == {"id": 1}
+    assert s.search_to_string("WORD(cherry)") == "{[5,1,1]}"  # session 2 continues ids
+    assert json.loads(s.get_metadata(5)["meta"]) == {"id": 1}
 
 
 @pytest.fixture(scope="module")

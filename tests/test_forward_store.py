@@ -96,3 +96,44 @@ def test_forward_missing_raises(ray_session, tmp_path_factory):
     assert not s.has_forward
     with pytest.raises(ValueError):
         s.get_positions_many([1])
+
+
+def test_highlight_matches_distributed(fwd_index):
+    """The distributed highlight pipeline (HighlightStage: hits via
+    object store, spans fetched in-task) must reproduce the per-doc
+    annotate() output exactly, emitting only matching docs."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from fulltextsearch_ray.functions.highlight import highlight_matches
+
+    corpus, idx = fwd_index
+    s = IndexSearcher(idx)
+    term = "index0"
+    hits = s.search_docs(f"WORD({term})")
+    want = {}
+    doc_id = 1
+    texts = {}
+    for f in sorted(glob.glob(os.path.join(corpus, "*.parquet"))):
+        for t in pq.read_table(f, columns=["content"])["content"].to_pylist():
+            texts[doc_id] = t
+            doc_id += 1
+    for d, tids in zip(hits["doc_id"].to_pylist(), hits["token_ids"].to_pylist()):
+        want[int(d)] = annotate(texts[int(d)], tids)
+
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[d] for d in sorted(texts)], pa.string()),
+        }
+    )
+    import ray
+
+    out = highlight_matches(
+        ray.data.from_arrow(docs_tbl), idx, f"WORD({term})", concurrency=2
+    ).take_all()
+    got = {r["doc_id"]: r["annotated"] for r in out}
+    assert got == want

@@ -62,3 +62,25 @@ def test_lazy_doc_lens_match(pair):
     eager, lazy = pair
     ids = eager._dl_docs[:: max(len(eager._dl_docs) // 40, 1)]
     np.testing.assert_array_equal(lazy._doc_lens(ids), eager._doc_lens(ids))
+
+
+def test_lazy_term_stats_dataset_streams(pair):
+    """Scale-mode term-statistics surface (round-2 VERDICT #4): a
+    lazy-mode searcher (no ``terms`` array at all) must enumerate the
+    whole vocabulary via the catalog DATASET, matching the eager
+    searcher's arrays exactly; top_terms must agree with a driver
+    lexsort of those arrays."""
+    eager, lazy = pair
+    assert lazy.terms is None  # nothing eager to lean on
+    rows = lazy.term_stats_dataset().take_all()
+    got = {r["term"]: (r["df"], r["cf"]) for r in rows}
+    want = {
+        t: (int(eager._df_docs[i]), int(eager._cf[i]))
+        for i, t in enumerate(eager._terms_np)
+    }
+    assert got == want
+    top = lazy.top_terms(10)
+    cf = np.asarray(eager._cf)
+    order = np.lexsort((eager._terms_np, -cf))[:10]
+    assert top["term"].to_pylist() == [eager._terms_np[i] for i in order]
+    assert top["cf"].to_pylist() == [int(cf[i]) for i in order]
