@@ -159,6 +159,67 @@ def bench_ops(sf_dir: str) -> dict:
     return out
 
 
+def bench_skew(num_cpus: int, n_docs: int = 20000) -> dict:
+    """Skew probe (BASELINE.md planned workload #3): (a) a stop-word-
+    heavy corpus — every doc carries extra copies of one hot term, so
+    one groupby key sees ~n_docs compressed runs — must build within
+    ~1.5x of the normal corpus (the hot-term metadata-only merge path);
+    (b) a degenerate MinHash-LSH bucket — 30% of docs share identical
+    text, putting thousands of docs in one bucket per band — must stay
+    near the normal op time (the capped pair emit logs + skips instead
+    of an O(g^2) explode)."""
+    import pyarrow as pa
+    import ray.data
+
+    from fulltextsearch_ray.functions.dedup import minhash_lsh_pairs
+    from fulltextsearch_ray.pipelines.build import build_index
+    from fulltextsearch_ray.sources.corpus import write_synth_corpus
+
+    rows_per_file = max(min(n_docs // 32, 10_000), 500)
+    out = {}
+    # --- (a) stop-word-heavy build vs normal build, same size ---
+    normal = write_synth_corpus(
+        f"/tmp/ftsray_bench/skew-normal-{n_docs}", n_docs, rows_per_file=rows_per_file
+    )
+    skewed = write_synth_corpus(
+        f"/tmp/ftsray_bench/skew-hot-{n_docs}", n_docs, rows_per_file=rows_per_file,
+        heavy_term="hotstopword", heavy_every=1,
+    )
+    for name, corpus in (("normal", normal), ("skewed", skewed)):
+        idx = f"/tmp/ftsray_bench/skew-idx-{name}-{time.time_ns()}"
+        t0 = time.perf_counter()
+        meta = build_index(corpus, idx, text_col="content", num_buckets=16, overwrite=True)
+        out[f"build_{name}_docs_per_sec"] = round(meta.num_docs / (time.perf_counter() - t0), 1)
+    out["build_skew_ratio"] = round(
+        out["build_skewed_docs_per_sec"] / out["build_normal_docs_per_sec"], 3
+    )
+    # --- (b) degenerate LSH bucket: 30% identical docs ---
+    import pyarrow.parquet as pq
+
+    dup_path = f"/tmp/ftsray_bench/skew-dup-v2-{n_docs}.parquet"
+    if not os.path.exists(dup_path):
+        # 30% of docs share ONE text (a single giant LSH bucket in every
+        # band); the rest are unique so the probe isolates the capped
+        # bucket-skip path rather than legitimate pair volume
+        texts = [
+            "common boilerplate header license text all rights reserved"
+            if i % 10 < 3
+            else f"unique document {i} alpha{i} beta{i * 7} gamma{i * 13} delta{i * 31} "
+                 f"epsilon{i * 43} zeta{i * 57}"
+            for i in range(n_docs)
+        ]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            dup_path,
+        )
+    ds = ray.data.read_parquet(dup_path)
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(ds, num_perm=64, bands=16, threshold=0.5).count()
+    out["minhash_degenerate_bucket_sec"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def run_scaling(n_docs: int, repeats: int = 2) -> dict:
     """Fresh-process build bench at num_cpus = 2, 8 and 32 on the same
     input; reports N→4N efficiency for both (2→8) and (8→32).
@@ -247,11 +308,16 @@ def main():
         q["bm25_p50_ms"] = qq["p50_ms"]
         q["bm25_p99_ms"] = qq["p99_ms"]
         q["bm25_pool_qps"] = qq["pool_qps"]
+    if phase == "skew":
+        for k, v in bench_skew(num_cpus).items():
+            q[f"skew_{k}"] = v
     if phase is None:
         d = bench_docs_table(sf_dir)
         q["docs_table_sec"] = d["sec"]
         for k, v in bench_ops(sf_dir).items():
             q[f"op_{k}_sec"] = v
+        for k, v in bench_skew(num_cpus).items():
+            q[f"skew_{k}"] = v
 
     total = round(time.perf_counter() - t_start, 3)
     print(json.dumps({

@@ -40,6 +40,65 @@ import ray.data
 from ..tokenizer import TOKEN_RE, flat_tokens
 from .common import iter_capped_runs, md5_u64, md5_u64_batch, round6, sorted_runs
 
+def _dedup_pairs(
+    pairs: ray.data.Dataset,
+    value_col: str,
+    value_type: "pa.DataType",
+    agg: str = "max",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Cross-band pair dedup: one row per (a, b) keeping the max/min
+    value.  HASH-PARTITIONED on the pair key (P partition tasks, one
+    vectorized lexsort + reduceat each) — a full-width two-key groupby
+    over millions of candidate pair rows is the degenerate-corpus
+    bottleneck this replaces."""
+    from .common import default_partitions
+
+    P = num_partitions or default_partitions()
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), (value_col, value_type)])
+
+    def tag2(b: pa.Table) -> pa.Table:
+        if not b.num_rows or not b.num_columns:
+            return out_schema.empty_table().append_column("_p2", pa.array([], pa.int64()))
+        a = np.asarray(b["a"].to_numpy(zero_copy_only=False), dtype=np.int64).astype(np.uint64)
+        bb = np.asarray(b["b"].to_numpy(zero_copy_only=False), dtype=np.int64).astype(np.uint64)
+        mix = (
+            (a * np.uint64(0x9E3779B97F4A7C15)) ^ (bb * np.uint64(0xC2B2AE3D27D4EB4F))
+        ) >> np.uint64(33)
+        return b.append_column("_p2", pa.array((mix % np.uint64(P)).astype(np.int64)))
+
+    reducer = np.maximum if agg == "max" else np.minimum
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        if not g.num_rows or not g.num_columns:
+            return out_schema.empty_table()
+        a = np.asarray(g["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(g["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        v = np.asarray(g[value_col].to_numpy(zero_copy_only=False))
+        order = np.lexsort((b, a))
+        a, b, v = a[order], b[order], v[order]
+        # run boundaries over the composite (a, b) key
+        n = len(a)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(change)
+        red = reducer.reduceat(v, starts) if n else v
+        return pa.table(
+            {
+                "a": pa.array(a[starts]),
+                "b": pa.array(b[starts]),
+                value_col: pa.array(red).cast(value_type),
+            }
+        )
+
+    return (
+        pairs.map_batches(tag2, batch_format="pyarrow")
+        .groupby("_p2")
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -313,7 +372,7 @@ def minhash_lsh_pairs(
             change[1:] = (bk[1:] != bk[:-1]) | (subb[1:] != subb[:-1])
         starts = np.flatnonzero(change)
         counts = np.diff(np.r_[starts, n])
-        out_a, out_b, out_e = [], [], []
+        out_a, out_b, out_e = [], [], []  # numpy chunks, concatenated once
         for s, g in zip(starts, counts):
             if g < 2:
                 continue
@@ -326,14 +385,19 @@ def minhash_lsh_pairs(
             est = agree[iu, ju]
             keep = est >= threshold
             gi = ids[s : s + g]
-            out_a.extend(gi[iu[keep]].tolist())
-            out_b.extend(gi[ju[keep]].tolist())
-            out_e.extend(est[keep].tolist())
+            out_a.append(gi[iu[keep]])
+            out_b.append(gi[ju[keep]])
+            out_e.append(est[keep])
+        if not out_a:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "est_jaccard": pa.array([], pa.float64())}
+            )
         return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "est_jaccard": pa.array(round6(np.asarray(out_e, dtype=np.float64)) if out_e else [], pa.float64()),
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "est_jaccard": pa.array(round6(np.concatenate(out_e)), pa.float64()),
             }
         )
 
@@ -342,9 +406,7 @@ def minhash_lsh_pairs(
         .groupby("_part")
         .map_groups(part_pairs, batch_format="pyarrow")
     )
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    return _dedup_pairs(pairs, "est_jaccard", pa.float64(), agg="max")
 
 
 # --------------------------------------------------------------------------
@@ -462,14 +524,19 @@ def simhash_neardup_pairs(
             iu, ju = np.triu_indices(int(g), k=1)
             ham = _popcount64(gh[iu] ^ gh[ju]).astype(np.int64)
             keep = ham <= max_hamming
-            out_a.extend(gi[iu[keep]].tolist())
-            out_b.extend(gi[ju[keep]].tolist())
-            out_h.extend(ham[keep].tolist())
+            out_a.append(gi[iu[keep]])
+            out_b.append(gi[ju[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
         return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "hamming": pa.array(out_h, pa.int64()),
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "hamming": pa.array(np.concatenate(out_h)),
             }
         )
 
@@ -478,9 +545,7 @@ def simhash_neardup_pairs(
         .groupby("_part")
         .map_groups(part_pairs, batch_format="pyarrow")
     )
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return _dedup_pairs(pairs, "hamming", pa.int64(), agg="min")
 
 
 # --------------------------------------------------------------------------
@@ -841,14 +906,19 @@ def embedding_neardup_pairs(
             vals = sims[iu, ju]
             keep = vals >= threshold
             gi = ids[s : s + g]
-            out_a.extend(gi[iu[keep]].tolist())
-            out_b.extend(gi[ju[keep]].tolist())
-            out_c.extend(vals[keep].tolist())
+            out_a.append(gi[iu[keep]])
+            out_b.append(gi[ju[keep]])
+            out_c.append(vals[keep])
+        if not out_a:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
         return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "cosine": pa.array(round6(np.asarray(out_c, dtype=np.float64)) if out_c else [], pa.float64()),
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "cosine": pa.array(round6(np.concatenate(out_c)), pa.float64()),
             }
         )
 
@@ -857,9 +927,7 @@ def embedding_neardup_pairs(
         .groupby("_part")
         .map_groups(part_pairs, batch_format="pyarrow")
     )
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
+    return _dedup_pairs(pairs, "cosine", pa.float64(), agg="max")
 
 
 def _embedding_neardup_exact(

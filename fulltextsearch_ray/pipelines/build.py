@@ -55,7 +55,11 @@ from ..tokenizer import token_counts
 
 
 def compact_index(
-    index_dir: str, *, block_cf: int = DEFAULT_BLOCK_CF, docs_driver_budget: int = 5_000_000
+    index_dir: str,
+    *,
+    block_cf: int = DEFAULT_BLOCK_CF,
+    docs_driver_budget: int = 5_000_000,
+    store_copy_file_budget: int = 256,
 ) -> IndexMeta:
     """Merge ALL segments into one — the batch analog of collapsing the
     reference's per-session posting-list chains
@@ -131,17 +135,60 @@ def compact_index(
 
     # carry the forward store and docs_meta tables into the compact
     # segment (they are doc-keyed, ids are disjoint across segments —
-    # a file copy is the merge); without this, compaction destroyed
-    # highlight-from-store and per-doc metadata
+    # a file merge preserves every row); without this, compaction
+    # destroyed highlight-from-store and per-doc metadata.  Below
+    # ``store_copy_file_budget`` files the merge is a driver copy loop
+    # (cheap, schema-agnostic); past it the store REWRITES through Ray
+    # (read → sort(doc_id) → partitioned write) so a many-thousand-file
+    # segment set never runs a per-file driver loop.
     for sub in ("forward", "docs_meta"):
+        src_files: list[tuple[str, str]] = []
         for s in old_segments:
             src = os.path.join(segment_dir(index_dir, s), sub)
-            if not os.path.isdir(src):
-                continue
-            dst = os.path.join(seg_path, sub)
-            os.makedirs(dst, exist_ok=True)
-            for f in sorted(_glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)):
+            if os.path.isdir(src):
+                src_files.extend(
+                    (s, f)
+                    for f in sorted(
+                        _glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+                    )
+                )
+        if not src_files:
+            continue
+        dst = os.path.join(seg_path, sub)
+        os.makedirs(dst, exist_ok=True)
+        if len(src_files) <= store_copy_file_budget:
+            for s, f in src_files:
                 shutil.copy2(f, os.path.join(dst, f"{s}-{os.path.basename(f)}"))
+            continue
+        # STREAMING REWRITE: group by file schema (sessions may differ —
+        # legacy forward stores lack field_id; docs_meta columns vary)
+        by_schema: dict[str, list[str]] = {}
+        for _s, f in src_files:
+            by_schema.setdefault(str(pq.ParquetFile(f).schema_arrow), []).append(f)
+        if sub == "forward":
+            from ..stages.forward import FORWARD_SCHEMA
+
+            def norm_fwd(b: pa.Table) -> pa.Table:
+                if "field_id" not in b.column_names:
+                    b = b.append_column(
+                        "field_id", pa.array(np.ones(b.num_rows, dtype=np.int32))
+                    )
+                return b.select(FORWARD_SCHEMA.names).cast(FORWARD_SCHEMA)
+
+            parts = [
+                ray.data.read_parquet(files).map_batches(norm_fwd, batch_format="pyarrow")
+                for files in by_schema.values()
+            ]
+            # one schema after normalization → ONE global sort: output
+            # file doc ranges stay disjoint for the range catalog
+            ds_all = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+            ds_all.sort("doc_id").write_parquet(dst)
+        else:
+            # docs_meta has no range catalog (directory filter reads):
+            # each schema group rewrites independently, mirroring the
+            # copy path's mixed-schema directory layout exactly
+            for files in by_schema.values():
+                ray.data.read_parquet(files).sort("doc_id").write_parquet(dst)
     forward_ranges = _scan_doc_ranges(os.path.join(seg_path, "forward"), seg_path)
 
     _write_catalog_and_manifest(
@@ -502,11 +549,6 @@ def build_index(
     # (the reference's persisted-positions model, PersistentBuilder.cs)
     forward_ranges: list = []
     if store_forward:
-        if text_cols:
-            raise ValueError(
-                "store_forward currently supports single-field corpora only "
-                "(text_col); per-field span stores are not implemented"
-            )
         t0 = _t()
         from ..stages.forward import ForwardFileStage, forward_batch
 
@@ -517,14 +559,14 @@ def build_index(
             f_items, _ = corpus_file_items(source, start_id=meta.next_doc_id)
             fwd = f_items.map_batches(
                 ForwardFileStage,
-                fn_constructor_args=(text_col,),
+                fn_constructor_kwargs={"text_col": text_col, "text_cols": text_cols},
                 batch_format="pyarrow",
                 batch_size=1,
                 concurrency=pool,
             )
         else:
             fwd = ds.map_batches(
-                lambda b: forward_batch(b, text_col), batch_format="pyarrow",
+                lambda b: forward_batch(b, text_col, text_cols), batch_format="pyarrow",
                 batch_size=batch_size,
             )
         fwd.write_parquet(fwd_dir, row_group_size=2048)

@@ -545,13 +545,17 @@ class IndexSearcher:
     def has_forward(self) -> bool:
         return bool(self._fwd_ranges)
 
-    def get_positions_many(self, doc_ids) -> dict[int, tuple[list[int], list[int]]]:
-        """doc_id → (token char offsets, lengths) from the forward
-        store.  Point lookups: ids are grouped by covering file (binary
-        search on the per-file doc ranges) and each file is read ONCE
-        with a doc_id filter — non-matching documents are never read,
-        and nothing is tokenized (the reference's GetPositions path,
-        ``PersistentIndex.cs:93-118``)."""
+    def get_positions_field_many(
+        self, doc_ids
+    ) -> dict[tuple[int, int], tuple[list[int], list[int]]]:
+        """(doc_id, field_id) → (token char offsets, lengths) from the
+        forward store — the reference's per-(doc, field) PosIndex
+        surface (65-bit ``P`` keys, ``PersistentIndex.cs:145-151``).
+        Point lookups: ids are grouped by covering file (binary search
+        on the per-file doc ranges) and each file is read ONCE with a
+        doc_id filter — non-matching documents are never read, and
+        nothing is tokenized.  Legacy stores without a field_id column
+        read as field 1."""
         import bisect
 
         if not self._fwd_ranges:
@@ -563,15 +567,26 @@ class IndexSearcher:
                 i = bisect.bisect_right(mins, d) - 1
                 if i >= 0 and maxs[i] >= d:
                     by_file.setdefault(paths[i], []).append(d)
-        out: dict[int, tuple[list[int], list[int]]] = {}
+        out: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
         for path, ids in by_file.items():
             t = pq.read_table(path, filters=[("doc_id", "in", ids)])
+            fids = (
+                t["field_id"].to_pylist()
+                if "field_id" in t.column_names
+                else [1] * t.num_rows
+            )
+            dids = t["doc_id"].to_pylist()
+            offs = t["offsets"].to_pylist()
+            lens = t["lengths"].to_pylist()
             for row in range(t.num_rows):
-                out[int(t["doc_id"][row].as_py())] = (
-                    t["offsets"][row].as_py(),
-                    t["lengths"][row].as_py(),
-                )
+                out[(int(dids[row]), int(fids[row]))] = (offs[row], lens[row])
         return out
+
+    def get_positions_many(self, doc_ids) -> dict[int, tuple[list[int], list[int]]]:
+        """doc_id → (offsets, lengths) of the DEFAULT field (1) — the
+        single-field convenience over :meth:`get_positions_field_many`."""
+        per = self.get_positions_field_many(doc_ids)
+        return {d: v for (d, f), v in per.items() if f == 1}
 
     def get_positions(self, doc_id: int) -> tuple[list[int], list[int]]:
         got = self.get_positions_many([doc_id])

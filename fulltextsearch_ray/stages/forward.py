@@ -27,31 +27,63 @@ from ..tokenizer import TOKEN_RE
 FORWARD_SCHEMA = pa.schema(
     [
         ("doc_id", pa.uint64()),
+        ("field_id", pa.int32()),
         ("offsets", pa.list_(pa.int32())),
         ("lengths", pa.list_(pa.int32())),
     ]
 )
 
 
-def forward_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """(doc_id, text) batch → (doc_id, offsets, lengths) span rows."""
-    ids = batch["doc_id"]
+def _spans(texts: list) -> tuple[list, list]:
     offs, lens = [], []
     finditer = TOKEN_RE.finditer
-    for text in batch[text_col].to_pylist():
+    for text in texts:
         o, l = [], []
         for m in finditer(text or ""):
             o.append(m.start())
             l.append(m.end() - m.start())
         offs.append(o)
         lens.append(l)
-    return pa.table(
-        {
-            "doc_id": ids.cast(pa.uint64()) if ids.type != pa.uint64() else ids,
-            "offsets": pa.array(offs, pa.list_(pa.int32())),
-            "lengths": pa.array(lens, pa.list_(pa.int32())),
-        }
-    )
+    return offs, lens
+
+
+def forward_batch(
+    batch: pa.Table, text_col: str = "text", text_cols: "list[str] | None" = None
+) -> pa.Table:
+    """(doc_id, text…) batch → (doc_id, field_id, offsets, lengths)
+    span rows — ONE row per (doc, field), field ids 1..N in column
+    order for compound documents (mirroring the reference's 65-bit
+    (doc, field)-keyed PosIndex, ``PersistentIndex.cs:145-151``,
+    ``PersistentBuilder.cs:92-131``; behavior observed, no code
+    copied).  Single-field corpora emit field_id=1 rows."""
+    ids = batch["doc_id"]
+    ids = ids.cast(pa.uint64()) if ids.type != pa.uint64() else ids
+    n = batch.num_rows
+    cols = list(text_cols) if text_cols else [text_col]
+    tables = []
+    for fid, col in enumerate(cols, start=1):
+        offs, lens = _spans(batch[col].to_pylist())
+        tables.append(
+            pa.table(
+                {
+                    "doc_id": ids,
+                    "field_id": pa.array(np.full(n, fid, dtype=np.int32)),
+                    "offsets": pa.array(offs, pa.list_(pa.int32())),
+                    "lengths": pa.array(lens, pa.list_(pa.int32())),
+                }
+            )
+        )
+    out = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+    if len(tables) > 1:
+        # doc-major order so per-file doc ranges stay contiguous
+        order = np.lexsort(
+            (
+                np.asarray(out["field_id"].to_numpy(zero_copy_only=False)),
+                np.asarray(out["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64),
+            )
+        )
+        out = out.take(pa.array(order))
+    return out
 
 
 class ForwardFileStage:
@@ -60,16 +92,18 @@ class ForwardFileStage:
     ``ReadInvertStage``'s item protocol: 1-row batches of
     ``{file, offset}``)."""
 
-    def __init__(self, text_col: str, chunk_rows: int = 2048):
+    def __init__(self, text_col: str, chunk_rows: int = 2048, text_cols: "list[str] | None" = None):
         self.text_col = text_col
+        self.text_cols = list(text_cols) if text_cols else None
         self.chunk_rows = chunk_rows
 
     def __call__(self, batch: pa.Table):
         import pyarrow.parquet as pq
 
+        read_cols = self.text_cols or [self.text_col]
         for f, off in zip(batch["file"].to_pylist(), batch["offset"].to_pylist()):
-            t = pq.read_table(f, columns=[self.text_col])
+            t = pq.read_table(f, columns=read_cols)
             ids = pa.array(np.arange(off, off + t.num_rows, dtype=np.uint64), pa.uint64())
             t = t.append_column("doc_id", ids)
             for s in range(0, t.num_rows, self.chunk_rows):
-                yield forward_batch(t.slice(s, self.chunk_rows), self.text_col)
+                yield forward_batch(t.slice(s, self.chunk_rows), self.text_col, self.text_cols)

@@ -57,3 +57,67 @@ def test_bm25_over_fields(multifield_index):
     top = multifield_index.bm25_topk(["hello"], k=2)
     # doc1 has tf=2 (both fields), doc2 tf=1 → doc1 first
     assert top["doc_id"].to_pylist()[0] == 1
+
+
+@pytest.fixture(scope="module")
+def multifield_fwd_index(ray_session, tmp_path_factory):
+    """Multi-field corpus indexed WITH the per-field forward store
+    (round-2 VERDICT #3: reference per-(doc, field) PosIndex)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.uint64()),
+            "title": pa.array(["Hello World", "Petro search"]),
+            "body": pa.array(["This is hello world", "hello search engine"]),
+        }
+    )
+    idx = str(tmp_path_factory.mktemp("mf_fwd_idx"))
+    build_index(
+        ray.data.from_arrow(tbl), idx,
+        text_cols=["title", "body"], doc_id_col="doc_id",
+        num_buckets=4, overwrite=True, store_forward=True,
+    )
+    return IndexSearcher(idx), tbl
+
+
+def test_multifield_forward_spans(multifield_fwd_index):
+    from fulltextsearch_ray.tokenizer import tokenize_with_positions
+
+    s, tbl = multifield_fwd_index
+    assert s.has_forward
+    spans = s.get_positions_field_many([1, 2])
+    for row, did in enumerate(tbl["doc_id"].to_pylist()):
+        for fid, col in enumerate(["title", "body"], start=1):
+            offs, lens = spans[(int(did), fid)]
+            expect = tokenize_with_positions(tbl[col][row].as_py())
+            assert offs == [o for _t, o, _l in expect], (did, fid)
+            assert lens == [l for _t, _o, l in expect], (did, fid)
+    # default-field convenience returns field 1 (title) spans
+    assert s.get_positions_many([1])[1] == spans[(1, 1)]
+
+
+def test_multifield_store_served_highlight(multifield_fwd_index):
+    """Highlight each field from the STORE (no tokenizer run) and
+    check against the re-tokenizing annotate() on that field's text."""
+    from fulltextsearch_ray.functions.highlight import (
+        annotate,
+        annotate_from_positions,
+    )
+
+    s, tbl = multifield_fwd_index
+    m = s.evaluate("WORD(hello)")
+    spans = s.get_positions_field_many(set(int(d) for d in m.docs))
+    texts = {
+        (int(d), fid): tbl[col][row].as_py()
+        for row, d in enumerate(tbl["doc_id"].to_pylist())
+        for fid, col in enumerate(["title", "body"], start=1)
+    }
+    # group hits by (doc, field)
+    by_df: dict = {}
+    for d, f, t in zip(m.docs, m.fields, m.tokens):
+        by_df.setdefault((int(d), int(f)), []).append(int(t))
+    assert by_df  # WORD(hello) matches in both fields
+    for (d, f), tids in by_df.items():
+        offs, lens = spans[(d, f)]
+        got = annotate_from_positions(texts[(d, f)], tids, offs, lens)
+        want = annotate(texts[(d, f)], tids)
+        assert got == want and got != texts[(d, f)], (d, f)
