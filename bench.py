@@ -135,6 +135,12 @@ def bench_query(index_dir: str, num_cpus: int) -> dict:
 
 
 def bench_ops(sf_dir: str) -> dict:
+    """Per-op wall time, BEST of ``GRAFT_OPS_REPEATS`` runs (default 2).
+
+    This host's throughput fluctuates ~2-5x over minutes (lazy page
+    provisioning + noisy neighbours — BASELINE.md caveats); a single
+    sample routinely blames an op for a slow host phase.  Best-of-N
+    keeps cross-round comparisons meaningful."""
     import __ray_entry__ as e
 
     names = [
@@ -145,17 +151,22 @@ def bench_ops(sf_dir: str) -> dict:
         "split_hash", "pack_sequences", "redact_pii", "repetition", "top_bigrams",
         "events_window", "events_session",
     ]
+    repeats = max(int(os.environ.get("GRAFT_OPS_REPEATS", "2")), 1)
     qs = e.queries()
     out = {}
     for name in names:
-        t0 = time.perf_counter()
-        r = qs[name](sf_dir)
-        if hasattr(r, "count") and not isinstance(r, (int, float)):
-            try:
-                r.count()
-            except AttributeError:
-                pass
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            r = qs[name](sf_dir)
+            if hasattr(r, "count") and not isinstance(r, (int, float)):
+                try:
+                    r.count()
+                except AttributeError:
+                    pass
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 

@@ -40,6 +40,83 @@ import ray.data
 from ..tokenizer import TOKEN_RE, flat_tokens
 from .common import iter_capped_runs, md5_u64, md5_u64_batch, round6, sorted_runs
 
+# Exploded-row budget under which a pair stage takes the ONE-GATHER
+# fast path: the (key, id, payload) rows are fetched once from the
+# object store and verified + deduped in-process, skipping two Ray
+# sort-shuffles whose FIXED cost (~2s each on this host) dwarfs the
+# compute at small scale.  Past the budget the fully distributed
+# hash-partitioned path runs unchanged (and is what a 100-TB corpus
+# always takes).
+SMALL_PAIRS_ROW_BUDGET = 500_000
+
+
+def _dedup_pairs_table(tbl: pa.Table, value_col: str, agg: str) -> pa.Table:
+    """In-process twin of :func:`_dedup_pairs`: one lexsort + reduceat."""
+    a = np.asarray(tbl["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    b = np.asarray(tbl["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    v = np.asarray(tbl[value_col].to_numpy(zero_copy_only=False))
+    n = len(a)
+    if not n:
+        return tbl
+    order = np.lexsort((b, a))
+    a, b, v = a[order], b[order], v[order]
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(change)
+    reducer = np.maximum if agg == "max" else np.minimum
+    return pa.table(
+        {
+            "a": pa.array(a[starts]),
+            "b": pa.array(b[starts]),
+            value_col: pa.array(reducer.reduceat(v, starts)).cast(tbl.schema.field(value_col).type),
+        }
+    )
+
+
+def _pairs_pipeline(
+    exploded: ray.data.Dataset,
+    key_col: str,
+    part_pairs,
+    value_col: str,
+    value_type: "pa.DataType",
+    agg: str,
+    P: int,
+    small_rows_budget: "int | None" = None,
+) -> ray.data.Dataset:
+    """Shared tail of every banded pair stage: hash-partition the
+    exploded (key, id, payload) rows on ``key_col % P``, run the
+    vectorized ``part_pairs`` per partition, dedup across bands.
+    Below ``small_rows_budget`` exploded rows (default
+    ``SMALL_PAIRS_ROW_BUDGET``, monkeypatch-able) the whole tail runs
+    in-process on ONE object-store gather — Ray's per-shuffle fixed
+    cost dominates at that size."""
+    budget = SMALL_PAIRS_ROW_BUDGET if small_rows_budget is None else small_rows_budget
+    exploded = exploded.materialize()
+    if exploded.count() <= budget:
+        tbls = [t for t in ray.get(exploded.to_arrow_refs()) if t.num_rows]
+        if not tbls:
+            return ray.data.from_arrow(
+                pa.schema(
+                    [("a", pa.int64()), ("b", pa.int64()), (value_col, value_type)]
+                ).empty_table()
+            )
+        gathered = pa.concat_tables(tbls).combine_chunks()
+        return ray.data.from_arrow(_dedup_pairs_table(part_pairs(gathered), value_col, agg))
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        mix = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return b.append_column("_part", pa.array((mix % np.uint64(P)).astype(np.int64)))
+
+    pairs = (
+        exploded.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(part_pairs, batch_format="pyarrow")
+    )
+    return _dedup_pairs(pairs, value_col, value_type, agg=agg, num_partitions=P)
+
+
 def _dedup_pairs(
     pairs: ray.data.Dataset,
     value_col: str,
@@ -329,10 +406,6 @@ def minhash_lsh_pairs(
     stage = MinHashStage(num_perm=num_perm, bands=bands, n=n, text_col=text_col)
     exploded = ds.map_batches(stage, batch_format="pyarrow")
 
-    def tag(b: pa.Table) -> pa.Table:
-        bk = np.asarray(b["bucket"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-        return b.append_column("_part", pa.array((bk % np.uint64(P)).astype(np.int64)))
-
     rows_per_band = num_perm // bands
 
     def part_pairs(group: pa.Table) -> pa.Table:
@@ -401,12 +474,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    pairs = (
-        exploded.map_batches(tag, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(part_pairs, batch_format="pyarrow")
-    )
-    return _dedup_pairs(pairs, "est_jaccard", pa.float64(), agg="max")
+    return _pairs_pipeline(exploded, "bucket", part_pairs, "est_jaccard", pa.float64(), "max", P)
 
 
 # --------------------------------------------------------------------------
@@ -498,14 +566,12 @@ def simhash_neardup_pairs(
         for band in range(bands):
             bits = (h >> np.uint64(band * width)) & np.uint64((1 << width) - 1)
             key = (np.int64(band) << np.int64(width)) | bits.astype(np.int64)
-            mix = (key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
             tables.append(
                 pa.table(
                     {
                         "key": pa.array(key),
                         "doc_id": pa.array(ids),
                         "h": pa.array(h, pa.uint64()),
-                        "_part": pa.array((mix % np.uint64(P)).astype(np.int64)),
                     }
                 )
             )
@@ -540,12 +606,8 @@ def simhash_neardup_pairs(
             }
         )
 
-    pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(part_pairs, batch_format="pyarrow")
-    )
-    return _dedup_pairs(pairs, "hamming", pa.int64(), agg="min")
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return _pairs_pipeline(exploded, "key", part_pairs, "hamming", pa.int64(), "min", P)
 
 
 # --------------------------------------------------------------------------
@@ -886,10 +948,6 @@ def embedding_neardup_pairs(
     P = num_partitions or default_partitions()
     exploded = ds.map_batches(bucket_stage, batch_format="pyarrow")
 
-    def tag(b: pa.Table) -> pa.Table:
-        k = np.asarray(b["key"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        return b.append_column("_part", pa.array(k % P))
-
     def part_pairs(group: pa.Table) -> pa.Table:
         """All rows of one hash partition: per-bucket exact pairwise
         cosine for every key run of size 2..max_bucket."""
@@ -922,12 +980,11 @@ def embedding_neardup_pairs(
             }
         )
 
-    pairs = (
-        exploded.map_batches(tag, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(part_pairs, batch_format="pyarrow")
+    # lower gather budget: exploded rows carry the full vector payload
+    return _pairs_pipeline(
+        exploded, "key", part_pairs, "cosine", pa.float64(), "max", P,
+        small_rows_budget=200_000,
     )
-    return _dedup_pairs(pairs, "cosine", pa.float64(), agg="max")
 
 
 def _embedding_neardup_exact(

@@ -303,11 +303,20 @@ class IndexSearcher:
         for cat in self._lazy_cats:
             for gi in cat.covering(term):
                 t = cat.load(gi)
-                terms = t["term"].to_pylist()
-                import bisect
-
-                j = bisect.bisect_left(terms, term)
-                if j < len(terms) and terms[j] == term:
+                # binary search on the sorted Arrow column directly (no
+                # per-lookup list copy; the row-group LRU keeps t warm)
+                col = t["term"]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                lo, hi = 0, len(col)
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    if col[mid].as_py() < term:
+                        lo = mid + 1
+                    else:
+                        hi = mid
+                j = lo
+                if j < len(col) and col[j].as_py() == term:
                     found = True
                     df += int(t["df"][j].as_py())
                     cf += int(t["cf"][j].as_py())

@@ -183,3 +183,29 @@ def test_embedding_neardup_bucket_cap(ray_session):
     )
     rows = embedding_neardup_pairs(ds, threshold=0.9, bands=2, planes_per_band=4, max_bucket=8).take_all()
     assert rows == []  # identical vectors all land in one capped bucket
+
+
+def test_pair_pipeline_small_and_distributed_paths_agree(ray_session, monkeypatch):
+    """The one-gather small-input fast path and the hash-partitioned
+    distributed path must produce identical pair sets."""
+    import fulltextsearch_ray.functions.dedup as dd
+
+    import pyarrow as pa
+    import ray.data
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about ray data pipelines",
+        "the quick brown fox jumps over the lazy dog again and once more",
+    ]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    small = dd.minhash_lsh_pairs(docs, num_perm=32, bands=8, threshold=0.3).take_all()
+    monkeypatch.setattr(dd, "SMALL_PAIRS_ROW_BUDGET", 0)
+    dist = dd.minhash_lsh_pairs(docs, num_perm=32, bands=8, threshold=0.3).take_all()
+    key = lambda r: (r["a"], r["b"])
+    assert sorted(small, key=key) == sorted(dist, key=key)
+    assert len(small) >= 1
