@@ -62,6 +62,26 @@ def main(argv: list[str] | None = None) -> int:
     p_meta.add_argument("--index", required=True)
     p_meta.add_argument("--doc", type=int, required=True)
 
+    p_top = sub.add_parser("top-terms", help="top-k terms by collection frequency (streams the catalog)")
+    p_top.add_argument("--index", required=True)
+    p_top.add_argument("-k", type=int, default=20)
+
+    p_compact = sub.add_parser("compact", help="merge all segments into one (posting-chain collapse)")
+    p_compact.add_argument("--index", required=True)
+
+    p_annb = sub.add_parser("ann-build", help="train + persist an IVF ANN index over an embeddings parquet")
+    p_annb.add_argument("--input", required=True, help="parquet with (vec_id, embedding) columns")
+    p_annb.add_argument("--index", required=True)
+    p_annb.add_argument("--clusters", type=int, default=16)
+    p_annb.add_argument("--iters", type=int, default=3)
+
+    p_annq = sub.add_parser("ann-query", help="top-k neighbors from a persisted IVF index")
+    p_annq.add_argument("--index", required=True)
+    p_annq.add_argument("--input", required=True, help="parquet holding the query vectors")
+    p_annq.add_argument("--query-ids", required=True, help="comma-separated vec_ids to use as queries")
+    p_annq.add_argument("-k", type=int, default=10)
+    p_annq.add_argument("--nprobe", type=int, default=4)
+
     p_bench = sub.add_parser(
         "benchmark", help="posting-codec micro-bench (reference protocol: N occurrences (1,1,1000+i))"
     )
@@ -183,7 +203,52 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Indexed documents: {meta.num_docs}, time: {time.time() - t0:.3f}s")
         return 0
 
+    if args.verb == "compact":
+        _ensure_ray()
+        from .pipelines.build import compact_index
+
+        meta = compact_index(args.index)
+        print(f"Compacted to segment {meta.segments[0]}, docs: {meta.num_docs}, "
+              f"time: {time.time() - t0:.3f}s")
+        return 0
+
+    if args.verb == "ann-build":
+        _ensure_ray()
+        import ray.data
+
+        from .functions.similarity import build_ann_index
+
+        ds = ray.data.read_parquet(args.input, columns=["vec_id", "embedding"])
+        meta = build_ann_index(ds, args.index, n_clusters=args.clusters, iters=args.iters)
+        print(f"ANN index: {meta['n_clusters']} clusters, dim {meta['dim']}, "
+              f"time: {time.time() - t0:.3f}s")
+        return 0
+
+    if args.verb == "ann-query":
+        _ensure_ray()
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from .functions.similarity import query_ann_index
+
+        ids = [int(x) for x in args.query_ids.split(",")]
+        qt = pq.read_table(args.input, filters=[("vec_id", "in", ids)])
+        q_ids = np.asarray(qt["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+        top = query_ann_index(args.index, q_ids, q_mat, k=args.k, nprobe=args.nprobe)
+        for i in range(top.num_rows):
+            print(f"{top['query_id'][i].as_py()}\t{top['rank'][i].as_py()}\t"
+                  f"{top['neighbor_id'][i].as_py()}\t{top['cosine'][i].as_py():.6f}")
+        return 0
+
     from .pipelines.query import IndexSearcher, dump_postings_dataset
+
+    if args.verb == "top-terms":
+        _ensure_ray()
+        top = IndexSearcher(args.index).top_terms(args.k)
+        for i in range(top.num_rows):
+            print(f"{top['term'][i].as_py()}\t{top['df'][i].as_py()}\t{top['cf'][i].as_py()}")
+        return 0
 
     if args.verb == "print":
         _ensure_ray()

@@ -1,0 +1,93 @@
+"""CLI verbs added for the round-3 surfaces: top-terms (streamed
+catalog stats), compact (segment merge), ann-build / ann-query
+(persisted IVF index).  Mirrors the reference console verbs
+(``ConsoleUtil/Program.cs`` index/search/print) extended to the ANN
+artifact model."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fulltextsearch_ray.cli import main
+
+
+@pytest.fixture(scope="module")
+def small_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "content": pa.array(
+                [
+                    "apple banana apple cherry",
+                    "banana cherry date",
+                    "apple elderberry fig",
+                ]
+            )
+        }
+    )
+    root = tmp_path_factory.mktemp("cliverbs")
+    corpus = root / "corpus"
+    corpus.mkdir()
+    pq.write_table(tbl, str(corpus / "part-0.parquet"))
+    idx = str(root / "idx")
+    assert main(["index", "--input", str(corpus), "--index", idx, "--num-buckets", "2"]) == 0
+    return str(corpus), idx
+
+
+def test_top_terms_verb(small_index, capsys):
+    _, idx = small_index
+    assert main(["top-terms", "--index", idx, "-k", "3"]) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if "\t" in l]
+    assert len(lines) == 3
+    term, df, cf = lines[0].split("\t")
+    assert term == "apple" and int(df) == 2 and int(cf) == 3  # top cf term
+
+
+def test_compact_verb_preserves_search(small_index, capsys):
+    corpus, idx = small_index
+    # second session -> incremental segment, then collapse
+    assert main(["index", "--input", corpus, "--index", idx, "--num-buckets", "2"]) == 0
+    assert main(["compact", "--index", idx]) == 0
+    out = capsys.readouterr().out
+    assert "docs: 6" in out
+    assert main(["search", "--index", idx, "--query", "WORD(apple)"]) == 0
+    got = capsys.readouterr().out
+    # doc 1 occurrences 1 and 3 from both sessions (docs 1-3 then 4-6)
+    for occ in ("{[1,1,1]}", "{[1,1,3]}", "{[3,1,1]}", "{[4,1,1]}", "{[6,1,1]}"):
+        assert occ in got
+
+
+@pytest.fixture(scope="module")
+def vec_parquet(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).astype(np.float64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        }
+    )
+    root = tmp_path_factory.mktemp("clivec")
+    path = str(root / "emb.parquet")
+    pq.write_table(tbl, path)
+    return path, str(root / "annidx"), vecs
+
+
+def test_ann_build_and_query_verbs(vec_parquet, capsys):
+    emb, annidx, vecs = vec_parquet
+    assert main(["ann-build", "--input", emb, "--index", annidx, "--clusters", "4", "--iters", "2"]) == 0
+    assert "4 clusters, dim 8" in capsys.readouterr().out
+    assert main(["ann-query", "--index", annidx, "--input", emb,
+                 "--query-ids", "5", "-k", "3", "--nprobe", "4"]) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if "\t" in l]
+    assert len(lines) == 3
+    # nprobe == n_clusters -> exhaustive: rank-1 neighbor must be the
+    # true cosine argmax (excluding the query itself)
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ norm[5]
+    cos[5] = -np.inf
+    qid, rank, nid, c = lines[0].split("\t")
+    assert (int(qid), int(rank), int(nid)) == (5, 1, int(np.argmax(cos)))
+    assert abs(float(c) - cos.max()) < 1e-6  # CLI prints %.6f
