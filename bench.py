@@ -285,7 +285,7 @@ def main():
         # every ratio (see BASELINE.md caveats)
         if "GRAFT_BENCH_DOCS" not in os.environ:
             n_docs = 200_000
-        out = run_scaling(n_docs)
+        out = run_scaling(n_docs, repeats=int(os.environ.get("GRAFT_SCALING_REPEATS", "2")))
         print(json.dumps({"metric": "scaling_efficiency", "value": out["scaling_efficiency"],
                           "unit": "ratio", "queries": out, "sf": sf_dir, "num_cpus": [8, 32]}))
         return
