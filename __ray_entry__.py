@@ -711,6 +711,18 @@ def _q_fingerprint(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def _q_dup_spans(sf_dir: str):
+    from fulltextsearch_ray.functions.spans import dup_spans
+
+    return dup_spans(_docs_ds(sf_dir), gram_len=4, min_count=2)
+
+
+def _q_cut_spans(sf_dir: str):
+    from fulltextsearch_ray.functions.spans import cut_dup_spans
+
+    return cut_dup_spans(_docs_ds(sf_dir), gram_len=4, min_count=2)
+
+
 def _q_multimodal(sf_dir: str):
     from fulltextsearch_ray.functions.multimodal import DecodeStage, text_as_media
 
@@ -894,6 +906,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
         "fingerprint": _q_fingerprint,
+        "dup_spans": _q_dup_spans,
+        "cut_dup_spans": _q_cut_spans,
         "curate_corpus": _q_curate,
         "multimodal_meta": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
@@ -1479,6 +1493,57 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sid
         """,
     }
+    # Exact duplicated-substring span dedup (Lee et al. 2021 style):
+    # windows grouped by the SAME 64-bit md5 prefix as the Ray kernel
+    # (functions/spans.py:grams_with_pos), so grouping — collisions
+    # included — is mirrored exactly; marks merge while the token-range
+    # gap is <= gram_len (overlap or adjacency).
+    spans_cte = """
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9_-]+')) AS term,
+             generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_-]+'), 1) AS tid
+      FROM documents
+    ),
+    agg AS (SELECT doc_id, list(term ORDER BY tid) AS toks FROM toks GROUP BY doc_id),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             ('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 16))::UBIGINT AS h
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
+            FROM agg WHERE len(toks) >= 4)
+    ),
+    dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+    marks AS (SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM dup)),
+    seq AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+                  THEN 0 ELSE 1 END AS brk
+            FROM marks),
+    grp AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM seq),
+    spans AS (
+      SELECT doc_id::BIGINT AS doc_id, min(pos)::BIGINT AS start_tok,
+             (max(pos) + 4)::BIGINT AS end_tok, count(*)::BIGINT AS n_grams
+      FROM grp GROUP BY doc_id, gid
+    )
+    """
+    out["dup_spans"] = f"""
+        WITH {spans_cte}
+        SELECT doc_id, start_tok, end_tok, n_grams FROM spans
+    """
+    out["cut_dup_spans"] = f"""
+        WITH {spans_cte},
+        keep AS (
+          SELECT t.doc_id, t.term, t.tid,
+                 NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id
+                             AND t.tid - 1 >= s.start_tok AND t.tid - 1 < s.end_tok) AS kept
+          FROM toks t
+        )
+        SELECT d.doc_id::BIGINT AS doc_id,
+               COALESCE(string_agg(k.term, ' ' ORDER BY k.tid) FILTER (WHERE k.kept), '') AS text_cut,
+               COALESCE(count(*) FILTER (WHERE NOT k.kept), 0)::BIGINT AS n_removed
+        FROM documents d LEFT JOIN keep k USING (doc_id)
+        GROUP BY d.doc_id
+    """
     # the in-memory index must reproduce the persistent BM25 exactly
     out["bm25_inmem"] = out["bm25_topk"]
     return out

@@ -146,6 +146,7 @@ def bench_ops(sf_dir: str) -> dict:
     names = [
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_neardup",
         "dedup_ngram_jaccard", "neardup_components", "embed_neardup",
+        "dup_spans", "cut_dup_spans",
         "ann_cosine", "ann_lsh", "ann_ivf", "embed_project",
         "lang_id", "quality_score", "fingerprint",
         "split_hash", "pack_sequences", "redact_pii", "repetition", "top_bigrams",

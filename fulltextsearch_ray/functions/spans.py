@@ -1,0 +1,405 @@
+"""Exact duplicated-substring span detection and removal.
+
+The token-k-gram span dedup used by large-scale training-data
+pipelines (Lee et al. 2021, "Deduplicating Training Data Makes
+Language Models Better"): any length-``gram_len`` token window whose
+corpus-wide occurrence count reaches ``min_count`` marks its token
+range as duplicated; overlapping/adjacent marked windows merge into
+maximal spans per document.  Lee et al. build suffix arrays; at Ray
+scale the equivalent is hash-first — group windows by a 64-bit md5
+prefix (``common.md5_u64_batch``, bit-identical to the DuckDB oracle's
+``('0x' || substr(md5(g),1,16))::UBIGINT``, so the oracle mirrors the
+grouping EXACTLY, collisions included) and count with a
+combiner-then-groupby.
+
+Scale shape
+-----------
+* Pass 1 (count): per-batch window hashing + per-batch partial counts
+  (combiner) -> ONE groupby over distinct window hashes -> the
+  duplicated-hash set.  Shuffle volume is bounded by distinct windows
+  per batch, never total window occurrences.
+* Pass 2 (mark): below ``broadcast_budget`` duplicated hashes the set
+  ships once via ``ray.put`` and every batch marks its windows with
+  one ``searchsorted`` — no second shuffle.  Past the budget the mark
+  becomes a hash-partitioned semi-join (windows and dup-hashes tagged,
+  unioned, grouped by ``h % P``) followed by a doc-partitioned span
+  merge — neither side ever touches the driver.
+* ``cut_dup_spans`` co-groups documents with their spans by
+  ``doc_id % P`` and rebuilds each partition's texts with Arrow list
+  kernels — the rebuild never holds more than one partition.
+
+Everything is vectorized: window construction is the same shifted
+Arrow ``binary_join_element_wise`` as ``dedup.shingle_batch``, span
+merging is one boolean-diff pass over (doc, pos)-sorted marks, and
+coverage for the cut is a difference-array prefix sum over the token
+tape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..tokenizer import flat_tokens
+from .common import default_partitions, md5_u64_batch
+
+_SPANS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("start_tok", pa.int64()),
+        ("end_tok", pa.int64()),
+        ("n_grams", pa.int64()),
+    ]
+)
+
+
+def grams_with_pos(
+    texts: "pa.Array | pa.ChunkedArray", gram_len: int
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
+    """(hash, doc_index, pos, per-doc token counts) for every length-
+    ``gram_len`` token window of a batch; docs with fewer tokens emit
+    nothing (matching the oracle's ``glen = L`` filter).  Windows come
+    out doc-contiguous with ascending positions."""
+    toks, parent, counts = flat_tokens(texts)
+    T = len(toks)
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        counts,
+    )
+    if T < gram_len:
+        return empty
+    cols = [toks.slice(i, T - gram_len + 1) for i in range(gram_len)]
+    joined = pc.binary_join_element_wise(*cols, " ")
+    inside = parent[: T - gram_len + 1] == parent[gram_len - 1 :]
+    if not inside.any():
+        return empty
+    grams = joined.filter(pa.array(inside))
+    idx = np.flatnonzero(inside)
+    gparent = parent[idx]
+    starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = idx - starts[gparent]
+    # int64 VIEW of the uint64 md5 prefix: Ray Data shuffles/groupbys
+    # reject uint64 values past int64-max, and the reinterpret is a
+    # bijection so grouping semantics (and the oracle mirror) are
+    # unchanged.  The hash never appears in any output column.
+    return md5_u64_batch(grams).view(np.int64), gparent, pos, counts
+
+
+def spans_from_marks(mdoc: np.ndarray, mpos: np.ndarray, gram_len: int) -> pa.Table:
+    """Merge (doc, pos)-SORTED marked window starts into maximal spans:
+    consecutive marks in one doc merge while the gap is <= gram_len
+    (overlap or adjacency of the covered token ranges)."""
+    n = len(mdoc)
+    if not n:
+        return _SPANS_SCHEMA.empty_table()
+    brk = np.ones(n, dtype=bool)
+    brk[1:] = (mdoc[1:] != mdoc[:-1]) | ((mpos[1:] - mpos[:-1]) > gram_len)
+    starts = np.flatnonzero(brk)
+    last = np.r_[starts[1:], n] - 1
+    return pa.table(
+        {
+            "doc_id": pa.array(mdoc[starts].astype(np.int64)),
+            "start_tok": pa.array(mpos[starts].astype(np.int64)),
+            "end_tok": pa.array((mpos[last] + gram_len).astype(np.int64)),
+            "n_grams": pa.array((last - starts + 1).astype(np.int64)),
+        }
+    )
+
+
+def _dup_hash_dataset(
+    ds: ray.data.Dataset, text_col: str, gram_len: int, min_count: int
+) -> ray.data.Dataset:
+    """Single-column dataset of window hashes with corpus-wide
+    occurrence count >= min_count."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        h, _, _, _ = grams_with_pos(b[text_col], gram_len)
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {"h": pa.array(uh, pa.int64()), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .sum("cnt", ignore_nulls=True)
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        c = np.asarray(b["sum(cnt)"].to_numpy(zero_copy_only=False))
+        return b.filter(pa.array(c >= min_count)).select(["h"])
+
+    return counts.map_batches(keep, batch_format="pyarrow")
+
+
+class _MarkSpansStage:
+    """Actor-pool mark pass: the sorted duplicated-hash array ships
+    once via ``ray.put`` and is pinned per actor; each batch marks its
+    windows with one searchsorted and merges spans locally (a doc's
+    windows are always whole inside its batch row)."""
+
+    def __init__(self, dup_ref, gram_len: int, text_col: str, id_col: str):
+        self._dup = ray.get(dup_ref)  # sorted uint64
+        self.gram_len = gram_len
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, gparent, pos, _ = grams_with_pos(batch[self.text_col], self.gram_len)
+        if not len(h) or not len(self._dup):
+            return _SPANS_SCHEMA.empty_table()
+        j = np.searchsorted(self._dup, h)
+        j[j == len(self._dup)] = 0  # wrap: compare against [0], never matches h>max
+        marked = self._dup[j] == h
+        if not marked.any():
+            return _SPANS_SCHEMA.empty_table()
+        ids = np.asarray(
+            batch[self.id_col].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        return spans_from_marks(ids[gparent[marked]], pos[marked], self.gram_len)
+
+
+def dup_spans(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 4,
+    min_count: int = 2,
+    broadcast_budget: int = 5_000_000,
+    num_partitions: "int | None" = None,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Maximal duplicated token spans per document:
+    (doc_id, start_tok, end_tok, n_grams), token positions 0-based,
+    ``end_tok`` exclusive.  See the module docstring for the two-pass
+    scale shape."""
+    # materialize once: count() and the consumer below would otherwise
+    # each re-execute the counting pipeline (dup is small — distinct
+    # duplicated hashes only)
+    dup = _dup_hash_dataset(ds, text_col, gram_len, min_count).materialize()
+    n_dup = dup.count()
+    if n_dup <= broadcast_budget:
+        parts = [
+            np.asarray(b["h"], dtype=np.int64)
+            for b in dup.iter_batches(batch_format="numpy")
+        ]
+        dup_sorted = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        ref = ray.put(dup_sorted)
+        return ds.select_columns([id_col, text_col]).map_batches(
+            _MarkSpansStage,
+            fn_constructor_kwargs=dict(
+                dup_ref=ref, gram_len=gram_len, text_col=text_col, id_col=id_col
+            ),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+
+    # distributed mark: hash-partitioned semi-join of window occurrences
+    # against the duplicated-hash set, then doc-partitioned span merge.
+    P = num_partitions or default_partitions()
+    mark_schema = pa.schema(
+        [
+            ("h", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("pos", pa.int64()),
+            ("_dup", pa.int64()),
+            ("_part", pa.int64()),
+        ]
+    )
+
+    def emit_windows(b: pa.Table) -> pa.Table:
+        h, gparent, pos, _ = grams_with_pos(b[text_col], gram_len)
+        if not len(h):
+            return mark_schema.empty_table()
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "doc_id": pa.array(ids[gparent]),
+                "pos": pa.array(pos),
+                "_dup": pa.nulls(len(h), pa.int64()),
+                "_part": pa.array(h % P),
+            }
+        )
+
+    def tag_dup(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return mark_schema.empty_table()
+        h = np.asarray(b["h"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "doc_id": pa.nulls(len(h), pa.int64()),
+                "pos": pa.nulls(len(h), pa.int64()),
+                "_dup": pa.array(np.ones(len(h), dtype=np.int64)),
+                "_part": pa.array(h % P),
+            }
+        )
+
+    unioned = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(emit_windows, batch_format="pyarrow")
+        .union(dup.map_batches(tag_dup, batch_format="pyarrow"))
+    )
+
+    def semi(group: pa.Table) -> pa.Table:
+        if not group.num_rows:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("pos", pa.int64()), ("_dpart", pa.int64())]
+            ).empty_table()
+        is_dup = np.asarray(pc.is_valid(group["_dup"]).to_numpy(zero_copy_only=False))
+        dup_set = np.unique(np.asarray(group["h"].to_numpy(zero_copy_only=False), dtype=np.int64)[is_dup])
+        wins = group.filter(pa.array(~is_dup))
+        wh = np.asarray(wins["h"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        keep = np.isin(wh, dup_set)
+        docs = np.asarray(wins["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)[keep]
+        pos = np.asarray(wins["pos"].to_numpy(zero_copy_only=False), dtype=np.int64)[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(docs),
+                "pos": pa.array(pos),
+                "_dpart": pa.array(docs % P),
+            }
+        )
+
+    marks = unioned.groupby("_part").map_groups(semi, batch_format="pyarrow")
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        if not group.num_rows:
+            return _SPANS_SCHEMA.empty_table()
+        docs = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pos = np.asarray(group["pos"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.lexsort((pos, docs))
+        return spans_from_marks(docs[order], pos[order], gram_len)
+
+    return marks.groupby("_dpart").map_groups(merge_group, batch_format="pyarrow")
+
+
+def cut_dup_spans(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 4,
+    min_count: int = 2,
+    broadcast_budget: int = 5_000_000,
+    num_partitions: "int | None" = None,
+) -> ray.data.Dataset:
+    """Remove every duplicated span from every document (the
+    aggressive variant: ALL occurrences go, which keeps the semantics
+    join-free and exactly SQL-mirrorable).  Output
+    (doc_id, text_cut, n_removed) where ``text_cut`` is the kept
+    tokens space-joined in order (the tokenizer's lowercased
+    normalization, like every text op in this package) and
+    ``n_removed`` counts dropped tokens.  Documents co-group with
+    their spans by ``doc_id % P`` — each rebuild task holds one
+    partition, never the corpus."""
+    spans = dup_spans(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        gram_len=gram_len,
+        min_count=min_count,
+        broadcast_budget=broadcast_budget,
+        num_partitions=num_partitions,
+    )
+    P = num_partitions or default_partitions()
+    tag_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("start_tok", pa.int64()),
+            ("end_tok", pa.int64()),
+            ("_part", pa.int64()),
+        ]
+    )
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return tag_schema.empty_table()
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": b[text_col],
+                "start_tok": pa.nulls(b.num_rows, pa.int64()),
+                "end_tok": pa.nulls(b.num_rows, pa.int64()),
+                "_part": pa.array(ids % P),
+            }
+        )
+
+    def tag_spans(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return tag_schema.empty_table()
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pa.nulls(b.num_rows, pa.string()),
+                "start_tok": b["start_tok"],
+                "end_tok": b["end_tok"],
+                "_part": pa.array(ids % P),
+            }
+        )
+
+    unioned = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(tag_docs, batch_format="pyarrow")
+        .union(spans.map_batches(tag_spans, batch_format="pyarrow"))
+    )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("text_cut", pa.string()), ("n_removed", pa.int64())]
+    )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        if not group.num_rows:
+            return out_schema.empty_table()
+        is_doc = np.asarray(pc.is_valid(group["text"]).to_numpy(zero_copy_only=False))
+        docs = group.filter(pa.array(is_doc))
+        spns = group.filter(pa.array(~is_doc))
+        ids = np.asarray(docs["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        toks, parent, counts = flat_tokens(docs["text"])
+        T = len(toks)
+        starts = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        # coverage over the partition's token tape via difference array
+        diff = np.zeros(T + 1, dtype=np.int64)
+        if spns.num_rows:
+            sid = np.asarray(spns["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            s0 = np.asarray(spns["start_tok"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            s1 = np.asarray(spns["end_tok"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            id_order = np.argsort(ids)
+            didx = id_order[np.searchsorted(ids[id_order], sid)]
+            base = starts[didx]
+            np.add.at(diff, base + s0, 1)
+            np.add.at(diff, base + np.minimum(s1, counts[didx]), -1)
+        covered = np.cumsum(diff[:T]) > 0
+        keep = ~covered
+        kept_counts = np.bincount(parent[keep], minlength=len(counts)).astype(np.int64)
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=offsets[1:])
+        kept_toks = toks.filter(pa.array(keep))
+        if isinstance(kept_toks, pa.ChunkedArray):
+            kept_toks = kept_toks.combine_chunks()
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int64()).cast(pa.int32()), kept_toks
+        )
+        text_cut = pc.binary_join(kept_list, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text_cut": text_cut,
+                "n_removed": pa.array(counts - kept_counts),
+            }
+        )
+
+    return unioned.groupby("_part").map_groups(rebuild, batch_format="pyarrow")
