@@ -24,9 +24,12 @@ Scale shape
   becomes a hash-partitioned semi-join (windows and dup-hashes tagged,
   unioned, grouped by ``h % P``) followed by a doc-partitioned span
   merge — neither side ever touches the driver.
-* ``cut_dup_spans`` co-groups documents with their spans by
-  ``doc_id % P`` and rebuilds each partition's texts with Arrow list
-  kernels — the rebuild never holds more than one partition.
+* ``cut_dup_spans`` below the budget is ONE fused map_batches pass
+  (mark + window-coverage + Arrow list rebuild per batch — no span
+  table, no shuffle; coverage by marked windows equals coverage by
+  merged spans).  Past the budget documents co-group with their spans
+  by ``doc_id % P`` and each rebuild task holds one partition, never
+  the corpus.
 
 Everything is vectorized: window construction is the same shifted
 Arrow ``binary_join_element_wise`` as ``dedup.shingle_batch``, span
@@ -56,28 +59,22 @@ _SPANS_SCHEMA = pa.schema(
 )
 
 
-def grams_with_pos(
-    texts: "pa.Array | pa.ChunkedArray", gram_len: int
-) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
-    """(hash, doc_index, pos, per-doc token counts) for every length-
-    ``gram_len`` token window of a batch; docs with fewer tokens emit
-    nothing (matching the oracle's ``glen = L`` filter).  Windows come
-    out doc-contiguous with ascending positions."""
+def _grams_full(texts: "pa.Array | pa.ChunkedArray", gram_len: int):
+    """(hash, window doc_index, window pos, tokens, token doc_index,
+    per-doc token counts) for every length-``gram_len`` token window of
+    a batch; docs with fewer tokens emit no windows (matching the
+    oracle's ``len >= L`` filter).  Windows come out doc-contiguous
+    with ascending positions."""
     toks, parent, counts = flat_tokens(texts)
     T = len(toks)
-    empty = (
-        np.empty(0, np.int64),
-        np.empty(0, np.int64),
-        np.empty(0, np.int64),
-        counts,
-    )
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
     if T < gram_len:
-        return empty
+        return (*empty, toks, parent, counts)
     cols = [toks.slice(i, T - gram_len + 1) for i in range(gram_len)]
     joined = pc.binary_join_element_wise(*cols, " ")
     inside = parent[: T - gram_len + 1] == parent[gram_len - 1 :]
     if not inside.any():
-        return empty
+        return (*empty, toks, parent, counts)
     grams = joined.filter(pa.array(inside))
     idx = np.flatnonzero(inside)
     gparent = parent[idx]
@@ -88,7 +85,26 @@ def grams_with_pos(
     # reject uint64 values past int64-max, and the reinterpret is a
     # bijection so grouping semantics (and the oracle mirror) are
     # unchanged.  The hash never appears in any output column.
-    return md5_u64_batch(grams).view(np.int64), gparent, pos, counts
+    return md5_u64_batch(grams).view(np.int64), gparent, pos, toks, parent, counts
+
+
+def grams_with_pos(
+    texts: "pa.Array | pa.ChunkedArray", gram_len: int
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
+    """(hash, doc_index, pos, per-doc token counts) — see
+    :func:`_grams_full`."""
+    h, gparent, pos, _, _, counts = _grams_full(texts, gram_len)
+    return h, gparent, pos, counts
+
+
+def _mark_against(dup_sorted: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Boolean mask of window hashes present in the SORTED duplicated-
+    hash array — one searchsorted, no Python loop."""
+    if not len(h) or not len(dup_sorted):
+        return np.zeros(len(h), dtype=bool)
+    j = np.searchsorted(dup_sorted, h)
+    j[j == len(dup_sorted)] = 0  # wrap: compare against [0], never matches h>max
+    return dup_sorted[j] == h
 
 
 def spans_from_marks(mdoc: np.ndarray, mpos: np.ndarray, gram_len: int) -> pa.Table:
@@ -139,31 +155,97 @@ def _dup_hash_dataset(
     return counts.map_batches(keep, batch_format="pyarrow")
 
 
-class _MarkSpansStage:
-    """Actor-pool mark pass: the sorted duplicated-hash array ships
-    once via ``ray.put`` and is pinned per actor; each batch marks its
-    windows with one searchsorted and merges spans locally (a doc's
-    windows are always whole inside its batch row)."""
+def _dup_hash_ref(
+    ds: ray.data.Dataset,
+    text_col: str,
+    gram_len: int,
+    min_count: int,
+    broadcast_budget: int,
+):
+    """(object-store ref of the SORTED duplicated-hash array, or None
+    past the budget; the materialized dup dataset for the distributed
+    fallback).  Materialized once — count() and the gather below would
+    otherwise each re-execute the counting pipeline."""
+    dup = _dup_hash_dataset(ds, text_col, gram_len, min_count).materialize()
+    if dup.count() > broadcast_budget:
+        return None, dup
+    parts = [
+        np.asarray(b["h"], dtype=np.int64)
+        for b in dup.iter_batches(batch_format="numpy")
+    ]
+    dup_sorted = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    return ray.put(dup_sorted), dup
 
-    def __init__(self, dup_ref, gram_len: int, text_col: str, id_col: str):
-        self._dup = ray.get(dup_ref)  # sorted uint64
-        self.gram_len = gram_len
-        self.text_col = text_col
-        self.id_col = id_col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        h, gparent, pos, _ = grams_with_pos(batch[self.text_col], self.gram_len)
-        if not len(h) or not len(self._dup):
-            return _SPANS_SCHEMA.empty_table()
-        j = np.searchsorted(self._dup, h)
-        j[j == len(self._dup)] = 0  # wrap: compare against [0], never matches h>max
-        marked = self._dup[j] == h
+def _make_mark_fn(dup_ref, gram_len: int, text_col: str, id_col: str):
+    """Task-based mark pass: the sorted duplicated-hash array ships
+    once via ``ray.put``; ``ray.get`` inside the task is a zero-copy
+    plasma mmap after the first fetch per worker (no actor-pool
+    spin-up — the state is one read-only array, not expensive init).
+    Each batch marks its windows with one searchsorted and merges
+    spans locally (a doc's windows are always whole inside its batch
+    row)."""
+
+    def mark(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        h, gparent, pos, _ = grams_with_pos(batch[text_col], gram_len)
+        marked = _mark_against(dup, h)
         if not marked.any():
             return _SPANS_SCHEMA.empty_table()
-        ids = np.asarray(
-            batch[self.id_col].to_numpy(zero_copy_only=False), dtype=np.int64
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return spans_from_marks(ids[gparent[marked]], pos[marked], gram_len)
+
+    return mark
+
+
+_CUT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("text_cut", pa.string()), ("n_removed", pa.int64())]
+)
+
+
+def _make_cut_fn(dup_ref, gram_len: int, text_col: str, id_col: str):
+    """Fused broadcast cut: mark + window-coverage + text rebuild in
+    one batch pass.  Coverage by raw marked windows equals coverage by
+    merged maximal spans (merging only joins overlapping/adjacent
+    ranges), so the span table is never built."""
+
+    def cut(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        h, gparent, pos, toks, parent, counts = _grams_full(batch[text_col], gram_len)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        marked = _mark_against(dup, h)
+        T = len(toks)
+        starts = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        diff = np.zeros(T + 1, dtype=np.int64)
+        if marked.any():
+            base = starts[gparent[marked]]
+            mp = pos[marked]
+            np.add.at(diff, base + mp, 1)
+            np.add.at(diff, base + mp + gram_len, -1)  # windows never straddle docs
+        keep = np.cumsum(diff[:T]) == 0
+        kept_counts = (
+            np.bincount(parent[keep], minlength=len(counts)).astype(np.int64)
+            if T
+            else np.zeros(len(counts), np.int64)
         )
-        return spans_from_marks(ids[gparent[marked]], pos[marked], self.gram_len)
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=offsets[1:])
+        kept_toks = toks.filter(pa.array(keep)) if T else toks
+        if isinstance(kept_toks, pa.ChunkedArray):
+            kept_toks = kept_toks.combine_chunks()
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int64()).cast(pa.int32()), kept_toks
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text_cut": pc.binary_join(kept_list, " "),
+                "n_removed": pa.array(counts - kept_counts),
+            }
+        )
+
+    return cut
 
 
 def dup_spans(
@@ -175,33 +257,28 @@ def dup_spans(
     min_count: int = 2,
     broadcast_budget: int = 5_000_000,
     num_partitions: "int | None" = None,
-    concurrency=(1, 8),
 ) -> ray.data.Dataset:
     """Maximal duplicated token spans per document:
     (doc_id, start_tok, end_tok, n_grams), token positions 0-based,
     ``end_tok`` exclusive.  See the module docstring for the two-pass
     scale shape."""
-    # materialize once: count() and the consumer below would otherwise
-    # each re-execute the counting pipeline (dup is small — distinct
-    # duplicated hashes only)
-    dup = _dup_hash_dataset(ds, text_col, gram_len, min_count).materialize()
-    n_dup = dup.count()
-    if n_dup <= broadcast_budget:
-        parts = [
-            np.asarray(b["h"], dtype=np.int64)
-            for b in dup.iter_batches(batch_format="numpy")
-        ]
-        dup_sorted = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
-        ref = ray.put(dup_sorted)
+    ref, dup = _dup_hash_ref(ds, text_col, gram_len, min_count, broadcast_budget)
+    if ref is not None:
         return ds.select_columns([id_col, text_col]).map_batches(
-            _MarkSpansStage,
-            fn_constructor_kwargs=dict(
-                dup_ref=ref, gram_len=gram_len, text_col=text_col, id_col=id_col
-            ),
+            _make_mark_fn(ref, gram_len, text_col, id_col),
             batch_format="pyarrow",
-            concurrency=concurrency,
         )
+    return _dup_spans_distributed(ds, dup, text_col, id_col, gram_len, num_partitions)
 
+
+def _dup_spans_distributed(
+    ds: ray.data.Dataset,
+    dup: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    gram_len: int,
+    num_partitions: "int | None",
+) -> ray.data.Dataset:
     # distributed mark: hash-partitioned semi-join of window occurrences
     # against the duplicated-hash set, then doc-partitioned span merge.
     P = num_partitions or default_partitions()
@@ -299,18 +376,21 @@ def cut_dup_spans(
     (doc_id, text_cut, n_removed) where ``text_cut`` is the kept
     tokens space-joined in order (the tokenizer's lowercased
     normalization, like every text op in this package) and
-    ``n_removed`` counts dropped tokens.  Documents co-group with
-    their spans by ``doc_id % P`` — each rebuild task holds one
-    partition, never the corpus."""
-    spans = dup_spans(
-        ds,
-        text_col=text_col,
-        id_col=id_col,
-        gram_len=gram_len,
-        min_count=min_count,
-        broadcast_budget=broadcast_budget,
-        num_partitions=num_partitions,
-    )
+    ``n_removed`` counts dropped tokens.
+
+    Below ``broadcast_budget`` duplicated hashes the whole cut is ONE
+    fused map_batches pass (mark + coverage + rebuild per batch — no
+    span table, no shuffle: coverage by marked windows equals coverage
+    by merged spans).  Past the budget, documents co-group with their
+    spans by ``doc_id % P`` — each rebuild task holds one partition,
+    never the corpus."""
+    ref, dup = _dup_hash_ref(ds, text_col, gram_len, min_count, broadcast_budget)
+    if ref is not None:
+        return ds.select_columns([id_col, text_col]).map_batches(
+            _make_cut_fn(ref, gram_len, text_col, id_col),
+            batch_format="pyarrow",
+        )
+    spans = _dup_spans_distributed(ds, dup, text_col, id_col, gram_len, num_partitions)
     P = num_partitions or default_partitions()
     tag_schema = pa.schema(
         [
@@ -356,13 +436,9 @@ def cut_dup_spans(
         .union(spans.map_batches(tag_spans, batch_format="pyarrow"))
     )
 
-    out_schema = pa.schema(
-        [("doc_id", pa.int64()), ("text_cut", pa.string()), ("n_removed", pa.int64())]
-    )
-
     def rebuild(group: pa.Table) -> pa.Table:
         if not group.num_rows:
-            return out_schema.empty_table()
+            return _CUT_SCHEMA.empty_table()
         is_doc = np.asarray(pc.is_valid(group["text"]).to_numpy(zero_copy_only=False))
         docs = group.filter(pa.array(is_doc))
         spns = group.filter(pa.array(~is_doc))
