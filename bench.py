@@ -171,7 +171,7 @@ def bench_ops(sf_dir: str) -> dict:
     return out
 
 
-def bench_skew(num_cpus: int, n_docs: int = 20000) -> dict:
+def bench_skew(n_docs: int = 20000) -> dict:
     """Skew probe (BASELINE.md planned workload #3): (a) a stop-word-
     heavy corpus — every doc carries extra copies of one hot term, so
     one groupby key sees ~n_docs compressed runs — must build within
@@ -321,14 +321,14 @@ def main():
         q["bm25_p99_ms"] = qq["p99_ms"]
         q["bm25_pool_qps"] = qq["pool_qps"]
     if phase == "skew":
-        for k, v in bench_skew(num_cpus).items():
+        for k, v in bench_skew().items():
             q[f"skew_{k}"] = v
     if phase is None:
         d = bench_docs_table(sf_dir)
         q["docs_table_sec"] = d["sec"]
         for k, v in bench_ops(sf_dir).items():
             q[f"op_{k}_sec"] = v
-        for k, v in bench_skew(num_cpus).items():
+        for k, v in bench_skew().items():
             q[f"skew_{k}"] = v
 
     total = round(time.perf_counter() - t_start, 3)

@@ -234,6 +234,14 @@ def main(argv: list[str] | None = None) -> int:
         ids = [int(x) for x in args.query_ids.split(",")]
         qt = pq.read_table(args.input, filters=[("vec_id", "in", ids)])
         q_ids = np.asarray(qt["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        missing = sorted(set(ids) - set(q_ids.tolist()))
+        if missing:
+            print(
+                f"error: vec_id(s) not found in {args.input}: "
+                + ",".join(str(m) for m in missing),
+                file=sys.stderr,
+            )
+            return 2
         q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
         top = query_ann_index(args.index, q_ids, q_mat, k=args.k, nprobe=args.nprobe)
         for i in range(top.num_rows):

@@ -83,6 +83,7 @@ def _pairs_pipeline(
     agg: str,
     P: int,
     small_rows_budget: "int | None" = None,
+    rows_hint: "int | None" = None,
 ) -> ray.data.Dataset:
     """Shared tail of every banded pair stage: hash-partition the
     exploded (key, id, payload) rows on ``key_col % P``, run the
@@ -90,19 +91,27 @@ def _pairs_pipeline(
     Below ``small_rows_budget`` exploded rows (default
     ``SMALL_PAIRS_ROW_BUDGET``, monkeypatch-able) the whole tail runs
     in-process on ONE object-store gather — Ray's per-shuffle fixed
-    cost dominates at that size."""
+    cost dominates at that size.  ``rows_hint`` is the caller's exact
+    exploded row count (input rows × band fan-out): when it already
+    exceeds the budget the pipeline streams straight into the shuffle
+    without pinning the exploded payload in the object store — the
+    materialize-to-count probe only runs when the size is small or
+    unknown."""
     budget = SMALL_PAIRS_ROW_BUDGET if small_rows_budget is None else small_rows_budget
-    exploded = exploded.materialize()
-    if exploded.count() <= budget:
-        tbls = [t for t in ray.get(exploded.to_arrow_refs()) if t.num_rows]
-        if not tbls:
+    if rows_hint is None or rows_hint <= budget:
+        exploded = exploded.materialize()
+        if exploded.count() <= budget:
+            tbls = [t for t in ray.get(exploded.to_arrow_refs()) if t.num_rows]
+            if not tbls:
+                return ray.data.from_arrow(
+                    pa.schema(
+                        [("a", pa.int64()), ("b", pa.int64()), (value_col, value_type)]
+                    ).empty_table()
+                )
+            gathered = pa.concat_tables(tbls).combine_chunks()
             return ray.data.from_arrow(
-                pa.schema(
-                    [("a", pa.int64()), ("b", pa.int64()), (value_col, value_type)]
-                ).empty_table()
+                _dedup_pairs_table(part_pairs(gathered), value_col, agg)
             )
-        gathered = pa.concat_tables(tbls).combine_chunks()
-        return ray.data.from_arrow(_dedup_pairs_table(part_pairs(gathered), value_col, agg))
 
     def tag(b: pa.Table) -> pa.Table:
         k = np.asarray(b[key_col].to_numpy(zero_copy_only=False)).astype(np.uint64)
@@ -144,29 +153,12 @@ def _dedup_pairs(
         ) >> np.uint64(33)
         return b.append_column("_p2", pa.array((mix % np.uint64(P)).astype(np.int64)))
 
-    reducer = np.maximum if agg == "max" else np.minimum
-
     def reduce_group(g: pa.Table) -> pa.Table:
         if not g.num_rows or not g.num_columns:
             return out_schema.empty_table()
-        a = np.asarray(g["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        b = np.asarray(g["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        v = np.asarray(g[value_col].to_numpy(zero_copy_only=False))
-        order = np.lexsort((b, a))
-        a, b, v = a[order], b[order], v[order]
-        # run boundaries over the composite (a, b) key
-        n = len(a)
-        change = np.empty(n, dtype=bool)
-        change[0] = True
-        change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        starts = np.flatnonzero(change)
-        red = reducer.reduceat(v, starts) if n else v
-        return pa.table(
-            {
-                "a": pa.array(a[starts]),
-                "b": pa.array(b[starts]),
-                value_col: pa.array(red).cast(value_type),
-            }
+        # same (a, b)-run lexsort+reduceat kernel as the gather path
+        return _dedup_pairs_table(
+            g.select(["a", "b", value_col]).cast(out_schema), value_col, agg
         )
 
     return (
@@ -474,7 +466,10 @@ def minhash_lsh_pairs(
             }
         )
 
-    return _pairs_pipeline(exploded, "bucket", part_pairs, "est_jaccard", pa.float64(), "max", P)
+    return _pairs_pipeline(
+        exploded, "bucket", part_pairs, "est_jaccard", pa.float64(), "max", P,
+        rows_hint=ds.count() * bands,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -607,7 +602,10 @@ def simhash_neardup_pairs(
         )
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    return _pairs_pipeline(exploded, "key", part_pairs, "hamming", pa.int64(), "min", P)
+    return _pairs_pipeline(
+        exploded, "key", part_pairs, "hamming", pa.int64(), "min", P,
+        rows_hint=ds.count() * bands,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -984,6 +982,7 @@ def embedding_neardup_pairs(
     return _pairs_pipeline(
         exploded, "key", part_pairs, "cosine", pa.float64(), "max", P,
         small_rows_budget=200_000,
+        rows_hint=ds.count() * bands,
     )
 
 

@@ -254,7 +254,11 @@ def _score_allowed(
         s = sims[row]
         cand = np.flatnonzero(np.isfinite(s))
         if len(cand) > k:
-            cand = cand[np.argpartition(-s[cand], k - 1)[:k]]
+            # deterministic batch-local top-k: (cosine desc, neighbor
+            # asc) — the same tie-break as _final_topk and the SQL
+            # oracle, so ties at the k-boundary never depend on batch
+            # composition or argpartition's arbitrary pick
+            cand = cand[np.lexsort((ids[cand], -s[cand]))[:k]]
         out_q.extend([int(q["ids"][qi])] * len(cand))
         out_n.extend(ids[cand].tolist())
         out_s.extend(s[cand].tolist())

@@ -573,9 +573,17 @@ class IndexSearcher:
         by_file: dict[str, list[int]] = {}
         for seg, (mins, maxs, paths) in self._fwd_ranges.items():
             for d in wanted:
-                i = bisect.bisect_right(mins, d) - 1
-                if i >= 0 and maxs[i] >= d:
-                    by_file.setdefault(paths[i], []).append(d)
+                # Walk LEFT from the bisect hit while earlier files'
+                # ranges still cover d: a streaming compaction rewrite
+                # (Ray sort → write) may split one doc's field rows
+                # across two adjacent range files (file A ends at doc d,
+                # file B starts at it) — every covering file must be
+                # read.  Fresh builds keep docs whole per file, so the
+                # walk stops after one step there.
+                j = bisect.bisect_right(mins, d) - 1
+                while j >= 0 and maxs[j] >= d:
+                    by_file.setdefault(paths[j], []).append(d)
+                    j -= 1
         out: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
         for path, ids in by_file.items():
             t = pq.read_table(path, filters=[("doc_id", "in", ids)])

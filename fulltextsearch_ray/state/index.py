@@ -42,13 +42,11 @@ POSTINGS_SCHEMA = pa.schema(
         ("df", pa.int64()),
         ("cf", pa.int64()),
         ("max_tf", pa.int64()),
-        # distinct docs in the block; sums to the per-term document
-        # frequency (entries snap to block boundaries, so a doc's
-        # entries never split across blocks except >block_cf entries).
-        # Catalog sum(n_docs) = unique-doc df — the BM25 idf input.
-        # Blocks chunk at DOC boundaries so a doc never spans two
-        # blocks; sole exception: a single doc larger than block_cf
-        # (then that term's summed df over-counts by one per split).
+        # distinct docs in the block; catalog sum(n_docs) = unique-doc
+        # df — the BM25 idf input.  Blocks chunk at DOC boundaries so a
+        # doc never spans two blocks; sole exception: a single doc
+        # larger than block_cf (then that term's summed df over-counts
+        # by one per split).
         ("n_docs", pa.int64()),
         ("docs", pa.binary()),
         ("fields", pa.binary()),

@@ -137,3 +137,42 @@ def test_highlight_matches_distributed(fwd_index):
     ).take_all()
     got = {r["doc_id"]: r["annotated"] for r in out}
     assert got == want
+
+
+def test_positions_doc_straddling_two_range_files(fwd_index, tmp_path):
+    """A streaming compaction rewrite may split one doc's field rows
+    across two adjacent range files (file A ends at doc d, file B
+    starts at it).  The range lookup must read EVERY covering file,
+    not just the bisect hit."""
+    import pyarrow.parquet as pq
+
+    from fulltextsearch_ray.stages.forward import FORWARD_SCHEMA
+
+    def fwd_file(path, rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.uint64()),
+                "field_id": pa.array([r[1] for r in rows], pa.int32()),
+                "offsets": pa.array([r[2] for r in rows], pa.list_(pa.int32())),
+                "lengths": pa.array([r[3] for r in rows], pa.list_(pa.int32())),
+            },
+            schema=FORWARD_SCHEMA,
+        )
+        pq.write_table(t, path)
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    # doc 5 field 1 at the TAIL of file a; doc 5 field 2 at the HEAD of b
+    fwd_file(a, [(3, 1, [0], [3]), (5, 1, [0, 4], [3, 3])])
+    fwd_file(b, [(5, 2, [10], [5]), (7, 1, [1], [2])])
+
+    _corpus, idx = fwd_index
+    s = IndexSearcher(idx)
+    s._fwd_ranges = {"seg": ([3, 5], [5, 7], [a, b])}
+
+    per = s.get_positions_field_many([5])
+    assert per[(5, 1)] == ([0, 4], [3, 3])  # from file a (the bisect MISS)
+    assert per[(5, 2)] == ([10], [5])  # from file b (the bisect hit)
+    # non-straddling docs resolve to exactly one file each
+    per2 = s.get_positions_field_many([3, 7])
+    assert per2[(3, 1)] == ([0], [3]) and per2[(7, 1)] == ([1], [2])

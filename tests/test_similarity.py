@@ -183,3 +183,20 @@ def test_project_embeddings_matches_numpy(ray_session):
     want = round6(vecs.astype(np.float64) @ planes.T)
     for i in range(20):
         assert [got[i][p] for p in range(4)] == list(want[i])
+
+
+def test_batch_local_topk_tie_break_lowest_ids():
+    """Batch-local top-k must break boundary ties as (cosine desc,
+    neighbor asc) — the _final_topk / SQL-oracle order — so the kept
+    candidate set never depends on batch composition (duplicate
+    vectors tie at cosine 1.0 in dedup-style corpora)."""
+    import numpy as np
+
+    from fulltextsearch_ray.functions.similarity import _score_allowed
+
+    ids = np.array([109, 102, 100, 107, 101, 104, 106, 103, 108, 105], dtype=np.int64)
+    mat = np.tile(np.array([[1.0, 0.0]]), (len(ids), 1))
+    q = {"ids": np.array([999], dtype=np.int64), "mat": np.array([[1.0, 0.0]])}
+    allowed = np.ones((1, len(ids)), dtype=bool)
+    t = _score_allowed(q, ids, mat, allowed, 3)
+    assert sorted(t["neighbor_id"].to_pylist()) == [100, 101, 102]
