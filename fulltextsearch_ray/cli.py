@@ -82,6 +82,15 @@ def main(argv: list[str] | None = None) -> int:
     p_annq.add_argument("-k", type=int, default=10)
     p_annq.add_argument("--nprobe", type=int, default=4)
 
+    p_spans = sub.add_parser(
+        "cut-spans",
+        help="remove corpus-duplicated token spans (Lee-et-al-style k-gram span dedup)",
+    )
+    p_spans.add_argument("--input", required=True, help="parquet with (doc_id, text) columns")
+    p_spans.add_argument("--output", required=True, help="output parquet directory")
+    p_spans.add_argument("--gram-len", type=int, default=4)
+    p_spans.add_argument("--min-count", type=int, default=2)
+
     p_bench = sub.add_parser(
         "benchmark", help="posting-codec micro-bench (reference protocol: N occurrences (1,1,1000+i))"
     )
@@ -210,6 +219,27 @@ def main(argv: list[str] | None = None) -> int:
         meta = compact_index(args.index)
         print(f"Compacted to segment {meta.segments[0]}, docs: {meta.num_docs}, "
               f"time: {time.time() - t0:.3f}s")
+        return 0
+
+    if args.verb == "cut-spans":
+        _ensure_ray()
+        import ray.data
+
+        from .functions.spans import cut_dup_spans
+
+        ds = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+        out = cut_dup_spans(ds, gram_len=args.gram_len, min_count=args.min_count)
+        out.write_parquet(args.output)
+        import pyarrow.dataset as pads
+
+        stats = pads.dataset(args.output).to_table(columns=["n_removed"])
+        import pyarrow.compute as pc
+
+        print(
+            f"Cut duplicated spans: {stats.num_rows} docs, "
+            f"{pc.sum(stats['n_removed']).as_py() or 0} tokens removed, "
+            f"time: {time.time() - t0:.3f}s"
+        )
         return 0
 
     if args.verb == "ann-build":

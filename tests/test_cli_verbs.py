@@ -91,3 +91,32 @@ def test_ann_build_and_query_verbs(vec_parquet, capsys):
     qid, rank, nid, c = lines[0].split("\t")
     assert (int(qid), int(rank), int(nid)) == (5, 1, int(np.argmax(cos)))
     assert abs(float(c) - cos.max()) < 1e-6  # CLI prints %.6f
+
+
+def test_cut_spans_verb(ray_session, tmp_path, capsys):
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta unique-one tail",
+                    "head alpha beta gamma delta unique-two",
+                    "nothing shared here at all now",
+                ]
+            ),
+        }
+    )
+    src = tmp_path / "docs.parquet"
+    out = tmp_path / "cut"
+    pq.write_table(docs, str(src))
+    assert main(["cut-spans", "--input", str(src), "--output", str(out)]) == 0
+    assert "3 docs, 8 tokens removed" in capsys.readouterr().out
+    got = {
+        r["doc_id"]: r["text_cut"]
+        for batch in __import__("pyarrow.dataset", fromlist=["dataset"])
+        .dataset(str(out))
+        .to_table()
+        .to_pylist()
+        for r in [batch]
+    }
+    assert got[1] == "unique-one tail" and got[2] == "head unique-two"
