@@ -200,3 +200,75 @@ def test_batch_local_topk_tie_break_lowest_ids():
     allowed = np.ones((1, len(ids)), dtype=bool)
     t = _score_allowed(q, ids, mat, allowed, 3)
     assert sorted(t["neighbor_id"].to_pylist()) == [100, 101, 102]
+
+
+def test_driver_candidate_rows_independent_of_batch_count(ray_session):
+    """The round-3 scale-killer fix: the candidate merge's driver-held
+    table must be O(fanin · k · n_queries) — INDEPENDENT of how many
+    batches the scoring pass produced.  Score the same vectors split
+    into 1 block vs 64 blocks; the gathered candidate rows must be
+    identical-bounded (not 64× bigger), and the results must match."""
+    from fulltextsearch_ray.functions.similarity import _REDUCE_FANIN
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 2048, 8, 5
+    mat = rng.standard_normal((n, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64())),
+        }
+    )
+    q_ids = np.arange(4, dtype=np.int64)
+    q_mat = mat[:4]
+    bound = _REDUCE_FANIN * k * len(q_ids)
+
+    stats_one, stats_many = {}, {}
+    one = brute_force_topk(
+        ray.data.from_arrow(tbl), q_ids, q_mat, k=k, stats=stats_one
+    )
+    # 64 blocks → the scorer emits ≥ 64 batches of candidates; with the
+    # old driver gather this would be 64·k·q rows on the driver
+    many_ds = ray.data.from_arrow(tbl).repartition(64)
+    many = brute_force_topk(many_ds, q_ids, q_mat, k=k, stats=stats_many)
+    assert one.equals(many)
+    assert stats_one["driver_candidate_rows"] <= bound
+    assert stats_many["driver_candidate_rows"] <= bound
+
+
+def test_lsh_multiprobe_improves_recall(vectors):
+    """Multiprobe (Hamming-1 bucket neighbors) must dominate the
+    exact-bucket probe: every exact-bucket candidate stays allowed, so
+    recall vs brute force is monotonically ≥, and on this clustered
+    fixture strictly more candidate mass is found."""
+    ds, q_ids, q_mat, mat = vectors
+    oracle = _exact_oracle(mat, q_mat, q_ids)
+
+    def recall(tbl):
+        hits = total = 0
+        for qid in q_ids:
+            mine = {
+                n
+                for q, n in zip(tbl["query_id"].to_pylist(), tbl["neighbor_id"].to_pylist())
+                if q == qid
+            }
+            hits += len(mine & set(oracle[int(qid)]))
+            total += 10
+        return hits / total
+
+    exact_bucket = lsh_bucketed_topk(ds, q_ids, q_mat, k=10, bits=6)
+    multi = lsh_bucketed_topk(ds, q_ids, q_mat, k=10, bits=6, multiprobe=1)
+    assert recall(multi) >= recall(exact_bucket)
+    # hamming-1 probing widens the candidate set → at least as many rows
+    assert multi.num_rows >= exact_bucket.num_rows
+
+
+def test_popcount64_matches_python():
+    from fulltextsearch_ray.functions.similarity import popcount64
+
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 2**63, size=1000, dtype=np.int64).astype(np.uint64)
+    xs[:3] = [0, 1, 2**64 - 1]
+    got = popcount64(xs)
+    want = np.array([bin(int(x)).count("1") for x in xs], dtype=np.int64)
+    assert (got == want).all()
