@@ -112,6 +112,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     bucket_size: int = 4096,
+    max_buckets: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Concat-and-chunk sequence packing: lay every document's tokens
     out on one global tape in ``id_col`` order and cut it into
@@ -122,13 +123,16 @@ def pack_sequences(
     sequence it feeds.  Empty documents emit nothing.
 
     ``bucket_size`` is a floor: the effective bucket width auto-widens
-    so the driver's partial-sum table never exceeds ``max_buckets``
-    entries regardless of the id range — at 10^12 docs the driver
-    still holds ~1e6 integers, not id_range/4096.
+    (power-of-two doublings) whenever the driver's running partial-sum
+    table would exceed ``max_buckets`` entries — at 10^12 docs the
+    driver still holds ~1e6 integers, not id_range/4096.  The widening
+    happens WHILE streaming the partials (``iter_batches``), so there
+    is no separate max-id aggregate pass and no unbounded gather: a
+    prior version ran an extra ``Max("doc_id")`` execution just to
+    pre-size the buckets, which doubled the fixed pipeline overhead.
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
-    max_buckets = 1_000_000
 
     def count_tokens(batch: pa.Table) -> pa.Table:
         _, _, counts = flat_tokens(batch[text_col])
@@ -137,12 +141,39 @@ def pack_sequences(
             {"doc_id": pa.array(ids), "n_tok": pa.array(counts.astype(np.int64))}
         )
 
+    # ONE tokenization pass; the tiny (doc_id, n_tok) table feeds both
+    # the partial-sum scan and the final bucketed explode.
     sized = ds.map_batches(count_tokens, batch_format="pyarrow").materialize()
 
-    from ray.data.aggregate import Max
+    # stage 1: per-floor-bucket partial sums per batch → STREAMED to
+    # the driver, which folds them into a running (bucket → tokens)
+    # array and doubles the bucket width whenever the array would pass
+    # max_buckets.  Driver state is O(max_buckets) by construction —
+    # never O(#batches) (iter_batches, not take_all) and never
+    # O(id_range / floor_width).
+    def bucket_sums(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n = np.asarray(batch["n_tok"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ub, inv = np.unique(ids // bucket_size, return_inverse=True)
+        return pa.table(
+            {"_bucket": pa.array(ub), "s": pa.array(np.bincount(inv, weights=n).astype(np.int64))}
+        )
 
-    max_id = int(sized.aggregate(Max("doc_id", alias_name="m"))["m"] or 0)
-    bucket_size = max(bucket_size, (max_id + max_buckets) // max_buckets)
+    acc_b = np.empty(0, dtype=np.int64)  # coarsened bucket ids (sorted, unique)
+    acc_s = np.empty(0, dtype=np.int64)  # token totals per bucket
+    shift = 0  # effective bucket width = bucket_size << shift
+    for blk in sized.map_batches(bucket_sums, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        b = np.asarray(blk["_bucket"].to_numpy(zero_copy_only=False), dtype=np.int64) >> shift
+        s = np.asarray(blk["s"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        acc_b, inv = np.unique(np.concatenate([acc_b, b]), return_inverse=True)
+        acc_s = np.bincount(inv, weights=np.concatenate([acc_s, s])).astype(np.int64)
+        while len(acc_b) > max_buckets:
+            shift += 1
+            acc_b, inv = np.unique(acc_b >> 1, return_inverse=True)
+            acc_s = np.bincount(inv, weights=acc_s).astype(np.int64)
+    bucket_size <<= shift
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -150,26 +181,9 @@ def pack_sequences(
 
     counted = sized.map_batches(add_bucket, batch_format="pyarrow")
 
-    # stage 1: per-bucket totals → driver prefix sum (#buckets values)
-    def bucket_sums(batch: pa.Table) -> pa.Table:
-        b = np.asarray(batch["_bucket"].to_numpy(zero_copy_only=False))
-        n = np.asarray(batch["n_tok"].to_numpy(zero_copy_only=False))
-        ub, inv = np.unique(b, return_inverse=True)
-        return pa.table(
-            {"_bucket": pa.array(ub), "s": pa.array(np.bincount(inv, weights=n).astype(np.int64))}
-        )
-
-    totals: dict[int, int] = {}
-    for r in counted.select_columns(["_bucket", "n_tok"]).map_batches(
-        bucket_sums, batch_format="pyarrow"
-    ).take_all():
-        totals[int(r["_bucket"])] = totals.get(int(r["_bucket"]), 0) + int(r["s"])
-    buckets = sorted(totals)
-    offsets = {b: 0 for b in buckets}
-    acc = 0
-    for b in buckets:
-        offsets[b] = acc
-        acc += totals[b]
+    # exclusive prefix sum over the (sorted) bucket totals
+    starts = np.concatenate([[0], np.cumsum(acc_s)[:-1]]) if len(acc_s) else acc_s
+    offsets = {int(b): int(o) for b, o in zip(acc_b, starts)}
     offsets_ref = ray.put(offsets)
 
     # stage 2: per-bucket local cumsum + span explode (vectorized)

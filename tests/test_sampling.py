@@ -148,6 +148,21 @@ def test_pack_sequences_sparse_huge_ids(ray_session):
     ]
 
 
+def test_pack_sequences_bucket_widening_exact(ray_session):
+    # force the adaptive power-of-two bucket widening (max_buckets=2
+    # with >2 occupied floor buckets) and prove spans are unchanged vs
+    # an un-widened run — widening affects grouping granularity only
+    ids = [0, 5, 9, 17, 33, 61]  # 6 distinct floor buckets at width 1
+    texts = ["a b c", "d e", "f g h i", "j", "k l m n o", "p q"]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+
+    def run(**kw):
+        rows = pack_sequences(ray.data.from_arrow(tbl), seq_len=4, bucket_size=1, **kw).take_all()
+        return sorted((r["doc_id"], r["seq_id"], r["tok_lo"], r["tok_hi"]) for r in rows)
+
+    assert run(max_buckets=2) == run(max_buckets=1_000_000)
+
+
 def test_pack_sequences_rejects_bad_seq_len(ray_session):
     with pytest.raises(ValueError, match="positive"):
         pack_sequences(_texts_ds(["a"]), seq_len=0)
