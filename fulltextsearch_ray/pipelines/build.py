@@ -422,8 +422,13 @@ def build_index(
 
     if meta_cols and ds is not None:
         # metadata projection pass (only when extra doc columns are
-        # requested — the common path fuses doc stats into the invert)
-        ds = ds.materialize()
+        # requested — the common path fuses doc stats into the invert).
+        # STREAMING: no corpus materialize — the invert below simply
+        # re-executes the (lazy, deterministic) normalize graph rather
+        # than pinning the whole corpus in the object store; ids are
+        # reproducible across executions (doc_id_col passes through,
+        # assign_doc_ids is rank-of-unique-key and materializes only
+        # its own keyed intermediate once).
         docs_ds = ds.map_batches(
             DocStatsStage,
             fn_constructor_args=(text_col, meta_cols),
