@@ -228,6 +228,23 @@ def _scan_doc_ranges(dir_path: str, seg_path: str) -> list:
     return out
 
 
+def cap_lineage(files: list[str], budget: int = 10_000) -> list[str]:
+    """Keep the manifest's provenance list O(budget): past the budget,
+    store one summary line (count + lexical range) plus a head/tail
+    sample instead of every path — a 10^12-file build must not write a
+    10^12-entry JSON manifest.  Lineage is provenance-only (resume
+    keys on segment completeness, never on this list)."""
+    if len(files) <= budget:
+        return list(files)
+    head = files[: budget // 2]
+    tail = files[len(files) - (budget - budget // 2):]
+    return [
+        f"<lineage summary: {len(files)} files, {files[0]} .. {files[-1]}>",
+        *head,
+        *tail,
+    ]
+
+
 def _write_catalog_and_manifest(
     index_dir: str, segment: str, seg_path: str, num_buckets: int, lineage: list[str],
     forward_ranges: list | None = None,
@@ -348,6 +365,7 @@ def build_index(
     overwrite: bool = False,
     docs_driver_budget: int = 5_000_000,
     store_forward: bool = False,
+    lineage_budget: int = 10_000,
 ) -> IndexMeta:
     """Build (or incrementally extend) a persistent index.
 
@@ -400,7 +418,12 @@ def build_index(
             from ..stages.invert import ReadInvertStage
 
             items, n_files = corpus_file_items(source, start_id=meta.next_doc_id)
-            input_lineage = [r["file"] for r in items.take_all()]
+            # (the file list already lives on the driver — from_items —
+            # so this gather adds nothing; the CAP bounds what the
+            # manifest persists)
+            input_lineage = cap_lineage(
+                [r["file"] for r in items.take_all()], lineage_budget
+            )
             runs = items.map_batches(
                 ReadInvertStage,
                 fn_constructor_kwargs=dict(
@@ -660,7 +683,7 @@ def build_index(
         lineage = input_lineage
     elif hasattr(source, "input_files"):
         try:
-            lineage = source.input_files()
+            lineage = cap_lineage(source.input_files() or [], lineage_budget)
         except Exception:
             lineage = []
     else:

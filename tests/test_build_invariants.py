@@ -179,3 +179,38 @@ def test_skewed_term_build(ray_session, tmp_path_factory):
     seg_post = os.path.join(idx, "segments", meta.segments[0], "postings")
     t = pads.dataset(seg_post).to_table(filter=pads.field("term") == "the_end_marker")
     assert t.num_rows >= 4
+
+
+def test_cap_lineage_pure():
+    from fulltextsearch_ray.pipelines.build import cap_lineage
+
+    files = [f"f{i:03d}" for i in range(10)]
+    assert cap_lineage(files, budget=10) == files
+    capped = cap_lineage(files, budget=4)
+    assert len(capped) == 5  # summary + 2 head + 2 tail
+    assert capped[0] == "<lineage summary: 10 files, f000 .. f009>"
+    assert capped[1:3] == ["f000", "f001"]
+    assert capped[3:] == ["f008", "f009"]
+
+
+def test_manifest_lineage_capped_and_resume(ray_session, corpus_dir, tmp_path):
+    """A build over more files than lineage_budget writes an O(budget)
+    manifest (summary + sample), and segment-checkpoint resume still
+    works (resume keys on completeness, not lineage)."""
+    from fulltextsearch_ray.pipelines.build import cap_lineage  # noqa: F401
+
+    idx = str(tmp_path / "idx")
+    meta = build_index(
+        corpus_dir, idx, text_col="content", num_buckets=4,
+        overwrite=True, lineage_budget=2,
+    )
+    seg = meta.segments[-1]
+    man = load_manifest(idx, seg)
+    assert len(man.input_lineage) == 3  # summary + 1 head + 1 tail
+    assert man.input_lineage[0].startswith("<lineage summary: 4 files")
+    # checkpoint hit: rebuilding the same segment is a no-op
+    meta2 = build_index(
+        corpus_dir, idx, text_col="content", num_buckets=4,
+        segment=seg, lineage_budget=2,
+    )
+    assert meta2.segments == meta.segments
