@@ -76,16 +76,26 @@ def sorted_runs(keys: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
 
 def iter_capped_runs(keys: np.ndarray, cap: int, op_name: str):
     """Yield (start, size) for equal-key runs of size 2..cap in a
-    sorted key array; larger runs are LOGGED and skipped (a capped
-    pair stage never truncates silently)."""
+    sorted key array; larger runs are skipped and summarized in ONE
+    log line per call (a capped pair stage never truncates silently,
+    but a skewed corpus at scale must not flood the logs with a line
+    per bucket either)."""
     starts, counts = sorted_runs(keys)
+    n_skip = docs_skip = biggest = 0
     for s, g in zip(starts, counts):
         if g < 2:
             continue
         if g > cap:
-            print(f"{op_name}: skipping bucket of {g} docs (> cap {cap}); key={keys[s]}")
+            n_skip += 1
+            docs_skip += int(g)
+            biggest = max(biggest, int(g))
             continue
         yield int(s), int(g)
+    if n_skip:
+        print(
+            f"{op_name}: skipped {n_skip} oversized buckets"
+            f" (> cap {cap}; {docs_skip} docs total, largest {biggest})"
+        )
 
 
 def subtract_ids(

@@ -377,8 +377,13 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     max_bucket: int = 256,
     num_partitions: int | None = None,
+    n_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    ``n_rows`` (when the caller already knows the input row count)
+    avoids an extra upstream execution just to size the small-gather
+    fast path.
 
     Pipeline: signature map_batches → band-bucket explode →
     HASH-PARTITIONED capped pair emit (rows shuffle by
@@ -415,6 +420,11 @@ def minhash_lsh_pairs(
         # the fixed-size binary column
         if n:
             sig_col = group["sig"].combine_chunks()
+            # buffers()[1] is the VALUES buffer only for fixed-size
+            # binary; on plain binary it would be the offsets buffer
+            # and the matrix would silently decode garbage — fail loud
+            # if a Ray serialization roundtrip ever relaxes the type
+            assert pa.types.is_fixed_size_binary(sig_col.type), sig_col.type
             M = (
                 np.frombuffer(sig_col.buffers()[1], dtype=">u8")[
                     sig_col.offset * num_perm : (sig_col.offset + n) * num_perm
@@ -438,11 +448,14 @@ def minhash_lsh_pairs(
         starts = np.flatnonzero(change)
         counts = np.diff(np.r_[starts, n])
         out_a, out_b, out_e = [], [], []  # numpy chunks, concatenated once
+        n_skip = docs_skip = biggest = 0  # one summary line per task, not per bucket
         for s, g in zip(starts, counts):
             if g < 2:
                 continue
             if g > max_bucket:
-                print(f"minhash_lsh: skipping bucket of {g} docs (> cap {max_bucket})")
+                n_skip += 1
+                docs_skip += int(g)
+                biggest = max(biggest, int(g))
                 continue
             sigs = M[s : s + g]
             agree = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
@@ -453,6 +466,11 @@ def minhash_lsh_pairs(
             out_a.append(gi[iu[keep]])
             out_b.append(gi[ju[keep]])
             out_e.append(est[keep])
+        if n_skip:
+            print(
+                f"minhash_lsh: skipped {n_skip} oversized buckets"
+                f" (> cap {max_bucket}; {docs_skip} docs total, largest {biggest})"
+            )
         if not out_a:
             return pa.table(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -468,7 +486,15 @@ def minhash_lsh_pairs(
 
     return _pairs_pipeline(
         exploded, "bucket", part_pairs, "est_jaccard", pa.float64(), "max", P,
-        rows_hint=ds.count() * bands,
+        # byte-scaled gather budget: each exploded row carries a
+        # num_perm×8-byte signature, so the row budget shrinks to keep
+        # the one-gather fast path's driver footprint ≈128 MB whatever
+        # num_perm is (the embedding path hardcodes 200k for the same
+        # reason)
+        small_rows_budget=min(
+            SMALL_PAIRS_ROW_BUDGET, (128 << 20) // (num_perm * 8 + 24)
+        ),
+        rows_hint=(ds.count() if n_rows is None else n_rows) * bands,
     )
 
 
@@ -535,6 +561,7 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_bucket: int = 1024,
     num_partitions: int | None = None,
+    n_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs by SimHash Hamming distance: (a < b,
     hamming ≤ ``max_hamming``).
@@ -604,7 +631,7 @@ def simhash_neardup_pairs(
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     return _pairs_pipeline(
         exploded, "key", part_pairs, "hamming", pa.int64(), "min", P,
-        rows_hint=ds.count() * bands,
+        rows_hint=(ds.count() if n_rows is None else n_rows) * bands,
     )
 
 
@@ -896,6 +923,7 @@ def embedding_neardup_pairs(
     seed: int = 13,
     max_bucket: int = 4096,
     num_partitions: int | None = None,
+    n_rows: int | None = None,
 ) -> "ray.data.Dataset | pa.Table":
     """Pairs (a < b) with cosine(v_a, v_b) ≥ τ.
 
@@ -982,7 +1010,7 @@ def embedding_neardup_pairs(
     return _pairs_pipeline(
         exploded, "key", part_pairs, "cosine", pa.float64(), "max", P,
         small_rows_budget=200_000,
-        rows_hint=ds.count() * bands,
+        rows_hint=(ds.count() if n_rows is None else n_rows) * bands,
     )
 
 
