@@ -102,6 +102,16 @@ class HighlightStage:
         out_ids, out = [], []
         for r in rows:
             did = int(ids[r])
+            if did not in spans:
+                # forward row missing for a hit doc (index built
+                # without store_forward, or a partially-compacted
+                # segment) — raise a descriptive error instead of an
+                # opaque KeyError deep inside the actor
+                raise ValueError(
+                    f"highlight: doc {did} matched the query but has no "
+                    f"forward-store positions (was the index built with "
+                    f"store_forward=True and fully compacted?)"
+                )
             offs, lens = spans[did]
             tids = self.hit_tokens[int(pos[r])].as_py()
             out_ids.append(did)

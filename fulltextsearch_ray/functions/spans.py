@@ -383,7 +383,12 @@ def cut_dup_spans(
     span table, no shuffle: coverage by marked windows equals coverage
     by merged spans).  Past the budget, documents co-group with their
     spans by ``doc_id % P`` — each rebuild task holds one partition,
-    never the corpus."""
+    never the corpus.
+
+    ``id_col`` values must be UNIQUE: the distributed rebuild resolves
+    spans to docs by id (duplicates would attach every span to only the
+    first matching row; its guarded lookup raises rather than silently
+    diverging from the broadcast path, which tolerates duplicates)."""
     ref, dup = _dup_hash_ref(ds, text_col, gram_len, min_count, broadcast_budget)
     if ref is not None:
         return ds.select_columns([id_col, text_col]).map_batches(
@@ -454,7 +459,28 @@ def cut_dup_spans(
             s0 = np.asarray(spns["start_tok"].to_numpy(zero_copy_only=False), dtype=np.int64)
             s1 = np.asarray(spns["end_tok"].to_numpy(zero_copy_only=False), dtype=np.int64)
             id_order = np.argsort(ids)
-            didx = id_order[np.searchsorted(ids[id_order], sid)]
+            id_sorted = ids[id_order]
+            # guarded lookup: a span whose doc is absent from this
+            # partition (corrupt partitioning) or a duplicated doc_id
+            # (spans resolve to only the FIRST matching row — see the
+            # uniqueness contract in cut_dup_spans) must fail loudly
+            # instead of raising an opaque IndexError / silently
+            # cutting a neighboring doc's coverage
+            hit = np.searchsorted(id_sorted, sid)
+            if len(id_sorted) == 0:
+                raise ValueError("cut_dup_spans: partition has spans but no docs")
+            if (id_sorted[1:] == id_sorted[:-1]).any():
+                d = id_sorted[1:][id_sorted[1:] == id_sorted[:-1]][:5]
+                raise ValueError(
+                    f"cut_dup_spans: doc_id must be unique; duplicates: {d.tolist()}"
+                )
+            hit = np.minimum(hit, len(id_sorted) - 1)
+            if not (id_sorted[hit] == sid).all():
+                missing = sid[id_sorted[hit] != sid][:5]
+                raise ValueError(
+                    f"cut_dup_spans: span docs absent from their partition: {missing.tolist()}"
+                )
+            didx = id_order[hit]
             base = starts[didx]
             np.add.at(diff, base + s0, 1)
             np.add.at(diff, base + np.minimum(s1, counts[didx]), -1)
