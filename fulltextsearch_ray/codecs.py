@@ -31,6 +31,7 @@ __all__ = [
 ]
 
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
+_THRESHOLD_ARR = np.array(_THRESHOLDS, dtype=np.uint64)
 
 
 def varint_encode(values: np.ndarray) -> bytes:
@@ -52,9 +53,15 @@ def varint_encode_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     n = len(v)
     if n == 0:
         return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
-    nb = np.ones(n, dtype=np.int64)
-    for th in _THRESHOLDS:
-        nb += (v >= th).astype(np.int64)
+    vmax = v.max()
+    if vmax < np.uint64(128):
+        # all-1-byte fast path (tfs, fields, small gaps — the bulk of
+        # posting payloads): the encoding IS the value byte
+        return v.astype(np.uint8), np.arange(1, n + 1, dtype=np.int64)
+    # bytes-per-value in ONE O(n log 10) searchsorted instead of 9
+    # full-array comparisons (this function dominates the posting-merge
+    # stage's CPU)
+    nb = 1 + np.searchsorted(_THRESHOLD_ARR, v, side="right").astype(np.int64)
     ends = np.cumsum(nb)
     starts = ends - nb
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
@@ -76,6 +83,12 @@ def varint_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None
     if len(arr) == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = (arr & 0x80) == 0
+    if is_end.all():
+        # all-1-byte fast path: every byte is its own value
+        values = arr.astype(np.uint64)
+        if count is not None:
+            assert len(values) == count, f"varint_decode: expected {count}, got {len(values)}"
+        return values
     # group id per byte = number of terminators before this byte
     group = np.zeros(len(arr), dtype=np.int64)
     np.cumsum(is_end[:-1], out=group[1:])
