@@ -494,13 +494,19 @@ class InvertStage:
 
 
 class ReadInvertStage:
-    """Fused per-file stage: read one parquet file → positional doc ids
-    → tokenize → local invert (+ doc-stats sentinels).
+    """Fused file-group stage: read parquet file items → positional doc
+    ids → tokenize → local invert (+ doc-stats sentinels).
 
-    Input batches are 1-row file items ``{file, offset}`` (batch_size=1
-    ⇒ exactly one task per file, sidestepping Ray's row-count bundling
-    which would otherwise pack ALL tiny item rows into one task).  Docs
-    are processed in ``chunk_rows`` slices to bound working memory.
+    Input batches are 1-row file items ``{file, offset}``; the build
+    sets ``batch_size`` so several SMALL files bundle into one task.
+    Consecutive small files accumulate up to ``chunk_rows`` docs and
+    invert TOGETHER — one run per term per group instead of per file,
+    which shrinks the term shuffle's row count (and the merge stage's
+    segmented work) by the group factor.  Files larger than
+    ``chunk_rows`` are processed in slices to bound working memory, as
+    before.  Grouping is safe because file items arrive in sorted-path
+    order with ascending doc-id offsets, so a group's occurrences stay
+    doc-sorted.
     """
 
     def __init__(
@@ -509,7 +515,7 @@ class ReadInvertStage:
         columns: list[str] | None = None,
         num_buckets: int = 64,
         block_cf: int = DEFAULT_BLOCK_CF,
-        chunk_rows: int = 2048,
+        chunk_rows: int = 8192,
         text_cols: list[str] | None = None,
     ):
         self.inner = InvertStage(
@@ -522,12 +528,35 @@ class ReadInvertStage:
     def __call__(self, batch: pa.Table):
         import pyarrow.parquet as pq
 
+        pending: list[pa.Table] = []
+        pending_rows = 0
+
+        def flush():
+            nonlocal pending, pending_rows
+            if not pending:
+                return None
+            t = pa.concat_tables(pending) if len(pending) > 1 else pending[0]
+            pending, pending_rows = [], 0
+            return self.inner(t)
+
         for f, off in zip(batch["file"].to_pylist(), batch["offset"].to_pylist()):
             t = pq.read_table(f, columns=self.columns)
             ids = pa.array(np.arange(off, off + t.num_rows, dtype=np.uint64), pa.uint64())
             t = t.append_column("doc_id", ids)
-            for s in range(0, t.num_rows, self.chunk_rows):
-                yield self.inner(t.slice(s, self.chunk_rows))
+            if t.num_rows >= self.chunk_rows:
+                out = flush()
+                if out is not None:
+                    yield out
+                for s in range(0, t.num_rows, self.chunk_rows):
+                    yield self.inner(t.slice(s, self.chunk_rows))
+            else:
+                pending.append(t)
+                pending_rows += t.num_rows
+                if pending_rows >= self.chunk_rows:
+                    yield flush()
+        out = flush()
+        if out is not None:
+            yield out
 
 
 def _payload_bytes(col: pa.Array) -> np.ndarray:
