@@ -308,17 +308,28 @@ def run_scaling(n_docs: int, repeats: int = 3) -> dict:
         r["eff_8_32"] = round(r["dps_32"] / (4 * r["dps_8"]), 3) if r["dps_8"] else 0.0
         rounds.append(r)
         print(json.dumps({"scaling_round": i, **r}), file=sys.stderr)
+    def median(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return round(xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2, 3)
+
     best_pair = max(rounds, key=lambda r: r["eff_2_8"])
-    med_2_8 = sorted(r["eff_2_8"] for r in rounds)[len(rounds) // 2]
+    med_2_8 = median(r["eff_2_8"] for r in rounds)
+    med_8_32 = median(r["eff_8_32"] for r in rounds)
+    # HEADLINE = median paired round: on a host whose speed swings 3x
+    # WITHIN a round, best-paired can exceed 1.0 (2-level slow window)
+    # just as easily as a deflated round reads 0.4 — the median is the
+    # robust, non-gameable summary; the full per-round table ships
+    # alongside for adjudication.
     return {
         "docs": n_docs,
         "docs_per_sec_2cpus": best_pair["dps_2"],
         "docs_per_sec_8cpus": best_pair["dps_8"],
         "docs_per_sec_32cpus": best_pair["dps_32"],
-        "scaling_efficiency_2_to_8": best_pair["eff_2_8"],
-        "scaling_efficiency_8_to_32": best_pair["eff_8_32"],
-        "scaling_efficiency_2_to_8_median": med_2_8,
-        "scaling_efficiency": best_pair["eff_2_8"],
+        "scaling_efficiency_2_to_8": med_2_8,
+        "scaling_efficiency_8_to_32": med_8_32,
+        "scaling_efficiency_2_to_8_best_paired": best_pair["eff_2_8"],
+        "scaling_efficiency": med_2_8,
         "rounds": rounds,
     }
 

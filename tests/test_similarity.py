@@ -272,3 +272,33 @@ def test_popcount64_matches_python():
     got = popcount64(xs)
     want = np.array([bin(int(x)).count("1") for x in xs], dtype=np.int64)
     assert (got == want).all()
+
+
+def test_tree_reduce_multilevel_exact(ray_session, monkeypatch):
+    """Force the ref-tree reduce through MULTIPLE levels (fanin=2,
+    tiny level-1 batches): results must equal the single-gather path
+    and the driver bound must hold at the small fanin."""
+    import fulltextsearch_ray.functions.similarity as sim
+
+    rng = np.random.default_rng(7)
+    n, dim, k = 1024, 8, 4
+    mat = rng.standard_normal((n, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64())),
+        }
+    )
+    q_ids = np.arange(3, dtype=np.int64)
+    q_mat = mat[:3]
+
+    baseline = brute_force_topk(ray.data.from_arrow(tbl), q_ids, q_mat, k=k)
+
+    monkeypatch.setattr(sim, "_REDUCE_FANIN", 2)
+    monkeypatch.setattr(sim, "_REDUCE_BATCH_ROWS", 8)  # many level-1 refs
+    stats = {}
+    treed = brute_force_topk(
+        ray.data.from_arrow(tbl).repartition(32), q_ids, q_mat, k=k, stats=stats
+    )
+    assert treed.equals(baseline)
+    assert stats["driver_candidate_rows"] <= 2 * k * len(q_ids)
