@@ -232,11 +232,7 @@ def bench_skew(n_docs: int = 20000) -> dict:
     return out
 
 
-def _host_speed_probe() -> float:
-    """~1s single-thread probe of the host's current speed (relative
-    units, higher = faster): hash + tokenize-ish work over a fixed
-    buffer.  Recorded per scaling round so a slow host window is
-    visible in the output instead of silently skewing a ratio."""
+def _probe_once() -> float:
     import hashlib
 
     data = (b"the quick brown fox jumps over the lazy dog " * 1000)
@@ -247,6 +243,31 @@ def _host_speed_probe() -> float:
         data.split()
         n += 1
     return round(n / (time.perf_counter() - t0), 1)
+
+
+def _host_speed_probe() -> float:
+    """~1s single-thread probe of the host's current speed (relative
+    units, higher = faster): hash + tokenize-ish work over a fixed
+    buffer.  Recorded per scaling round so a slow host window is
+    visible in the output instead of silently skewing a ratio."""
+    return _probe_once()
+
+
+def _host_parallel_probe(workers: int = 8) -> float:
+    """Aggregate throughput of ``workers`` PROCESSES running the probe
+    concurrently.  The failure mode this catches: the single-thread
+    probe reads normal while multi-worker throughput has collapsed
+    (noisy neighbours stealing memory bandwidth / host CPU), observed
+    as ops running 3-10x slow with probe ≈ 4,400 either side."""
+    import concurrent.futures as cf
+
+    with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+        vals = list(ex.map(_run_probe_child, range(workers)))
+    return round(sum(vals), 1)
+
+
+def _run_probe_child(_i: int) -> float:
+    return _probe_once()
 
 
 def run_scaling(n_docs: int, repeats: int = 3) -> dict:
@@ -291,7 +312,11 @@ def run_scaling(n_docs: int, repeats: int = 3) -> dict:
     pin = os.environ.get("GRAFT_SCALING_PIN", "0") == "1" and _shutil.which("taskset")
     rounds: list[dict] = []
     for i in range(repeats):
-        r: dict = {"probe": _host_speed_probe(), "pinned": bool(pin)}
+        r: dict = {
+            "probe": _host_speed_probe(),
+            "probe8": _host_parallel_probe(),
+            "pinned": bool(pin),
+        }
         for cpus in (2, 8, 32):
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(cpus)
