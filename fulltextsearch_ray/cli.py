@@ -27,6 +27,22 @@ def _ensure_ray():
 
 
 def main(argv: list[str] | None = None) -> int:
+    """Dispatch with clean one-line errors: a bad query/pattern or a
+    missing index prints a message and exits 2 — never a raw traceback
+    (the reference CLI's error surface)."""
+    from .parser import QueryParseError
+
+    try:
+        return _main(argv)
+    except QueryParseError as e:
+        print(f"query error: {e}", file=sys.stderr)
+        return 2
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+def _main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="fulltextsearch_ray")
     sub = p.add_subparsers(dest="verb", required=True)
 

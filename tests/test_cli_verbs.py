@@ -120,3 +120,15 @@ def test_cut_spans_verb(ray_session, tmp_path, capsys):
         for r in [batch]
     }
     assert got[1] == "unique-one tail" and got[2] == "head unique-two"
+
+
+def test_cli_clean_error_surface(small_index, capsys):
+    """Bad queries exit 2 with a one-line message, never a traceback."""
+    from fulltextsearch_ray.cli import main
+
+    idx = small_index[1]
+    assert main(["search", "--index", idx, "--query", "WORD(a) and b"]) == 2
+    err = capsys.readouterr().err
+    assert "query error:" in err and "Traceback" not in err
+    assert main(["search", "--index", idx, "--query", "EDIT(apple,x)"]) == 2
+    assert "query error:" in capsys.readouterr().err
