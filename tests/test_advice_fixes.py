@@ -317,3 +317,108 @@ def test_highlight_missing_forward_row_is_descriptive(ray_session, tmp_path):
     stage = HighlightStage(_ray.put(hits), idx)
     with pytest.raises(Exception, match="forward-store|store_forward"):
         stage(tbl)
+
+
+def _old_merge_runs_batch(batch: pa.Table, block_cf: int) -> pa.Table:
+    """Round-3 reference implementation of merge_runs_batch (per-term
+    Python loop) — kept in-test to pin the vectorized rewrite."""
+    import numpy as np
+
+    from fulltextsearch_ray.stages.invert import merge_posting_runs
+
+    n = batch.num_rows
+    if n == 0:
+        return batch
+    terms = batch["term"]
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    codes = np.asarray(
+        terms.dictionary_encode().indices.to_numpy(zero_copy_only=False), dtype=np.int64
+    )
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.r_[starts, n])
+    single = counts == 1
+    out_tables = []
+    if single.all():
+        return batch
+    keep_mask = np.repeat(single, counts)
+    if keep_mask.any():
+        out_tables.append(batch.filter(pa.array(keep_mask)))
+    for s, c in zip(starts[~single], counts[~single]):
+        out_tables.append(merge_posting_runs(batch.slice(int(s), int(c)), block_cf=block_cf))
+    return pa.concat_tables(out_tables).combine_chunks()
+
+
+def _canon(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        t, sort_keys=[("term", "ascending"), ("first_doc", "ascending"), ("block_id", "ascending")]
+    )
+    return t.combine_chunks().take(idx)
+
+
+def test_merge_runs_batch_matches_old_implementation_randomized():
+    """Property: the round-4 vectorized merge_runs_batch is
+    bit-identical to the per-term round-3 implementation across random
+    shapes — fragmented terms (coalesce), hot terms (> block_cf
+    metadata renumber), single-run terms, MULTI-FIELD overlapping runs
+    (slow path), and doc-stats sentinel rows."""
+    import numpy as np
+
+    from fulltextsearch_ray.stages.invert import (
+        InvertStage,
+        encode_docstats_row,
+        merge_runs_batch,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial in range(6):
+        block_cf = int(rng.choice([8, 64, 1 << 16]))
+        run_tables = []
+        # several "input batches": disjoint doc ranges per batch, with
+        # a multi-field column so some terms genuinely overlap at the
+        # boundary (slow path)
+        stage = InvertStage(
+            text_col="a", text_cols=["a", "b"], doc_id_col="doc_id",
+            num_buckets=4, block_cf=block_cf, emit_docstats=False,
+        )
+        vocab = [f"t{j}" for j in range(int(rng.integers(3, 12)))]
+        base = 1
+        for _ in range(int(rng.integers(2, 6))):
+            n_docs = int(rng.integers(1, 30))
+            mk = lambda: [
+                " ".join(rng.choice(vocab, size=rng.integers(0, 12)).tolist())
+                for _ in range(n_docs)
+            ]
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array(range(base, base + n_docs), pa.int64()),
+                    "a": pa.array(mk(), pa.string()),
+                    "b": pa.array(mk(), pa.string()),
+                }
+            )
+            # boundary overlap: next batch REUSES the last doc id so a
+            # term can straddle (equal boundary docs -> slow path)
+            base += n_docs - (1 if rng.random() < 0.5 and n_docs > 1 else 0)
+            run_tables.append(stage(tbl))
+        sent = pa.table(
+            {
+                k: pa.array([v], type=run_tables[0].schema.field(k).type)
+                for k, v in encode_docstats_row(
+                    np.array([base + 10], dtype=np.uint64),
+                    np.array([5], dtype=np.int64), ["0" * 64], 5,
+                ).items()
+            }
+        )
+        allruns = pa.concat_tables(run_tables + [sent])
+        # simulate the sort shuffle: stable sort by term only
+        import pyarrow.compute as pc
+
+        allruns = allruns.take(pc.sort_indices(allruns, sort_keys=[("term", "ascending")]))
+        got = _canon(merge_runs_batch(allruns, block_cf=block_cf))
+        want = _canon(_old_merge_runs_batch(allruns, block_cf=block_cf))
+        assert got.equals(want), f"trial {trial} (block_cf={block_cf}) diverged"
