@@ -68,6 +68,13 @@ def _main(argv: list[str] | None = None) -> int:
         sp = sub.add_parser(verb)
         sp.add_argument("--index", required=True)
         sp.add_argument(arg, required=True)
+        sp.add_argument(
+            "--term-dict",
+            choices=("parquet", "fst"),
+            default="parquet",
+            help="dictionary to expand patterns over (fst uses the "
+            "sidecar from fst-build, or streams one from the catalogs)",
+        )
         if verb == "bm25":
             sp.add_argument("-k", type=int, default=10)
 
@@ -84,6 +91,13 @@ def _main(argv: list[str] | None = None) -> int:
 
     p_compact = sub.add_parser("compact", help="merge all segments into one (posting-chain collapse)")
     p_compact.add_argument("--index", required=True)
+
+    p_fst = sub.add_parser(
+        "fst-build",
+        help="compile the index vocabulary into a minimal-FST sidecar "
+        "(term dictionary for search/lookup --term-dict fst)",
+    )
+    p_fst.add_argument("--index", required=True)
 
     p_annb = sub.add_parser("ann-build", help="train + persist an IVF ANN index over an embeddings parquet")
     p_annb.add_argument("--input", required=True, help="parquet with (vec_id, embedding) columns")
@@ -329,7 +343,17 @@ def _main(argv: list[str] | None = None) -> int:
                     start = i
         return 0
 
-    s = IndexSearcher(args.index)
+    if args.verb == "fst-build":
+        from .state.fst_store import build_fst_sidecar
+
+        info = build_fst_sidecar(args.index)
+        print(
+            f"FST: {info['n_terms']} terms, {info['n_bytes']} bytes, "
+            f"time: {time.time() - t0:.3f}s"
+        )
+        return 0
+
+    s = IndexSearcher(args.index, term_dict=getattr(args, "term_dict", "parquet"))
     if args.verb == "metadata":
         import json
 

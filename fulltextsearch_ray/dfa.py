@@ -1,0 +1,183 @@
+"""Stack-based DFA matchers for dictionary-automaton intersection.
+
+The FST (:mod:`fulltextsearch_ray.fst`) enumerates exactly the terms a
+matcher accepts by walking dictionary arcs while the matcher advances
+in lock-step.  Protocol (the reference's ``IDfaMatcher<char>``,
+``Src/Protsyk.PMS.FullText.Core/Common/Automata/AutomataMatcher.cs`` —
+behavior observed, no code copied):
+
+* ``next(ch) -> bool`` — try consuming ``ch``; on success the matcher
+  pushes its new state and returns True, on failure state is unchanged
+  (nothing to pop).
+* ``pop()`` — undo the most recent successful ``next``.
+* ``is_final() -> bool`` — does the consumed prefix form an accepted
+  word?
+* ``reset()`` — back to the start state.
+
+Matchers here simulate NFAs directly (position bitsets / DP rows) —
+no subset-construction blowup, states are O(pattern length) ints.
+Same query language as :mod:`fulltextsearch_ray.matchers` (``*``/``?``
+wildcards always active; edit distance = Levenshtein).
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "AnyDfaMatcher",
+    "WildcardDfaMatcher",
+    "EditDfaMatcher",
+    "matcher_for",
+]
+
+
+class AnyDfaMatcher:
+    """Accepts every string up to ``max_len`` (the dump/AnyMatcher path,
+    reference ``NullQuery``/dump enumeration)."""
+
+    def __init__(self, max_len: int = 1 << 30):
+        self.max_len = max_len
+        self._depth = 0
+
+    def reset(self) -> None:
+        self._depth = 0
+
+    def next(self, ch: str) -> bool:
+        if self._depth >= self.max_len:
+            return False
+        self._depth += 1
+        return True
+
+    def pop(self) -> None:
+        self._depth -= 1
+
+    def is_final(self) -> bool:
+        return True
+
+
+class WildcardDfaMatcher:
+    """NFA simulation of a ``*``/``?`` wildcard pattern.
+
+    State = bitset of pattern positions (bit i ⇒ pattern[i:] still has
+    to match); ``*`` closure advances for free.  Mirrors the language
+    of the reference's ``AutomatonWildcard`` (Automata/Wildcard) and of
+    :func:`fulltextsearch_ray.matchers.wildcard_to_regex`."""
+
+    def __init__(self, pattern: str, max_len: int = 1 << 30):
+        self.pattern = pattern
+        self.max_len = max_len
+        self._m = len(pattern)
+        self._star = [i for i, c in enumerate(pattern) if c == "*"]
+        start = self._closure(1)  # bit 0 = position 0
+        self._stack = [start]
+
+    def _closure(self, mask: int) -> int:
+        # epsilon: a '*' position may advance without consuming
+        pat = self.pattern
+        changed = True
+        while changed:
+            changed = False
+            for i in self._star:
+                if mask & (1 << i) and not mask & (1 << (i + 1)):
+                    mask |= 1 << (i + 1)
+                    changed = True
+        return mask
+
+    def reset(self) -> None:
+        del self._stack[1:]
+
+    def next(self, ch: str) -> bool:
+        if len(self._stack) - 1 >= self.max_len:
+            return False
+        mask = self._stack[-1]
+        pat = self.pattern
+        m = self._m
+        new = 0
+        probe = mask
+        while probe:
+            i = (probe & -probe).bit_length() - 1
+            probe &= probe - 1
+            if i >= m:
+                continue
+            c = pat[i]
+            if c == "*":
+                new |= 1 << i  # star consumes and stays
+            elif c == "?" or c == ch:
+                new |= 1 << (i + 1)
+        if not new:
+            return False
+        new = self._closure(new)
+        self._stack.append(new)
+        return True
+
+    def pop(self) -> None:
+        self._stack.pop()
+
+    def is_final(self) -> bool:
+        return bool(self._stack[-1] & (1 << self._m))
+
+
+class EditDfaMatcher:
+    """Levenshtein-automaton simulation: accepts strings within edit
+    distance ``k`` of ``term`` (reference Automata/Levenshtein).
+
+    State = one DP row (distance of the consumed prefix to every prefix
+    of ``term``), capped at ``k + 1`` so the state space is finite;
+    fails fast when the whole row exceeds ``k``."""
+
+    def __init__(self, term: str, k: int):
+        self.term = term
+        self.k = k
+        cap = k + 1
+        self._stack = [tuple(min(j, cap) for j in range(len(term) + 1))]
+
+    def reset(self) -> None:
+        del self._stack[1:]
+
+    def next(self, ch: str) -> bool:
+        row = self._stack[-1]
+        t = self.term
+        k = self.k
+        cap = k + 1
+        prev = row[0]
+        first = min(prev + 1, cap)
+        new = [first]
+        best = first
+        append = new.append
+        for j in range(1, len(row)):
+            cur = row[j]
+            v = prev if ch == t[j - 1] else prev + 1
+            if cur + 1 < v:
+                v = cur + 1
+            if new[j - 1] + 1 < v:
+                v = new[j - 1] + 1
+            if v > cap:
+                v = cap
+            append(v)
+            if v < best:
+                best = v
+            prev = cur
+        if best > k:
+            return False
+        self._stack.append(tuple(new))
+        return True
+
+    def pop(self) -> None:
+        self._stack.pop()
+
+    def is_final(self) -> bool:
+        return self._stack[-1][-1] <= self.k
+
+
+def matcher_for(ast) -> "AnyDfaMatcher | WildcardDfaMatcher | EditDfaMatcher":
+    """Terminal pattern AST → DFA matcher (same dispatch as
+    ``matchers.expand_pattern``; WORD gets an exact wildcard-free
+    pattern, which the FST resolves via ``try_match`` instead)."""
+    from .parser import EditQuery, WildQuery, WordQuery
+
+    if isinstance(ast, WordQuery):
+        return EditDfaMatcher(ast.value, 0)
+    if isinstance(ast, WildQuery):
+        return WildcardDfaMatcher(ast.value)
+    if isinstance(ast, EditQuery):
+        return EditDfaMatcher(ast.value, ast.distance)
+    raise TypeError(f"not a terminal pattern: {ast!r}")

@@ -151,6 +151,7 @@ class IndexSearcher:
         catalog_budget_rows: int = 2_000_000,
         doclen_budget_rows: int = 50_000_000,
         cache_policy: str = "lru",
+        term_dict: str = "parquet",
     ):
         self.index_dir = index_dir
         self.meta = load_meta(index_dir)
@@ -270,6 +271,27 @@ class IndexSearcher:
 
         self._cache = make_cache(cache_policy, 64)
         self._cache_entries = make_cache(cache_policy, cache_blocks)
+
+        # opt-in FST term dictionary (reference PersistentDictionaryFst;
+        # parquet catalog stays the default — SURVEY §1.5): pattern
+        # expansion runs as dictionary ∩ automaton over the byte image.
+        self._fst = None
+        if term_dict == "fst":
+            from ..state.fst_store import (
+                build_fst_from_terms,
+                iter_index_terms,
+                load_fst_sidecar,
+            )
+
+            fst = load_fst_sidecar(index_dir, self.segments)
+            if fst is None:
+                # no (fresh) sidecar: stream the sorted catalogs into an
+                # in-memory image — works in lazy mode too (the build
+                # never holds the vocabulary, only the FST register)
+                fst = build_fst_from_terms(iter_index_terms(index_dir, self.segments))
+            self._fst = fst
+        elif term_dict != "parquet":
+            raise ValueError(f"term_dict must be 'parquet' or 'fst': {term_dict!r}")
 
     # -- statistics ---------------------------------------------------------
 
@@ -400,6 +422,15 @@ class IndexSearcher:
         column, or (lazy mode) only the catalog row groups the pattern
         can touch: WORD → covering group, WILD → prefix range of
         groups, EDIT → paged full scan (inherent to edit distance)."""
+        if self._fst is not None:
+            # dictionary ∩ automaton over the FST byte image (reference
+            # PersistentDictionaryFst.GetTerms); same sorted term order
+            # as the column kernels.
+            from ..dfa import matcher_for
+
+            if isinstance(ast, WordQuery):
+                return [ast.value] if ast.value in self._fst else []
+            return list(self._fst.match(matcher_for(ast)))
         if self._lazy_cats is None:
             return expand_pattern(ast, self.terms, self._terms_np)
         from ..matchers import wildcard_prefix
