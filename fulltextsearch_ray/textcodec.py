@@ -258,3 +258,118 @@ def encode_sorted_terms(terms: list[str], builder: str = "hutucker") -> tuple[Va
             freqs[ch] = freqs.get(ch, 0) + 1
     enc = VarLenTextEncoding.from_frequencies(freqs, builder)
     return enc, [enc.encode(t) for t in terms]
+
+
+# ---------------------------------------------------------------------------
+# encoded-byte-space DFA matching (reference DecodingMatcher*)
+# ---------------------------------------------------------------------------
+
+
+class DecodingDfaMatcher:
+    """Byte-space DFA matcher: runs a CHAR matcher directly over
+    bit-packed :class:`VarLenTextEncoding` keys — wildcard/edit
+    matching over the compressed dictionary without decoding it.
+
+    Behavioral reference: ``DecodingMatcherForVarLenCharEncoding``
+    (``Src/.../Common/Compression/DecodingMatcherForVarLenCharEncoding.cs``,
+    used by ``PersistentDictionaryTst.GetTerms`` — behavior observed, no
+    code copied).  ``next(byte)`` feeds 8 bits through the decode trie;
+    every completed symbol advances the inner char matcher; a failed
+    char step (or an invalid code path) unwinds the partial byte and
+    reports False with state unchanged.
+
+    Padding rule (tightened vs the reference, which feeds whatever the
+    zero padding happens to decode): once the TERMINAL symbol decodes,
+    the key is complete — remaining bits are ignored and the match
+    outcome freezes, so zero padding can never push spurious symbols
+    into the matcher.  ``is_final()`` is True only once the terminal
+    has been seen with the inner matcher final at that point."""
+
+    def __init__(self, matcher, encoding: VarLenTextEncoding):
+        self.m = matcher
+        self._root = encoding._trie()
+        # per consumed byte: (decode_node, chars_pushed, done)
+        self._stack: list[tuple] = [(self._root, 0, False)]
+
+    def reset(self) -> None:
+        del self._stack[1:]
+        self.m.reset()
+
+    def next(self, byte: int) -> bool:
+        node, _, done = self._stack[-1]
+        if done:
+            # key already terminated: only zero padding may follow
+            if byte != 0:
+                return False
+            self._stack.append((node, 0, True))
+            return True
+        pushed = 0
+        for i in range(7, -1, -1):
+            child = node[(byte >> i) & 1]
+            if child is None:  # invalid code path
+                for _ in range(pushed):
+                    self.m.pop()
+                return False
+            if isinstance(child, list):
+                node = child
+                continue
+            # a symbol completed
+            if child == TERMINAL:
+                self._stack.append((self._root, pushed, True))
+                return True
+            if not self.m.next(child):
+                for _ in range(pushed):
+                    self.m.pop()
+                return False
+            pushed += 1
+            node = self._root
+        self._stack.append((node, pushed, False))
+        return True
+
+    def pop(self) -> None:
+        _node, pushed, _done = self._stack.pop()
+        for _ in range(pushed):
+            self.m.pop()
+
+    def is_final(self) -> bool:
+        return self._stack[-1][2] and self.m.is_final()
+
+
+def match_encoded_keys(keys: list[bytes], matcher, encoding: VarLenTextEncoding) -> list[int]:
+    """Indices of SORTED packed keys accepted by a char ``matcher``,
+    evaluated entirely in encoded byte space (no key is decoded).
+
+    Walks the key list like a trie: consecutive keys share byte
+    prefixes, so each byte of shared prefix is fed to the
+    :class:`DecodingDfaMatcher` once and reused — the scan does
+    O(total distinct-prefix bytes) matcher steps, the same work a
+    byte-trie/TST walk over the encoded dictionary would do."""
+    dm = DecodingDfaMatcher(matcher, encoding)
+    out: list[int] = []
+    depth = 0  # bytes of the previous key currently consumed & accepted
+    dead = -1  # depth at which the matcher rejected (prefix pruned), -1 = alive
+    prev = b""
+    for idx, key in enumerate(keys):
+        p = 0
+        n = min(len(prev), len(key))
+        while p < n and prev[p] == key[p]:
+            p += 1
+        if dead >= 0 and p > dead:
+            # shares the byte that was rejected: skip without rescanning
+            prev = key
+            continue
+        dead = -1
+        while depth > p:
+            dm.pop()
+            depth -= 1
+        ok = True
+        for b in key[depth:]:
+            if not dm.next(b):
+                ok = False
+                dead = depth  # the byte AT this depth failed
+                break
+            depth += 1
+        if ok and dm.is_final():
+            out.append(idx)
+        prev = key
+    return out

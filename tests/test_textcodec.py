@@ -137,3 +137,63 @@ def test_decode_without_terminal_raises():
     sparse = VarLenTextEncoding.from_codes({TERMINAL: (1, 1), "a": (0, 0)})
     with pytest.raises(ValueError, match="no symbol"):
         sparse.decode(b"\x40")  # 01... — dead branch
+
+
+# -- encoded-byte-space DFA matching (reference DecodingMatcher*) -----------
+
+
+def test_match_encoded_keys_parity_all_builders():
+    """Wildcard/edit/any matching in encoded byte space == decode-then-
+    match, for every code builder (no key is ever decoded)."""
+    import random
+
+    from fulltextsearch_ray.dfa import (
+        AnyDfaMatcher,
+        EditDfaMatcher,
+        WildcardDfaMatcher,
+    )
+    from fulltextsearch_ray.matchers import levenshtein_mask, wildcard_match
+    from fulltextsearch_ray.textcodec import encode_sorted_terms, match_encoded_keys
+
+    rng = random.Random(7)
+    words = sorted(
+        {
+            "".join(rng.choice("abcdefgh") for _ in range(rng.randint(1, 12)))
+            for _ in range(1500)
+        }
+    )
+    for builder in ("hutucker", "huffman", "balanced"):
+        enc, keys = encode_sorted_terms(words, builder=builder)
+        assert match_encoded_keys(keys, AnyDfaMatcher(), enc) == list(range(len(words)))
+        for pat in ["a*", "*h", "a?c*", "*abc*", "????", "a*b*c"]:
+            got = match_encoded_keys(keys, WildcardDfaMatcher(pat), enc)
+            want = [i for i, w in enumerate(words) if wildcard_match(pat, w)]
+            assert got == want, (builder, pat)
+        for q, k in [("abcd", 1), ("hgfe", 2)]:
+            got = match_encoded_keys(keys, EditDfaMatcher(q, k), enc)
+            mask = levenshtein_mask(q, words, k)
+            assert got == [i for i, m in enumerate(mask) if m], (builder, q, k)
+
+
+def test_decoding_matcher_unit():
+    """Byte-level protocol: partial-byte failure leaves state unchanged;
+    pop() unwinds exactly one byte; terminal freezes the outcome."""
+    from fulltextsearch_ray.dfa import WildcardDfaMatcher
+    from fulltextsearch_ray.textcodec import (
+        DecodingDfaMatcher,
+        VarLenTextEncoding,
+        encode_sorted_terms,
+    )
+
+    enc, keys = encode_sorted_terms(["abc", "abd", "xyz"])
+    dm = DecodingDfaMatcher(WildcardDfaMatcher("ab?"), enc)
+    key = keys[0]
+    for b in key:
+        assert dm.next(b)
+    assert dm.is_final()
+    for _ in key:
+        dm.pop()
+    # after a full unwind the other keys still evaluate correctly
+    assert not dm.is_final()
+    ok = all(dm.next(b) for b in keys[2])  # "xyz" vs "ab?" must fail
+    assert not ok
