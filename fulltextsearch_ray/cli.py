@@ -15,6 +15,7 @@ ray.init().
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -84,6 +85,21 @@ def _main(argv: list[str] | None = None) -> int:
     p_meta = sub.add_parser("metadata", help="fetch a document's stored metadata (JSON)")
     p_meta.add_argument("--index", required=True)
     p_meta.add_argument("--doc", type=int, required=True)
+    p_meta.add_argument(
+        "--store-kind",
+        choices=("btree", "hash", "list"),
+        default=None,
+        help="serve from a meta-store built with the meta-store verb "
+        "instead of the parquet tables",
+    )
+
+    p_mstore = sub.add_parser(
+        "meta-store",
+        help="materialize per-doc metadata into a persistent point-lookup "
+        "store (B-tree / hash table / slot list)",
+    )
+    p_mstore.add_argument("--index", required=True)
+    p_mstore.add_argument("--kind", choices=("btree", "hash", "list"), default="btree")
 
     p_top = sub.add_parser("top-terms", help="top-k terms by collection frequency (streams the catalog)")
     p_top.add_argument("--index", required=True)
@@ -341,6 +357,37 @@ def _main(argv: list[str] | None = None) -> int:
                         )
                     )
                     start = i
+        return 0
+
+    if args.verb == "meta-store":
+        from .state.kvstore import build_store_from_index
+
+        info = build_store_from_index(args.index, args.kind)
+        print(
+            f"Meta store ({info['kind']}): {info['n_docs']} docs -> "
+            f"{info['path']}, time: {time.time() - t0:.3f}s"
+        )
+        return 0
+
+    if args.verb == "metadata" and getattr(args, "store_kind", None):
+        import json
+
+        from .state.kvstore import open_metadata_store, store_path
+
+        spath = store_path(args.index, args.store_kind)
+        if not os.path.exists(spath):
+            print(
+                f"error: no {args.store_kind} meta store at {spath} "
+                f"(run: meta-store --index {args.index} --kind {args.store_kind})",
+                file=sys.stderr,
+            )
+            return 2
+        with open_metadata_store(spath, args.store_kind) as st:
+            raw = st.get(args.doc)
+        if raw is None:
+            print(f"error: doc {args.doc} not in meta store", file=sys.stderr)
+            return 2
+        print(raw.decode())
         return 0
 
     if args.verb == "fst-build":

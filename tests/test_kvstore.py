@@ -1,0 +1,128 @@
+"""Persistent metadata stores (reference IMetadataStorage backends:
+BtreePersistent / PersistentHashTable / PersistentList): model-checked
+save/get/update, reopen durability, and index integration parity with
+the parquet metadata path."""
+
+import json
+import os
+import random
+
+import pytest
+
+from fulltextsearch_ray.state.kvstore import (
+    METADATA_STORE_KINDS,
+    PersistentBtree,
+    build_store_from_index,
+    open_metadata_store,
+    store_path,
+)
+
+
+@pytest.mark.parametrize("kind", sorted(METADATA_STORE_KINDS))
+def test_store_model_and_reopen(kind, tmp_path):
+    rng = random.Random(99)
+    path = str(tmp_path / f"store_{kind}.bin")
+    model = {}
+    with open_metadata_store(path, kind) as st:
+        ids = list(range(2000))
+        rng.shuffle(ids)
+        for i in ids:
+            v = f"value-{i}".encode()
+            st.save(i, v)
+            model[i] = v
+        for i in rng.sample(ids, 400):  # updates supersede
+            v = f"updated-{i}".encode()
+            st.save(i, v)
+            model[i] = v
+        for i in rng.sample(ids, 500):
+            assert st.get(i) == model[i]
+        assert st.get(10**9) is None
+    with open_metadata_store(path, kind) as st:  # durability
+        for i in rng.sample(list(model), 500):
+            assert st.get(i) == model[i]
+        st.save(7, b"after-reopen")
+        assert st.get(7) == b"after-reopen"
+
+
+def test_btree_sparse_keys_and_splits(tmp_path):
+    """Order-4 forces deep splits; 60-bit keys exercise the uint64
+    range the reference's BtreePersistent<ulong,...> carries."""
+    rng = random.Random(3)
+    path = str(tmp_path / "bt.bin")
+    model = {}
+    with PersistentBtree(path, order=4) as bt:
+        for _ in range(5000):
+            k = rng.getrandbits(60)
+            v = str(k).encode()
+            bt.save(k, v)
+            model[k] = v
+        for k in rng.sample(list(model), 1000):
+            assert bt.get(k) == model[k]
+    with PersistentBtree(path) as bt:  # order comes from the header
+        assert bt._order == 4
+        for k in rng.sample(list(model), 500):
+            assert bt.get(k) == model[k]
+
+
+def test_unknown_kind_rejected(tmp_path):
+    with pytest.raises(ValueError):
+        open_metadata_store(str(tmp_path / "x.bin"), "skiplist")
+
+
+def test_store_from_index_parity(ray_session, tmp_path):
+    """meta-store materialization == the parquet metadata path, for all
+    three backends, including after an incremental session."""
+    import pyarrow as pa
+    import ray.data
+
+    from fulltextsearch_ray.pipelines.build import build_index
+    from fulltextsearch_ray.pipelines.query import IndexSearcher
+
+    idx = str(tmp_path / "idx")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["apple banana", "banana cherry", "date"], pa.string()),
+            "lang": pa.array(["en", "de", "fr"], pa.string()),
+        }
+    )
+    build_index(
+        ray.data.from_arrow(tbl), idx, text_col="text", doc_id_col="doc_id",
+        meta_cols=("lang",), num_buckets=2, overwrite=True,
+    )
+    s = IndexSearcher(idx)
+    for kind in sorted(METADATA_STORE_KINDS):
+        info = build_store_from_index(idx, kind)
+        assert info["n_docs"] == 3
+        with open_metadata_store(store_path(idx, kind), kind) as st:
+            for did in (1, 2, 3):
+                assert json.loads(st.get(did)) == s.get_metadata(did), (kind, did)
+            assert st.get(4) is None
+
+
+def test_cli_meta_store(ray_session, tmp_path, capsys):
+    import pyarrow as pa
+    import ray.data
+
+    from fulltextsearch_ray.cli import main
+    from fulltextsearch_ray.pipelines.build import build_index
+
+    idx = str(tmp_path / "idx2")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["aa bb", "cc dd"], pa.string()),
+            "tag": pa.array(["x", "y"], pa.string()),
+        }
+    )
+    build_index(
+        ray.data.from_arrow(tbl), idx, text_col="text", doc_id_col="doc_id",
+        meta_cols=("tag",), num_buckets=2, overwrite=True,
+    )
+    assert main(["meta-store", "--index", idx, "--kind", "hash"]) == 0
+    capsys.readouterr()
+    assert main(["metadata", "--index", idx, "--doc", "2", "--store-kind", "hash"]) == 0
+    assert json.loads(capsys.readouterr().out) == {"tag": "y"}
+    # missing store → clean error
+    assert main(["metadata", "--index", idx, "--doc", "2", "--store-kind", "list"]) == 2
+    assert os.path.exists(store_path(idx, "hash"))
