@@ -144,6 +144,10 @@ class IndexSearcher:
     to row-group-paged access (:class:`LazyRowGroupTable`) so an actor
     opens a multi-billion-term index within a fixed memory budget."""
 
+    # class default so variants that bypass __init__ (InMemorySearcher)
+    # stay on the column dictionary
+    _fst = None
+
     def __init__(
         self,
         index_dir: str,
