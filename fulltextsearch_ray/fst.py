@@ -44,6 +44,9 @@ __all__ = [
 
 
 def _write_uvarint(buf: bytearray, v: int) -> None:
+    if v < 0x80:  # dominant case: labels/flags/small deltas
+        buf.append(v)
+        return
     while v >= 0x80:
         buf.append((v & 0x7F) | 0x80)
         v >>= 7
@@ -175,11 +178,7 @@ class FstBuilder:
     # -- freezing ---------------------------------------------------------
 
     def _freeze(self, st: _MutState) -> int:
-        key = (
-            st.final,
-            st.final_out,
-            tuple((a[0], a[1], a[2]) for a in st.arcs),
-        )
+        key = (st.final, st.final_out, tuple(map(tuple, st.arcs)))
         off = self._register.get(key)
         if off is not None:
             return off
