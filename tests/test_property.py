@@ -118,3 +118,64 @@ def test_phrase_self_adjacency_oracle(triples):
     s = set(zip(occ.docs.tolist(), occ.fields.tolist(), occ.tokens.tolist()))
     expect = {(d, f, t) for (d, f, t) in s if (d, f, t + 1) in s}
     assert got == expect
+
+
+# -- FST dictionary properties (round 4) ------------------------------------
+
+fst_words = st.lists(
+    st.text(alphabet="abcXYZ 0é中", min_size=0, max_size=8),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(fst_words, st.data())
+@settings(max_examples=40, deadline=None)
+def test_fst_model_property(words, data):
+    """build → byte round-trip → try_match/items equals a dict model,
+    for arbitrary unicode terms and signed outputs."""
+    from fulltextsearch_ray.fst import Fst, build_fst
+
+    uniq = sorted(set(words))
+    outs = [
+        data.draw(st.integers(min_value=-(2**40), max_value=2**40))
+        for _ in uniq
+    ]
+    fst = Fst.from_bytes(build_fst(zip(uniq, outs)).get_bytes())
+    model = dict(zip(uniq, outs))
+    assert list(fst.items()) == sorted(model.items())
+    for w in uniq:
+        assert fst.try_match(w) == (True, model[w])
+    for w in words:
+        probe = w + "x"
+        assert fst.try_match(probe) == (
+            (True, model[probe]) if probe in model else (False, None)
+        )
+
+
+@given(fst_words)
+@settings(max_examples=30, deadline=None)
+def test_fst_wildcard_edit_property(words):
+    """FST automaton intersection == brute-force matching for random
+    vocabularies (duplicates the sorted enumeration contract too)."""
+    from fulltextsearch_ray.dfa import EditDfaMatcher, WildcardDfaMatcher
+    from fulltextsearch_ray.fst import build_fst
+    from fulltextsearch_ray.matchers import wildcard_match
+
+    uniq = sorted(set(words))
+    fst = build_fst((w, i) for i, w in enumerate(uniq))
+    got = list(fst.match(WildcardDfaMatcher("a*")))
+    assert got == [w for w in uniq if wildcard_match("a*", w)]
+    got = list(fst.match(EditDfaMatcher("ab", 1)))
+    want = [w for w in uniq if _edit_dist(w, "ab") <= 1]
+    assert got == want
+
+
+def _edit_dist(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
