@@ -345,6 +345,15 @@ class PersistentList(_FileStore):
     def save(self, key: int, data: bytes) -> None:
         if key < 0:
             raise ValueError("PersistentList ids must be >= 0")
+        if key >= 1 << 32:
+            # the slot region is 8 bytes per id up to the max id: a
+            # sparse 64-bit id would ask for a terabyte file.  The
+            # builder's doc ids are dense; sparse id spaces belong in
+            # the btree/hash stores.
+            raise ValueError(
+                "PersistentList requires dense ids (< 2^32); use the "
+                "btree or hash store for sparse id spaces"
+            )
         if key >= self._capacity:
             self._grow(key)
         vptr = self._append_value(data)

@@ -126,3 +126,12 @@ def test_cli_meta_store(ray_session, tmp_path, capsys):
     # missing store → clean error
     assert main(["metadata", "--index", idx, "--doc", "2", "--store-kind", "list"]) == 2
     assert os.path.exists(store_path(idx, "hash"))
+
+
+def test_list_rejects_sparse_ids(tmp_path):
+    from fulltextsearch_ray.state.kvstore import PersistentList
+
+    with PersistentList(str(tmp_path / "pl.bin")) as pl:
+        pl.save(5, b"ok")
+        with pytest.raises(ValueError, match="dense"):
+            pl.save(1 << 40, b"boom")
