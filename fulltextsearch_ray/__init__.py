@@ -14,6 +14,8 @@ Layout:
   codecs       — delta + varint posting-list compression kernels (numpy)
   parser       — the reference query language parser (OR/AND/SEQ/WORD/WILD/EDIT)
   matchers     — term-dictionary pattern matchers (exact/wildcard/edit-distance)
+  dfa          — stack-based DFA matchers (dictionary ∩ automaton protocol)
+  fst          — minimal byte-serialized FST term dictionary (opt-in)
   sources/     — corpus readers, schema normalization, deterministic doc ids
   stages/      — map_batches stage callables (tokenize/invert/stats)
   pipelines/   — build_index / search / bm25 dataset pipelines
@@ -39,4 +41,16 @@ def __getattr__(name):
         from .parser import parse_query
 
         return parse_query
+    if name == "Fst":
+        from .fst import Fst
+
+        return Fst
+    if name == "build_fst":
+        from .fst import build_fst
+
+        return build_fst
+    if name == "open_metadata_store":
+        from .state.kvstore import open_metadata_store
+
+        return open_metadata_store
     raise AttributeError(name)
