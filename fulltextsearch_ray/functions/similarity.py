@@ -28,13 +28,16 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _to_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    # flatten() (not .values) so a zero-copy SLICE of a block decodes
+    # only its own rows — .values returns the whole backing child array
+    # and a full-buffer reshape would misalign every row after an offset
     col = batch[vec_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype=np.float64)
-    offsets = np.asarray(col.offsets.to_numpy(zero_copy_only=False))
-    dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
-    return flat.reshape(-1, dim)
+    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+    n = len(col)
+    dim = flat.size // n if n else 0
+    return flat.reshape(n, dim)
 
 
 class BruteForceScorer:
@@ -102,8 +105,11 @@ def _lowest_id_vectors(
     ds: ray.data.Dataset, n: int, id_col: str, vec_col: str
 ) -> tuple[np.ndarray, np.ndarray]:
     """(ids, matrix) of the GLOBALLY ``n`` lowest-id vectors: each batch
-    emits its local n lowest (k-bounded), the driver merges the tiny
-    partials — correct for any row order, no full materialization."""
+    emits its local n lowest (k-bounded), the partials merge through the
+    ref-tree reduce (``local_min`` is associative: the n lowest of a
+    union of local n-lowest sets is the global n lowest) — correct for
+    any row order, no full materialization, driver state O(fanin · n)
+    independent of batch count."""
 
     def local_min(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -117,12 +123,40 @@ def _lowest_id_vectors(
             col = col.combine_chunks()
         return pa.table({id_col: pa.array(ids[sel]), vec_col: col.take(pa.array(sel))})
 
-    parts = pa.concat_tables(
-        ray.get(ds.map_batches(local_min, batch_format="pyarrow").to_arrow_refs())
+    # partial blocks carry full vectors, so the combine level batches
+    # fewer rows than the 24-byte-row candidate reduce
+    parts = _tree_reduce_tables(
+        ds.map_batches(local_min, batch_format="pyarrow"),
+        local_min,
+        batch_rows=_VECTOR_REDUCE_BATCH_ROWS,
     )
+    if parts is None:
+        dim = 0
+        return np.empty(0, np.int64), np.empty((0, dim), np.float64)
     ids = np.asarray(parts[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
     order = np.argsort(ids, kind="stable")[: min(n, len(ids))]
     return ids[order], _to_matrix(parts, vec_col)[order]
+
+
+def _combine_cluster_sums(batch: pa.Table) -> pa.Table:
+    """Associative combiner for k-means partial blocks (cluster, count,
+    sum): per-cluster vector-sum and count-sum.  One np.add.at over the
+    stacked partial rows — K output rows regardless of input size."""
+    cl = np.asarray(batch["cluster"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    cnt = np.asarray(batch["count"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    mat = _to_matrix(batch, "sum")
+    k = int(cl.max()) + 1 if len(cl) else 0
+    sums = np.zeros((k, mat.shape[1] if mat.size else 0), dtype=np.float64)
+    np.add.at(sums, cl, mat)
+    counts = np.zeros(k, dtype=np.int64)
+    np.add.at(counts, cl, cnt)
+    return pa.table(
+        {
+            "cluster": pa.array(np.arange(k), pa.int32()),
+            "count": pa.array(counts, pa.int64()),
+            "sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+        }
+    )
 
 
 def ivf_centroids(
@@ -161,12 +195,17 @@ def ivf_centroids(
                 }
             )
 
-        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        tot = _tree_reduce_tables(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            _combine_cluster_sums,
+            batch_rows=_VECTOR_REDUCE_BATCH_ROWS,
+        )
         sums = np.zeros_like(centroids)
         counts = np.zeros(len(centroids))
-        for r in parts:
-            sums[r["cluster"]] += np.asarray(r["sum"])
-            counts[r["cluster"]] += r["count"]
+        if tot is not None:
+            cl = np.asarray(tot["cluster"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            counts[cl] = np.asarray(tot["count"].to_numpy(zero_copy_only=False), dtype=np.float64)
+            sums[cl] = _to_matrix(tot, "sum")
         nonzero = counts > 0
         centroids[nonzero] = round12(_normalize(sums[nonzero] / counts[nonzero, None]))
     return centroids
@@ -292,6 +331,50 @@ _REDUCE_FANIN = 32
 # is ~1.5 MB per task input — cheap, and it collapses many scored
 # batches into one ≤ k-rows-per-query table before the coalesce.
 _REDUCE_BATCH_ROWS = 65536
+# combine-level batch rows for reduces whose partial rows carry full
+# embedding vectors (n_clusters-lowest seeds, per-cluster sum blocks):
+# 4096 rows × a 768-dim float64 vector is ~25 MB per combine task
+_VECTOR_REDUCE_BATCH_ROWS = 4096
+
+
+@ray.remote(num_cpus=0.5)
+def _combine_refs_task(combine, *tbls: pa.Table) -> pa.Table | None:
+    """Generic tree-reduce node: apply an associative table combiner to
+    ≤ _REDUCE_FANIN partial blocks.  num_cpus=0.5 for the same
+    scheduling reason as ``_reduce_refs_task``."""
+    live = [t for t in tbls if t is not None and t.num_rows]
+    if not live:
+        return None
+    return combine(pa.concat_tables(live))
+
+
+def _tree_reduce_tables(parts_ds, combine, *, batch_rows: int | None = None):
+    """Reduce a partial-emitting dataset to ONE table with bounded
+    driver state: a streaming num_cpus=0 map_batches combine collapses
+    every ~``batch_rows`` partial rows, ``to_arrow_refs`` leaves the
+    combined blocks in the object store, a fan-in-``_REDUCE_FANIN``
+    tree of Ray tasks merges refs level by level, and the driver
+    gathers ≤ fanin blocks for the final combine — O(fanin ·
+    rows-per-combined-block) driver rows, INDEPENDENT of how many
+    batches the upstream pass produced.  ``combine`` must be
+    associative-commutative over row unions (top-n, per-key sums).
+    Returns None when every partial block is empty."""
+    reduced = parts_ds.map_batches(
+        combine,
+        batch_format="pyarrow",
+        batch_size=batch_rows or _REDUCE_BATCH_ROWS,
+        num_cpus=0,
+    )
+    refs = list(reduced.to_arrow_refs())
+    while len(refs) > _REDUCE_FANIN:
+        refs = [
+            _combine_refs_task.remote(combine, *refs[i : i + _REDUCE_FANIN])
+            for i in range(0, len(refs), _REDUCE_FANIN)
+        ]
+    tbls = [t for t in ray.get(refs) if t is not None and t.num_rows]
+    if not tbls:
+        return None
+    return combine(pa.concat_tables(tbls))
 
 
 @ray.remote(num_cpus=0.5)

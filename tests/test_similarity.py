@@ -302,3 +302,82 @@ def test_tree_reduce_multilevel_exact(ray_session, monkeypatch):
     )
     assert treed.equals(baseline)
     assert stats["driver_candidate_rows"] <= 2 * k * len(q_ids)
+
+
+def test_ivf_centroids_partition_invariant(ray_session):
+    """The k-means partial-sum reduce must be exact for any block
+    structure: 1 block vs 64 blocks yield identical quantized
+    centroids (round12 absorbs float summation-order differences —
+    the same tolerance the SQL oracle relies on)."""
+    from fulltextsearch_ray.functions.similarity import ivf_centroids
+
+    rng = np.random.default_rng(5)
+    n, dim = 3000, 16
+    mat = rng.standard_normal((n, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64())),
+        }
+    )
+    one = ivf_centroids(ray.data.from_arrow(tbl), n_clusters=8, iters=2)
+    many = ivf_centroids(
+        ray.data.from_arrow(tbl).repartition(64), n_clusters=8, iters=2
+    )
+    assert one.shape == many.shape == (8, dim)
+    assert (one == many).all()
+
+
+def test_ivf_centroids_multilevel_tree(ray_session, monkeypatch):
+    """Force the generic partial-sum/seed reduce through multiple tree
+    levels (fanin=2, tiny combine batches): centroids must equal the
+    wide-fanin path — i.e. the combiner really is associative and the
+    driver gather stays ≤ fanin blocks even when hundreds of partial
+    blocks exist."""
+    import fulltextsearch_ray.functions.similarity as sim
+
+    rng = np.random.default_rng(9)
+    n, dim = 1500, 8
+    mat = rng.standard_normal((n, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(48)
+    baseline = sim.ivf_centroids(ds, n_clusters=6, iters=2)
+    monkeypatch.setattr(sim, "_REDUCE_FANIN", 2)
+    monkeypatch.setattr(sim, "_VECTOR_REDUCE_BATCH_ROWS", 8)
+    treed = sim.ivf_centroids(ds, n_clusters=6, iters=2)
+    assert (baseline == treed).all()
+
+
+def test_tree_reduce_tables_matches_direct_combine(ray_session, monkeypatch):
+    """_tree_reduce_tables(parts, combine) == combine(concat(parts))
+    for an associative per-key sum, across a forced multi-level tree."""
+    import fulltextsearch_ray.functions.similarity as sim
+
+    def combine(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["key"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        val = np.asarray(batch["val"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        k = int(key.max()) + 1 if len(key) else 0
+        sums = np.zeros(k, dtype=np.int64)
+        np.add.at(sums, key, val)
+        return pa.table({"key": pa.array(np.arange(k)), "val": pa.array(sums)})
+
+    rng = np.random.default_rng(2)
+    key = rng.integers(0, 7, size=5000).astype(np.int64)
+    val = rng.integers(0, 100, size=5000).astype(np.int64)
+    tbl = pa.table({"key": pa.array(key), "val": pa.array(val)})
+    want = combine(tbl)
+
+    monkeypatch.setattr(sim, "_REDUCE_FANIN", 2)
+    got = sim._tree_reduce_tables(
+        ray.data.from_arrow(tbl).repartition(32), combine, batch_rows=16
+    )
+    assert got.equals(want)
+
+    # all-empty partials -> None
+    empty = pa.table({"key": pa.array([], pa.int64()), "val": pa.array([], pa.int64())})
+    assert sim._tree_reduce_tables(ray.data.from_arrow(empty), combine) is None
