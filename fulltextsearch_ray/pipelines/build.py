@@ -3,7 +3,7 @@
 Parquet-path fast shape (ONE streaming corpus pass, no pre-shuffle):
 
     file items (sorted listing + footer row counts → positional ids)
-      → map_batches(ReadInvertStage, batch_size=1, actor pool)
+      → map_batches(read_invert_batches_fn, file-bundled task pool)
           # read file → tokenize → local invert into compressed runs
           # + fused doc-stats sentinel rows (doc_len, sha256)
       → sort("term") → map_batches(merge_runs_batch)     # THE shuffle
@@ -41,7 +41,7 @@ import ray
 import ray.data
 
 from ..sources.corpus import normalize_corpus, sha256_hex
-from ..stages.invert import DEFAULT_BLOCK_CF, InvertStage
+from ..stages.invert import DEFAULT_BLOCK_CF
 from ..state.index import (
     IndexMeta,
     SegmentManifest,
@@ -349,6 +349,21 @@ class DocStatsStage:
         return pa.table(out)
 
 
+def _doc_stats_batch_fn(batch: pa.Table, *, text_col: str, meta_cols: tuple) -> pa.Table:
+    """Task-pool entry for :class:`DocStatsStage` — construction is
+    config-only, so tasks beat an actor pool (see
+    stages/invert.py:invert_batch_fn)."""
+    return DocStatsStage(text_col, meta_cols)(batch)
+
+
+def _forward_file_batch_fn(batch: pa.Table, *, text_col: str, text_cols):
+    """Task-pool entry for ForwardFileStage (generator) — same
+    task-over-actor rationale as invert_batch_fn."""
+    from ..stages.forward import ForwardFileStage
+
+    yield from ForwardFileStage(text_col=text_col, text_cols=text_cols)(batch)
+
+
 def build_index(
     source: ray.data.Dataset | str,
     index_dir: str,
@@ -415,7 +430,7 @@ def build_index(
             # layout: fused read+invert, one task per file, no shuffle
             # before the term groupby
             from ..sources.corpus import corpus_file_items
-            from ..stages.invert import ReadInvertStage
+            from ..stages.invert import read_invert_batches_fn
 
             items, n_files = corpus_file_items(source, start_id=meta.next_doc_id)
             # (the file list already lives on the driver — from_items —
@@ -425,8 +440,8 @@ def build_index(
                 [r["file"] for r in items.take_all()], lineage_budget
             )
             runs = items.map_batches(
-                ReadInvertStage,
-                fn_constructor_kwargs=dict(
+                read_invert_batches_fn,
+                fn_kwargs=dict(
                     text_col=text_col, text_cols=text_cols, columns=cols,
                     num_buckets=num_buckets, block_cf=block_cf,
                 ),
@@ -435,16 +450,15 @@ def build_index(
                 # 1-row blocks, so batch_size counts FILES): each task
                 # groups its small files into chunk_rows-doc invert
                 # calls — fewer, larger runs into the term shuffle —
-                # while keeping ≥4 tasks per actor for balance
+                # while keeping ≥4 tasks per worker for balance.
+                # TASK pool, not an actor pool: stage construction is
+                # config-only, actor launch/ramp was pure critical-path
+                # overhead (interleaved A/B: ~2× wall on a 60k-doc
+                # build vs tasks; the earlier fixed→autoscaling pool
+                # fix measured 37→29 s — tasks remove the remainder),
+                # and tasks can never starve the downstream AllToAll
+                # term sort (see functions/similarity.py)
                 batch_size=max(1, n_files // (pool * 4)),
-                # AUTOSCALING pool (1..pool): a fixed pool sized to the
-                # whole cluster pre-reserves every CPU, so the sort/
-                # merge/write stages downstream can't overlap with the
-                # invert at all — measured 37s fixed vs 29s autoscaling
-                # on a 200k-doc 8-cpu build (and a fixed full-width
-                # pool can outright deadlock AllToAll stages; see
-                # functions/similarity.py)
-                concurrency=(1, pool),
             )
         else:
             src = ray.data.read_parquet(source, columns=cols)
@@ -463,11 +477,10 @@ def build_index(
         # assign_doc_ids is rank-of-unique-key and materializes only
         # its own keyed intermediate once).
         docs_ds = ds.map_batches(
-            DocStatsStage,
-            fn_constructor_args=(text_col, meta_cols),
+            _doc_stats_batch_fn,
+            fn_kwargs=dict(text_col=text_col, meta_cols=meta_cols),
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=(1, pool),
         )
         t0 = _t()
         docs_ds.write_parquet(os.path.join(seg_path, "docs_meta"))
@@ -476,15 +489,16 @@ def build_index(
     # --- single corpus pass: tokenize → local invert → fused doc
     # stats sentinel rows → term shuffle → merge → write ---
     if runs is None:
+        from ..stages.invert import invert_batch_fn
+
         runs = ds.map_batches(
-            InvertStage,
-            fn_constructor_kwargs=dict(
+            invert_batch_fn,
+            fn_kwargs=dict(
                 text_col=text_col, text_cols=text_cols, doc_id_col="doc_id",
                 num_buckets=num_buckets, block_cf=block_cf, emit_docstats=True,
             ),
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=(1, pool),
         )
     # sort-based shuffle on term + whole-block vectorized merge: every
     # term's runs land contiguously in one partition; merge_runs_batch
@@ -596,11 +610,10 @@ def build_index(
 
             f_items, _ = corpus_file_items(source, start_id=meta.next_doc_id)
             fwd = f_items.map_batches(
-                ForwardFileStage,
-                fn_constructor_kwargs={"text_col": text_col, "text_cols": text_cols},
+                _forward_file_batch_fn,
+                fn_kwargs={"text_col": text_col, "text_cols": text_cols},
                 batch_format="pyarrow",
                 batch_size=1,
-                concurrency=(1, pool),
             )
         else:
             fwd = ds.map_batches(

@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..stages.invert import DEFAULT_BLOCK_CF, InvertStage, merge_runs_batch
+from ..stages.invert import DEFAULT_BLOCK_CF, merge_runs_batch
 from ..state.index import IndexMeta
 from .query import IndexSearcher
 
@@ -117,15 +117,15 @@ def build_in_memory(
     else:
         ds = normalize_corpus(source, text_col, doc_id_col=doc_id_col, id_cols=id_cols, start_id=1)
 
+    from ..stages.invert import invert_batch_fn
     runs = ds.map_batches(
-        InvertStage,
-        fn_constructor_kwargs=dict(
+        invert_batch_fn,
+        fn_kwargs=dict(
             text_col=text_col, text_cols=text_cols, doc_id_col="doc_id",
             num_buckets=1, block_cf=block_cf, emit_docstats=True,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 8),
     )
     merged = runs.sort("term").map_batches(
         lambda b: merge_runs_batch(b, block_cf=block_cf),
