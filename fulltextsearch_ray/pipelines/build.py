@@ -41,7 +41,11 @@ import ray
 import ray.data
 
 from ..sources.corpus import normalize_corpus, sha256_hex
-from ..stages.invert import DEFAULT_BLOCK_CF
+from ..stages.invert import (
+    DEFAULT_BLOCK_CF,
+    invert_batch_fn,
+    read_invert_batches_fn,
+)
 from ..state.index import (
     IndexMeta,
     SegmentManifest,
@@ -414,10 +418,12 @@ def build_index(
     def _mark(name: str, t0: float) -> None:
         timing[name] = round(_t() - t0, 2)
 
-    # Stage parallelism: actor pools sized to the cluster so worker
-    # processes persist across batches (heap warm, setup amortized).
+    # Task sizing only (stages run as task pools; Ray reuses worker
+    # processes, so heap warmup amortizes without actors): target ≥4
+    # file bundles per CPU for balance, uncapped — the old min(·, 32)
+    # was an actor-pool-width cap and under-split on wider clusters.
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    pool = max(2, min(n_cpus, 32))
+    pool = max(2, n_cpus)
 
     t0 = _t()
     ds = None
@@ -430,7 +436,6 @@ def build_index(
             # layout: fused read+invert, one task per file, no shuffle
             # before the term groupby
             from ..sources.corpus import corpus_file_items
-            from ..stages.invert import read_invert_batches_fn
 
             items, n_files = corpus_file_items(source, start_id=meta.next_doc_id)
             # (the file list already lives on the driver — from_items —
@@ -489,8 +494,6 @@ def build_index(
     # --- single corpus pass: tokenize → local invert → fused doc
     # stats sentinel rows → term shuffle → merge → write ---
     if runs is None:
-        from ..stages.invert import invert_batch_fn
-
         runs = ds.map_batches(
             invert_batch_fn,
             fn_kwargs=dict(
@@ -602,7 +605,7 @@ def build_index(
     forward_ranges: list = []
     if store_forward:
         t0 = _t()
-        from ..stages.forward import ForwardFileStage, forward_batch
+        from ..stages.forward import forward_batch
 
         fwd_dir = os.path.join(seg_path, "forward")
         if ds is None:

@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..stages.invert import DEFAULT_BLOCK_CF, merge_runs_batch
+from ..stages.invert import DEFAULT_BLOCK_CF, invert_batch_fn, merge_runs_batch
 from ..state.index import IndexMeta
 from .query import IndexSearcher
 
@@ -117,7 +117,6 @@ def build_in_memory(
     else:
         ds = normalize_corpus(source, text_col, doc_id_col=doc_id_col, id_cols=id_cols, start_id=1)
 
-    from ..stages.invert import invert_batch_fn
     runs = ds.map_batches(
         invert_batch_fn,
         fn_kwargs=dict(

@@ -58,7 +58,13 @@ def _warm_heap(mb: int = 0) -> None:
       fresh (cold) mmaps that are unmapped on free;
     * touch a scratch buffer so the heap is pre-faulted.
 
-    Stages run as actor pools, so the cost is paid once per actor.
+    Paid once per worker PROCESS (module-global memo): Ray reuses task
+    workers, so with task-pool stages the warmup amortizes exactly as
+    it did under actors.  The settings are deliberately process-wide —
+    every stage of this engine wants single-threaded Arrow kernels
+    (parallelism comes from Ray) and a persistent brk heap, so
+    "leaking" into a reused worker that later runs merge/sort/write
+    tasks is the intended steady state, not contamination.
     """
     global _HEAP_WARMED
     if _HEAP_WARMED:
@@ -368,8 +374,8 @@ class InvertStage:
     plus one fused doc-stats sentinel row per batch (doc_len for BM25,
     sha256 invariant).
 
-    Runs as an actor pool: regex/config state and the heap warmup
-    happen once per actor.
+    Runs as a TASK pool via :func:`invert_batch_fn` (construction is
+    config-only; the heap warmup is memoized per worker process).
     """
 
     def __init__(
