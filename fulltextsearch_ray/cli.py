@@ -120,6 +120,9 @@ def _main(argv: list[str] | None = None) -> int:
     p_annb.add_argument("--index", required=True)
     p_annb.add_argument("--clusters", type=int, default=16)
     p_annb.add_argument("--iters", type=int, default=3)
+    p_annb.add_argument("--train-mod", type=int, default=None,
+                        help="FAISS-style sample training: fit the quantizer on "
+                             "vectors with md5(id) %% MOD == 0 instead of full-data k-means")
 
     p_annq = sub.add_parser("ann-query", help="top-k neighbors from a persisted IVF index")
     p_annq.add_argument("--index", required=True)
@@ -295,7 +298,10 @@ def _main(argv: list[str] | None = None) -> int:
         from .functions.similarity import build_ann_index
 
         ds = ray.data.read_parquet(args.input, columns=["vec_id", "embedding"])
-        meta = build_ann_index(ds, args.index, n_clusters=args.clusters, iters=args.iters)
+        meta = build_ann_index(
+            ds, args.index, n_clusters=args.clusters, iters=args.iters,
+            train_mod=args.train_mod,
+        )
         print(f"ANN index: {meta['n_clusters']} clusters, dim {meta['dim']}, "
               f"time: {time.time() - t0:.3f}s")
         return 0

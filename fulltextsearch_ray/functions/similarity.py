@@ -159,6 +159,73 @@ def _combine_cluster_sums(batch: pa.Table) -> pa.Table:
     )
 
 
+def sampled_ivf_centroids(
+    ds: ray.data.Dataset,
+    *,
+    n_clusters: int = 16,
+    iters: int = 3,
+    train_mod: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_budget: int = 500_000,
+) -> np.ndarray:
+    """FAISS-style SAMPLE-trained coarse quantizer — the 100 TB shape.
+
+    Full-corpus k-means costs ``1 + iters`` streaming scans of the
+    dataset; at web scale the public standard (FAISS train()) fits the
+    quantizer on a small sample and only ASSIGNS the full data.  This
+    trains on the deterministic hash sample ``md5(id) % train_mod ==
+    0`` (the same md5-u64 kernel the SQL oracles mirror, so the sample
+    is order-independent AND SQL-expressible), gathered once through
+    the ref-tree reduce, then runs the SAME k-means semantics locally
+    (lowest-id-in-sample seeding, round12 quantization per round).
+    One bounded gather replaces ``1 + iters`` full scans; the full
+    corpus is only ever touched by the caller's assign/probe pass.
+
+    ``train_budget`` caps the gathered sample rows (raise it or
+    ``train_mod`` for bigger corpora — at 10^12 vectors use
+    train_mod ~ 10^7 for a ~10^5 sample)."""
+
+    def sample_batch(batch: pa.Table) -> pa.Table:
+        from .common import md5_u64_batch
+
+        ids = batch[id_col].cast(pa.string())
+        keep = md5_u64_batch(ids) % np.uint64(train_mod) == 0
+        return batch.select([id_col, vec_col]).filter(pa.array(keep))
+
+    def keep_all(batch: pa.Table) -> pa.Table:  # associative identity
+        return batch
+
+    sample = _tree_reduce_tables(
+        ds.map_batches(sample_batch, batch_format="pyarrow"),
+        keep_all,
+        batch_rows=_VECTOR_REDUCE_BATCH_ROWS,
+    )
+    if sample is None or sample.num_rows < n_clusters:
+        # degenerate sample: fall back to exact full-data training
+        return ivf_centroids(
+            ds, n_clusters=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    if sample.num_rows > train_budget:
+        raise ValueError(
+            f"IVF train sample has {sample.num_rows} rows > train_budget="
+            f"{train_budget}; raise train_mod (sparser sample) or the budget"
+        )
+    ids = np.asarray(sample[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    mat = _normalize(_to_matrix(sample, vec_col))
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    centroids = round12(mat[:n_clusters].copy())  # lowest-id-in-sample seeds
+    for _ in range(iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=len(centroids))
+        nonzero = counts > 0
+        centroids[nonzero] = round12(_normalize(sums[nonzero] / counts[nonzero, None]))
+    return centroids
+
+
 def ivf_centroids(
     ds: ray.data.Dataset,
     *,
@@ -171,9 +238,11 @@ def ivf_centroids(
     vectors, seeded with the GLOBALLY ``n_clusters`` lowest-id vectors
     (fully deterministic for any input row order AND SQL-expressible —
     the oracle unrolls the same iterations).  Partial sums per batch
-    (map_batches) → driver combine — each iteration is one streaming
+    (map_batches) → ref-tree combine — each iteration is one streaming
     pass, no full materialization.  Centroids are quantized to 12
-    decimals each round (see round12)."""
+    decimals each round (see round12).  For web-scale corpora prefer
+    :func:`sampled_ivf_centroids` (one bounded gather instead of
+    ``1 + iters`` full scans)."""
     _seed_ids, seed_mat = _lowest_id_vectors(ds, n_clusters, id_col, vec_col)
     centroids = round12(_normalize(seed_mat))
 
@@ -453,9 +522,13 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     stats: dict | None = None,
+    train_mod: int | None = None,
 ) -> pa.Table:
     """IVF approximate top-k: score only vectors in each query's
-    ``nprobe`` nearest coarse clusters.
+    ``nprobe`` nearest coarse clusters.  ``train_mod`` switches the
+    quantizer to FAISS-style sample training
+    (:func:`sampled_ivf_centroids`) — the scale default; None keeps
+    exact full-data k-means (SQL-oracle parity).
 
     Probe phase is one streaming ``map_batches`` pass — each batch
     assigns its vectors to clusters, masks per query to its probed
@@ -464,7 +537,13 @@ def ivf_topk(
     memory is bounded by the batch size even when one cluster holds
     the whole dataset.  Candidates merge via the distributed tree
     reduce — the driver never sees a batch-count-proportional table."""
-    cents = ivf_centroids(ds, n_clusters=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+    if train_mod:
+        cents = sampled_ivf_centroids(
+            ds, n_clusters=n_clusters, iters=iters, train_mod=train_mod,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        cents = ivf_centroids(ds, n_clusters=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
     q_mat = _normalize(np.asarray(query_mat, dtype=np.float64))
     # stable sort: tied centroid scores break toward the lower cluster
     # id (deterministic; mirrored by the SQL oracle's ORDER BY)
@@ -535,6 +614,7 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     overwrite: bool = True,
+    train_mod: int | None = None,
 ) -> dict:
     """Persist an IVF index so repeated ANN queries skip re-clustering —
     mirrors the engine's segment/catalog model (train once, serve many).
@@ -555,7 +635,13 @@ def build_ann_index(
     if overwrite and os.path.exists(index_dir):
         shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
-    cents = ivf_centroids(ds, n_clusters=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+    if train_mod:
+        cents = sampled_ivf_centroids(
+            ds, n_clusters=n_clusters, iters=iters, train_mod=train_mod,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        cents = ivf_centroids(ds, n_clusters=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
     import pyarrow.parquet as pq
 
     pq.write_table(

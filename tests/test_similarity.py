@@ -381,3 +381,49 @@ def test_tree_reduce_tables_matches_direct_combine(ray_session, monkeypatch):
     # all-empty partials -> None
     empty = pa.table({"key": pa.array([], pa.int64()), "val": pa.array([], pa.int64())})
     assert sim._tree_reduce_tables(ray.data.from_arrow(empty), combine) is None
+
+
+def test_sampled_ivf_centroids_deterministic_and_useful(vectors):
+    """Sample-trained quantizer (FAISS shape): deterministic for any
+    block structure, recall of ivf_topk(train_mod=...) stays usable on
+    the clustered fixture, and a degenerate sample falls back to exact
+    full-data training."""
+    from fulltextsearch_ray.functions.similarity import (
+        ivf_centroids,
+        ivf_topk,
+        sampled_ivf_centroids,
+    )
+
+    ds, q_ids, q_mat, mat = vectors
+    one = sampled_ivf_centroids(ds, n_clusters=8, iters=2, train_mod=3)
+    many = sampled_ivf_centroids(
+        ds.repartition(16), n_clusters=8, iters=2, train_mod=3
+    )
+    assert (one == many).all()
+    assert one.shape == (8, mat.shape[1])
+
+    got = ivf_topk(ds, q_ids, q_mat, k=10, n_clusters=8, nprobe=4, train_mod=3)
+    oracle = _exact_oracle(mat, q_mat, q_ids)
+    hits = total = 0
+    for qid in q_ids:
+        mine = {
+            n
+            for q, n in zip(got["query_id"].to_pylist(), got["neighbor_id"].to_pylist())
+            if q == qid
+        }
+        hits += len(mine & set(oracle[int(qid)]))
+        total += 10
+    assert hits / total >= 0.5  # approximate, but far above random
+
+    # train_mod so sparse the sample < n_clusters -> exact fallback
+    sparse = sampled_ivf_centroids(ds, n_clusters=8, iters=2, train_mod=10_000_000)
+    exact = ivf_centroids(ds, n_clusters=8, iters=2)
+    assert (sparse == exact).all()
+
+
+def test_sampled_ivf_budget_guard(vectors):
+    from fulltextsearch_ray.functions.similarity import sampled_ivf_centroids
+
+    ds, *_ = vectors
+    with pytest.raises(ValueError, match="train_budget"):
+        sampled_ivf_centroids(ds, n_clusters=4, iters=1, train_mod=1, train_budget=10)
