@@ -72,7 +72,6 @@ class WildcardDfaMatcher:
 
     def _closure(self, mask: int) -> int:
         # epsilon: a '*' position may advance without consuming
-        pat = self.pattern
         changed = True
         while changed:
             changed = False
@@ -89,8 +88,8 @@ class WildcardDfaMatcher:
         if len(self._stack) - 1 >= self.max_len:
             return False
         mask = self._stack[-1]
-        pat = self.pattern
         m = self._m
+        pat = self.pattern
         new = 0
         probe = mask
         while probe:

@@ -92,7 +92,10 @@ class IntOutput:
 
     @staticmethod
     def write(buf: bytearray, v: int) -> None:
-        _write_uvarint(buf, (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1)
+        # explicit-branch zigzag: the classic (v << 1) ^ (v >> 63) trick
+        # assumes 64-bit ints — on Python's unbounded ints it corrupts
+        # any v >= 2**63 (the shifted high bits XOR into the low bits)
+        _write_uvarint(buf, (v << 1) if v >= 0 else ((-v) << 1) - 1)
 
     @staticmethod
     def read(data: bytes, pos: int) -> tuple[int, int]:
@@ -320,10 +323,16 @@ class Fst:
         n_arcs, pos = _read_uvarint(data, pos)
         return bool(flags & 1), fout, pos, n_arcs
 
-    def _arcs(self, off: int) -> Iterator[tuple[int, object, int]]:
-        """Yield (label, output, target_offset) in label order."""
+    def _arcs(self, off: int, pos_n=None) -> Iterator[tuple[int, object, int]]:
+        """Yield (label, output, target_offset) in label order.
+        ``pos_n`` = (arcs_pos, n_arcs) from a _state call the caller
+        already made — skips re-decoding the state header (the
+        traversal hot paths visit every state via _state first)."""
         data = self.data
-        _final, _fout, pos, n = self._state(off)
+        if pos_n is None:
+            _final, _fout, pos, n = self._state(off)
+        else:
+            pos, n = pos_n
         for _ in range(n):
             label, pos = _read_uvarint(data, pos)
             packed, pos = _read_uvarint(data, pos)
@@ -382,10 +391,10 @@ class Fst:
             label, aout, target = nxt
             prefix.append(chr(label))
             acc2 = out.sum(acc, aout)
-            final, fout, _, _ = self._state(target)
+            final, fout, apos, n_arcs = self._state(target)
             if final:
                 yield "".join(prefix), out.sum(acc2, fout)
-            stack.append((self._arcs(target), acc2))
+            stack.append((self._arcs(target, (apos, n_arcs)), acc2))
 
     def match(self, matcher) -> Iterator[str]:
         """All terms accepted by a DFA matcher, in sorted order
@@ -413,10 +422,10 @@ class Fst:
             if not matcher.next(ch):
                 continue
             prefix.append(ch)
-            final, _fout, _, _ = self._state(target)
+            final, _fout, apos, n_arcs = self._state(target)
             if final and matcher.is_final():
                 yield "".join(prefix)
-            stack.append(self._arcs(target))
+            stack.append(self._arcs(target, (apos, n_arcs)))
 
     def n_states(self) -> int:
         """Distinct serialized states (diagnostic; minimality checks)."""

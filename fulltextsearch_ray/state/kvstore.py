@@ -22,6 +22,7 @@ stores, not the corpus path.
 
 from __future__ import annotations
 
+import bisect
 import io
 import os
 import struct
@@ -109,6 +110,11 @@ class PersistentBtree(_FileStore):
 
     MAGIC = b"RBT1"
 
+    # bound on cached decoded nodes — enforced on BOTH read and write
+    # paths (a write-only bulk load would otherwise cache every node
+    # ever written and grow O(total nodes))
+    CACHE_NODES = 256
+
     def __init__(self, path: str, order: int = 32):
         self._order = order
         super().__init__(path)
@@ -146,8 +152,13 @@ class PersistentBtree(_FileStore):
             off = self._append(bytes(buf))
         else:
             self._write_at(off, bytes(buf))
-        self._cache[off] = (leaf, list(keys), list(vals), list(kids))
+        self._cache_put(off, (leaf, list(keys), list(vals), list(kids)))
         return off
+
+    def _cache_put(self, off: int, node: tuple) -> None:
+        if len(self._cache) >= self.CACHE_NODES:
+            self._cache.clear()
+        self._cache[off] = node
 
     def _read_node(self, off: int):
         hit = self._cache.get(off)
@@ -162,9 +173,7 @@ class PersistentBtree(_FileStore):
         vals = list(struct.unpack_from(f"<{m}Q", raw, pos)[:n]); pos += m * 8
         kids = list(struct.unpack_from(f"<{m + 1}Q", raw, pos)[: 0 if leaf else n + 1])
         node = (leaf, keys, vals, kids)
-        if len(self._cache) > 256:
-            self._cache.clear()
-        self._cache[off] = node
+        self._cache_put(off, node)
         return node
 
     # -- public API ---------------------------------------------------------
@@ -175,8 +184,6 @@ class PersistentBtree(_FileStore):
         off = self._root
         while True:
             leaf, keys, vals, kids = self._read_node(off)
-            import bisect
-
             i = bisect.bisect_left(keys, key)
             if i < len(keys) and keys[i] == key:
                 return self._read_value(vals[i])
@@ -185,50 +192,39 @@ class PersistentBtree(_FileStore):
             off = kids[i]
 
     def save(self, key: int, data: bytes) -> None:
+        _check_u64_key(key)
         vptr = self._append_value(data)
         if self._root == 0:
             root = self._write_node(None, True, [key], [vptr], [])
             self._patch_root(root)
             return
-        # in-place update fast path
-        if self._replace(self._root, key, vptr):
-            return
-        split = self._insert(self._root, key, vptr)
+        _replaced, split = self._upsert(self._root, key, vptr)
         if split is not None:
             mid_key, mid_val, left, right = split
             root = self._write_node(None, False, [mid_key], [mid_val], [left, right])
             self._patch_root(root)
 
-    def _replace(self, off: int, key: int, vptr: int) -> bool:
-        import bisect
-
+    def _upsert(self, off: int, key: int, vptr: int):
+        """ONE root-to-leaf descent that replaces in place when the key
+        exists and inserts otherwise (a prior version descended twice —
+        a _replace probe then a fresh _insert — doubling node reads per
+        new-key save).  Returns (replaced, split) where split is None
+        or (mid_key, mid_val, left_off, right_off)."""
         leaf, keys, vals, kids = self._read_node(off)
         i = bisect.bisect_left(keys, key)
         if i < len(keys) and keys[i] == key:
             vals = list(vals)
             vals[i] = vptr
             self._write_node(off, leaf, keys, vals, kids)
-            return True
-        if leaf:
-            return False
-        return self._replace(kids[i], key, vptr)
-
-    def _insert(self, off: int, key: int, vptr: int):
-        """Insert into the subtree at ``off`` (key known absent).
-        Returns None, or (mid_key, mid_val, left_off, right_off) when
-        this node split."""
-        import bisect
-
-        leaf, keys, vals, kids = self._read_node(off)
+            return True, None
         keys, vals, kids = list(keys), list(vals), list(kids)
-        i = bisect.bisect_left(keys, key)
         if leaf:
             keys.insert(i, key)
             vals.insert(i, vptr)
         else:
-            split = self._insert(kids[i], key, vptr)
-            if split is None:
-                return None
+            replaced, split = self._upsert(kids[i], key, vptr)
+            if replaced or split is None:
+                return replaced, None
             mid_key, mid_val, left, right = split
             keys.insert(i, mid_key)
             vals.insert(i, mid_val)
@@ -237,7 +233,7 @@ class PersistentBtree(_FileStore):
         m = 2 * self._order
         if len(keys) <= m:
             self._write_node(off, leaf, keys, vals, kids)
-            return None
+            return False, None
         # split around the median; reuse this offset for the left half
         h = len(keys) // 2
         mid_key, mid_val = keys[h], vals[h]
@@ -247,7 +243,7 @@ class PersistentBtree(_FileStore):
         right = self._write_node(
             None, leaf, keys[h + 1 :], vals[h + 1 :], kids[h + 1 :] if not leaf else []
         )
-        return mid_key, mid_val, left, right
+        return False, (mid_key, mid_val, left, right)
 
 
 class PersistentHashTable(_FileStore):
@@ -292,6 +288,7 @@ class PersistentHashTable(_FileStore):
         return None
 
     def save(self, key: int, data: bytes) -> None:
+        _check_u64_key(key)
         head_off = self._head_off(key)
         old = _U64.unpack(self._read_at(head_off, 8))[0]
         rec = _U64.pack(old) + _U64.pack(key) + _U32.pack(len(data)) + data
@@ -360,6 +357,14 @@ class PersistentList(_FileStore):
         self._write_at(self._slots_off + 8 * key, _U64.pack(vptr))
 
 
+def _check_u64_key(key: int) -> None:
+    """Uniform key-range check for the u64-keyed stores, raised BEFORE
+    any bytes are appended (a struct.error mid-save used to leak the
+    already-written value record and read differently per backend)."""
+    if key < 0 or key >= 1 << 64:
+        raise ValueError(f"store keys must be uint64, got {key}")
+
+
 METADATA_STORE_KINDS = {
     # reference factory ids (PersistentMetadataFactory.cs)
     "btree": PersistentBtree,
@@ -416,13 +421,17 @@ def build_store_from_index(index_dir: str, kind: str, path: "str | None" = None)
                 t = pq.read_table(d)
                 meta_cols = [c for c in t.column_names if c not in core]
                 ids = t["doc_id"].to_pylist()
+                # one to_pylist per COLUMN (per-cell ChunkedArray
+                # indexing walks chunk offsets and boxes a scalar for
+                # every (doc, col) — dominates multi-million-doc loads)
+                col_vals = {c: t[c].to_pylist() for c in meta_cols}
                 for j, did in enumerate(ids):
                     did = int(did)
                     if did in seen:
                         continue  # docs_meta (richer) already covered it
                     seen.add(did)
                     st.save(did, json.dumps(
-                        {c: t[c][j].as_py() for c in meta_cols}, default=str,
+                        {c: col_vals[c][j] for c in meta_cols}, default=str,
                         sort_keys=True,
                     ).encode())
                     n += 1

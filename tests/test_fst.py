@@ -273,3 +273,16 @@ def test_cli_fst_build_and_search(fst_index, capsys):
     ref_rc = main(["search", "--index", fst_index, "--query", "WORD(this)"])
     assert ref_rc == 0
     assert capsys.readouterr().out.splitlines()[0] == got.splitlines()[0]
+
+
+def test_int_output_large_values_roundtrip():
+    """Zigzag regression: outputs >= 2**63 round-trip exactly (the
+    64-bit (v<<1)^(v>>63) trick corrupted them on unbounded ints)."""
+    from fulltextsearch_ray.fst import IntOutput, build_fst
+
+    vals = [0, 1, (1 << 63) - 1, 1 << 63, (1 << 64) + 12345, -(1 << 63)]
+    pairs = [(f"k{i:02d}", v) for i, v in enumerate(vals)]
+    f = build_fst(pairs, IntOutput)
+    for k, v in pairs:
+        ok, got = f.try_match(k)
+        assert ok and got == v, (k, v, got)

@@ -135,3 +135,34 @@ def test_list_rejects_sparse_ids(tmp_path):
         pl.save(5, b"ok")
         with pytest.raises(ValueError, match="dense"):
             pl.save(1 << 40, b"boom")
+
+
+def test_btree_write_cache_bounded(tmp_path):
+    """Bulk loads must not cache every node ever written (regression:
+    the 256-entry bound was only enforced on read misses)."""
+    from fulltextsearch_ray.state.kvstore import PersistentBtree
+
+    with PersistentBtree(str(tmp_path / "b.bin"), order=4) as st:
+        for k in range(20_000):
+            st.save(k, b"v%d" % k)
+        assert len(st._cache) <= st.CACHE_NODES
+        assert st.get(19_999) == b"v19999"
+        assert st.get(3) == b"v3"
+
+
+def test_u64_key_validation_uniform(tmp_path):
+    """Negative / oversized keys raise a clear ValueError BEFORE any
+    bytes are written, on every u64-keyed backend."""
+    import pytest
+
+    from fulltextsearch_ray.state.kvstore import PersistentBtree, PersistentHashTable
+
+    for cls, name in ((PersistentBtree, "b2.bin"), (PersistentHashTable, "h2.bin")):
+        with cls(str(tmp_path / name)) as st:
+            st.save(5, b"x")
+            size_before = st._f.seek(0, 2)
+            for bad in (-1, 1 << 64):
+                with pytest.raises(ValueError, match="uint64"):
+                    st.save(bad, b"y")
+            assert st._f.seek(0, 2) == size_before  # nothing appended
+            assert st.get(5) == b"x"
