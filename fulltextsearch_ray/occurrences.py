@@ -25,6 +25,8 @@ __all__ = [
     "empty_occurrences",
     "lex_sort",
     "or_merge",
+    "MixedMatches",
+    "or_merge_mixed",
     "phrase_chains",
     "and_docs",
     "format_matches",

@@ -65,6 +65,16 @@ K1 = 1.2
 B = 0.75
 
 
+def _sum_by_doc(docs: np.ndarray, vals: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """(unique sorted docs, per-doc sums) over parallel arrays — the
+    merge-by-doc kernel shared by the exhaustive and pruned BM25 paths
+    (one definition keeps the pruned==exhaustive invariant unforkable)."""
+    o = np.argsort(docs, kind="stable")
+    docs, vals = docs[o], vals[o]
+    uniq, idx = np.unique(docs, return_index=True)
+    return uniq, np.add.reduceat(vals, idx) if len(idx) else vals[:0]
+
+
 class LazyRowGroupTable:
     """Row-group-paged access to a sorted parquet table (catalog or
     docs): only the footer [key_min, key_max] per row group is held in
@@ -76,18 +86,46 @@ class LazyRowGroupTable:
     sorted across files (both the catalog and the docs table are
     written that way)."""
 
-    def __init__(self, files: list[str], columns: list[str], cache_groups: int = 64):
+    def __init__(
+        self,
+        files: list[str],
+        columns: list[str],
+        cache_groups: int = 64,
+        metas: "dict | None" = None,
+    ):
         self.columns = columns
         self.runs: list[tuple] = []  # (key_min, key_max, file, rg)
+        self.total_rows = 0
         for f in files:
-            md = pq.ParquetFile(f).metadata
+            md = (metas or {}).get(f)
+            if md is None:
+                md = pq.ParquetFile(f).metadata
+            self.total_rows += md.num_rows
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(0).statistics
-                if st is not None and st.has_min_max:
-                    self.runs.append((st.min, st.max, f, rg))
+                if st is None or not st.has_min_max:
+                    # silently dropping the group would make its rows
+                    # invisible in lazy mode; this engine's writers
+                    # always emit stats, so a stat-less group means a
+                    # foreign/corrupt file — fail loudly
+                    raise ValueError(
+                        f"{f} row group {rg} lacks key statistics; "
+                        "rewrite the table with column statistics to "
+                        "serve it in paged (lazy) mode"
+                    )
+                self.runs.append((st.min, st.max, f, rg))
         self.runs.sort(key=lambda r: (r[0], r[1]))
         self._mins = [r[0] for r in self.runs]
         self._maxs = [r[1] for r in self.runs]
+        # running max of maxs: runs from DIFFERENT segments may overlap
+        # arbitrarily (multi-session custom doc ids), so a stab query
+        # cannot stop at the first run whose max < key — it stops where
+        # the PREFIX max drops below the key
+        self._cummax = []
+        cur = None
+        for m in self._maxs:
+            cur = m if cur is None or m > cur else cur
+            self._cummax.append(cur)
         self._cache: OrderedDict[tuple, pa.Table] = OrderedDict()
         self._cache_groups = cache_groups
 
@@ -108,14 +146,18 @@ class LazyRowGroupTable:
         return t
 
     def covering(self, key) -> list[int]:
-        """Row-group indices whose [min, max] may contain ``key``."""
+        """Row-group indices whose [min, max] contains ``key`` —
+        correct for OVERLAPPING runs (walk back while the prefix max
+        still reaches the key; a narrow run after a wide one must not
+        end the scan)."""
         import bisect
 
         hi = bisect.bisect_right(self._mins, key)
         out = []
         j = hi - 1
-        while j >= 0 and self._maxs[j] >= key:
-            out.append(j)
+        while j >= 0 and self._cummax[j] >= key:
+            if self._maxs[j] >= key:
+                out.append(j)
             j -= 1
         out.reverse()
         return out
@@ -124,14 +166,15 @@ class LazyRowGroupTable:
         """Row groups intersecting [lo, hi) (hi=None → to the end)."""
         import bisect
 
-        start = 0
-        while start < len(self.runs) and self._maxs[start] < lo:
-            start += 1
+        # first candidate: prefix max is non-decreasing, so binary
+        # search replaces the old O(runs) front scan
+        start = bisect.bisect_left(self._cummax, lo)
         out = []
         for j in range(start, len(self.runs)):
             if hi is not None and self._mins[j] >= hi:
                 break
-            out.append(j)
+            if self._maxs[j] >= lo:
+                out.append(j)
         return out
 
 
@@ -156,6 +199,7 @@ class IndexSearcher:
         doclen_budget_rows: int = 50_000_000,
         cache_policy: str = "lru",
         term_dict: str = "parquet",
+        cache_postings: int = 64,
     ):
         self.index_dir = index_dir
         self.meta = load_meta(index_dir)
@@ -167,8 +211,13 @@ class IndexSearcher:
             cat_files.extend(pq.ParquetDataset(d).files)
             d = os.path.join(segment_dir(index_dir, seg), "docs")
             docs_files.extend(pq.ParquetDataset(d).files)
-        cat_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in cat_files)
-        doc_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in docs_files)
+        # one footer read per file, reused by the row counts, the
+        # schema probes and the lazy tables (each actor used to read
+        # every footer twice at cold start)
+        cat_md = {f: pq.ParquetFile(f).metadata for f in cat_files}
+        docs_md = {f: pq.ParquetFile(f).metadata for f in docs_files}
+        cat_rows = sum(md.num_rows for md in cat_md.values())
+        doc_rows = sum(md.num_rows for md in docs_md.values())
 
         self._lazy_cats: "list[LazyRowGroupTable] | None" = None
         self._lazy_lens: "LazyRowGroupTable | None" = None
@@ -178,8 +227,9 @@ class IndexSearcher:
             cats = []
             for seg in self.segments:
                 path = os.path.join(segment_dir(index_dir, seg), "catalog")
+                seg_files = pq.ParquetDataset(path).files
                 cols = ["term", "df", "cf", "max_tf"]
-                if "df_docs" in pads.dataset(path).schema.names:
+                if seg_files and "df_docs" in cat_md[seg_files[0]].schema.to_arrow_schema().names:
                     cols.append("df_docs")
                 t = pq.read_table(path, columns=cols)
                 if "df_docs" not in t.column_names:
@@ -215,9 +265,11 @@ class IndexSearcher:
             for seg in self.segments:
                 d = os.path.join(segment_dir(index_dir, seg), "catalog")
                 files = pq.ParquetDataset(d).files
-                has_dd = "df_docs" in pads.dataset(d).schema.names
+                has_dd = bool(files) and (
+                    "df_docs" in cat_md[files[0]].schema.to_arrow_schema().names
+                )
                 cols = ["term", "df", "cf", "max_tf"] + (["df_docs"] if has_dd else [])
-                self._lazy_cats.append(LazyRowGroupTable(files, cols))
+                self._lazy_cats.append(LazyRowGroupTable(files, cols, metas=cat_md))
 
         # doc lengths for BM25 (doc_id-indexed lookup arrays)
         if doc_rows <= doclen_budget_rows:
@@ -235,7 +287,9 @@ class IndexSearcher:
         else:
             self._dl_docs = None
             self._dl_lens = None
-            self._lazy_lens = LazyRowGroupTable(docs_files, ["doc_id", "doc_len"])
+            self._lazy_lens = LazyRowGroupTable(
+                docs_files, ["doc_id", "doc_len"], metas=docs_md
+            )
         from ..state.index import load_manifest
 
         self._postings_ds = {}
@@ -273,7 +327,9 @@ class IndexSearcher:
         # reference LRUCache/LFUCache — state/caches.py)
         from ..state.caches import make_cache
 
-        self._cache = make_cache(cache_policy, 64)
+        # full-positions posting cache (phrase/boolean paths) — sized
+        # separately from the BM25 (docs, tfs) entry cache below
+        self._cache = make_cache(cache_policy, cache_postings)
         self._cache_entries = make_cache(cache_policy, cache_blocks)
 
         # opt-in FST term dictionary (reference PersistentDictionaryFst;
@@ -576,10 +632,7 @@ class IndexSearcher:
                 np.asarray(t["df"].to_numpy(zero_copy_only=False)),
             )
             # multi-field/block duplicates: aggregate tf per doc
-            o = np.argsort(d, kind="stable")
-            d, tf = d[o], tf[o]
-            uniq, idx = np.unique(d, return_index=True)
-            out = (uniq, np.add.reduceat(tf, idx))
+            out = _sum_by_doc(d, tf)
         self._cache_entries.put(term, out)
         return out
 
@@ -784,9 +837,14 @@ class IndexSearcher:
         toks_per_doc = np.add.reduceat(widths, starts) if len(starts) else np.empty(0, dtype=np.int64)
         offsets = np.zeros(len(starts) + 1, dtype=np.int64)
         np.cumsum(toks_per_doc, out=offsets[1:])
-        tok_col = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(flat, pa.int64())
-        )
+        if total <= np.iinfo(np.int32).max:
+            tok_col = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(flat, pa.int64())
+            )
+        else:  # >2^31 matched tokens in one result: 64-bit offsets
+            tok_col = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()), pa.array(flat, pa.int64())
+            )
         return pa.table(
             {
                 "doc_id": pa.array(docs[starts], pa.uint64()),
@@ -799,29 +857,66 @@ class IndexSearcher:
 
     def _doc_lens(self, doc_ids: np.ndarray) -> np.ndarray:
         """Per-doc lengths for (sorted) doc ids — eager arrays or paged
-        docs-table row groups (each covering group loads once, LRU)."""
+        docs-table row groups (each covering group loads once, LRU).
+
+        Every looked-up id is VERIFIED against the docs table: a doc
+        present in postings but absent from docs is an inconsistent
+        index, and silently scoring it with a neighbor's length (the
+        old unchecked searchsorted) corrupts BM25 without an error."""
         if self._lazy_lens is None:
+            if not len(self._dl_docs):
+                if len(doc_ids):
+                    raise ValueError("docs table is empty but postings have docs")
+                return np.empty(0, dtype=np.float64)
             idx = np.searchsorted(self._dl_docs, doc_ids)
-            idx = np.minimum(idx, max(len(self._dl_docs) - 1, 0))
+            idx = np.minimum(idx, len(self._dl_docs) - 1)
+            bad = self._dl_docs[idx] != doc_ids
+            if bad.any():
+                raise ValueError(
+                    f"doc ids missing from docs table: {doc_ids[bad][:5].tolist()}"
+                )
             return self._dl_lens[idx]
+        import bisect as _bisect
+
         out = np.zeros(len(doc_ids), dtype=np.float64)
         lens = self._lazy_lens
-        # sorted input → contiguous id slices per covering row group
         lo = 0
         while lo < len(doc_ids):
-            groups = lens.covering(int(doc_ids[lo]))
+            d0 = int(doc_ids[lo])
+            groups = lens.covering(d0)
             if not groups:
-                lo += 1
-                continue
-            gi = groups[-1]
-            g_max = lens.runs[gi][1]
-            hi = int(np.searchsorted(doc_ids, g_max, side="right"))
-            t = lens.load(gi)
-            g_docs = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-            g_lens = np.asarray(t["doc_len"].to_numpy(zero_copy_only=False), dtype=np.float64)
-            idx = np.searchsorted(g_docs, doc_ids[lo:hi])
-            idx = np.minimum(idx, max(len(g_docs) - 1, 0))
-            out[lo:hi] = g_lens[idx]
+                raise ValueError(f"doc id missing from docs table: {d0}")
+            # the covering set of d0 is a SUPERSET of every doc's true
+            # groups up to the next distinct run min (no run can start
+            # inside the slice), so the slice resolves entirely from
+            # these groups — ids that don't match any are truly absent
+            k = _bisect.bisect_right(lens._mins, d0)
+            hi = (
+                int(np.searchsorted(doc_ids, lens._mins[k], side="left"))
+                if k < len(lens._mins)
+                else len(doc_ids)
+            )
+            hi = max(hi, lo + 1)
+            sl = doc_ids[lo:hi]
+            res = np.zeros(hi - lo, dtype=np.float64)
+            done = np.zeros(hi - lo, dtype=bool)
+            for gi in reversed(groups):
+                t = lens.load(gi)
+                g_docs = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+                g_lens = np.asarray(t["doc_len"].to_numpy(zero_copy_only=False), dtype=np.float64)
+                if not len(g_docs):
+                    continue
+                idx = np.minimum(np.searchsorted(g_docs, sl), len(g_docs) - 1)
+                ok = (~done) & (g_docs[idx] == sl)
+                res[ok] = g_lens[idx[ok]]
+                done |= ok
+                if done.all():
+                    break
+            if not done.all():
+                raise ValueError(
+                    f"doc ids missing from docs table: {sl[~done][:5].tolist()}"
+                )
+            out[lo:hi] = res
             lo = hi
         return out
 
@@ -852,13 +947,7 @@ class IndexSearcher:
             all_contrib.append(contrib)
         if not all_docs:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
-        d = np.concatenate(all_docs)
-        c = np.concatenate(all_contrib)
-        o = np.argsort(d, kind="stable")
-        d, c = d[o], c[o]
-        uniq, idx = np.unique(d, return_index=True)
-        scores = np.add.reduceat(c, idx)
-        return uniq, scores
+        return _sum_by_doc(np.concatenate(all_docs), np.concatenate(all_contrib))
 
     def _term_upper_bound(self, term: str) -> float:
         """MaxScore upper bound of one term's per-doc contribution:
@@ -906,13 +995,10 @@ class IndexSearcher:
                 dl = self._doc_lens(docs)
                 contrib = idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
                 # merge into accumulator (sorted by doc)
-                all_d = np.concatenate([acc_docs, docs])
-                all_s = np.concatenate([acc_scores, contrib])
-                o = np.argsort(all_d, kind="stable")
-                all_d, all_s = all_d[o], all_s[o]
-                uniq, idx = np.unique(all_d, return_index=True)
-                acc_docs = uniq
-                acc_scores = np.add.reduceat(all_s, idx)
+                acc_docs, acc_scores = _sum_by_doc(
+                    np.concatenate([acc_docs, docs]),
+                    np.concatenate([acc_scores, contrib]),
+                )
             if not candidates_only and len(acc_docs) > k:
                 kth = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
                 if remaining < kth:
@@ -949,12 +1035,7 @@ class IndexSearcher:
                 tf_parts.append(tf[mask])
         if not docs_parts:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
-        d = np.concatenate(docs_parts)
-        tf = np.concatenate(tf_parts)
-        o = np.argsort(d, kind="stable")
-        d, tf = d[o], tf[o]
-        uniq, idx = np.unique(d, return_index=True)
-        return uniq, np.add.reduceat(tf, idx)
+        return _sum_by_doc(np.concatenate(docs_parts), np.concatenate(tf_parts))
 
     def bm25_topk(self, query: str | list[str], k: int = 10, mode: str = "or") -> pa.Table:
         """Top-k docs by BM25. ``query`` is a raw text (tokenized with
@@ -1048,7 +1129,9 @@ class SearcherStage:
     """Actor-pool query stage: batches of query strings → top-k tables.
 
     Use: ``queries_ds.map_batches(SearcherStage, fn_constructor_args=(index_dir,),
-    concurrency=N, batch_size=B)`` — the index opens once per actor.
+    batch_format="pyarrow", concurrency=(1, N), batch_size=B)`` — the
+    index opens once per actor (``batch_format="pyarrow"`` is required:
+    __call__ consumes an Arrow table).
     """
 
     def __init__(self, index_dir: str, k: int = 10, mode: str = "or"):
