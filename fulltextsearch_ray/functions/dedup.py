@@ -238,10 +238,17 @@ def shingle_batch(texts: pa.Array | pa.ChunkedArray, n: int) -> tuple[pa.Array, 
     if len(short):
         starts = np.zeros(len(counts) + 1, dtype=np.int64)
         np.cumsum(counts, out=starts[1:])
-        toks_py = toks.to_pylist()
+        # materialize ONLY the short docs' tokens (a whole-batch
+        # to_pylist here allocated millions of Python strings for one
+        # stray short doc — the allocator-pressure pattern the
+        # tokenizer docstring warns about)
         out_sh.append(
             pa.array(
-                [" ".join(toks_py[starts[d] : starts[d + 1]]) for d in short], pa.string()
+                [
+                    " ".join(toks.slice(starts[d], counts[d]).to_pylist())
+                    for d in short
+                ],
+                pa.string(),
             )
         )
         out_doc.append(short.astype(np.int64))
@@ -503,18 +510,14 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 
-def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit SimHash per doc: bit b of md5_u64(term), weighted by tf,
-    sign-summed.  Exact twin of the SQL oracle (same md5-derived bits).
-
-    Vectorized: Arrow tokenize + (doc, term) tf grouping, ONE DuckDB
-    md5 pass over distinct (doc, term) rows, numpy (rows × 64) bit
-    matrix with per-doc segmented reduction — no per-document loop.
-    """
+def _simhash_packed(batch: pa.Table, text_col: str) -> np.ndarray:
+    """Packed uint64 SimHash per batch row (0 for empty/null docs) —
+    the internal kernel behind :func:`simhash_batch`; the pair stage
+    consumes this directly so fingerprints never round-trip through
+    hex strings in the hot path."""
     n_docs = batch.num_rows
     toks, parent, _counts = flat_tokens(batch[text_col])
-
-    out_hash = np.empty(n_docs, dtype=object)
+    out = np.zeros(n_docs, dtype=np.uint64)
     if len(toks):
         tf_tbl = (
             pa.table({"d": pa.array(parent), "t": toks})
@@ -531,26 +534,26 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         starts, _ = sorted_runs(d)
         sums = np.add.reduceat(weighted, starts, axis=0)  # (docs_present, 64)
         packed = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
-        present = d[starts]
-        for i, doc in enumerate(present):
-            out_hash[doc] = format(int(packed[i]), "016x")
-    for i in range(n_docs):
-        if out_hash[i] is None:
-            out_hash[i] = "0" * 16
+        out[d[starts]] = packed
+    return out
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash per doc: bit b of md5_u64(term), weighted by tf,
+    sign-summed.  Exact twin of the SQL oracle (same md5-derived bits).
+
+    Vectorized: Arrow tokenize + (doc, term) tf grouping, ONE DuckDB
+    md5 pass over distinct (doc, term) rows, numpy (rows × 64) bit
+    matrix with per-doc segmented reduction — no per-document loop
+    (hex formatting of the PUBLIC output is the only per-row step).
+    """
+    packed = _simhash_packed(batch, text_col)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "simhash": pa.array(out_hash.tolist(), type=pa.string()),
+            "simhash": pa.array([format(int(x), "016x") for x in packed], pa.string()),
         }
     )
-
-
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
-    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
-    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
-    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
 def simhash_neardup_pairs(
@@ -581,9 +584,8 @@ def simhash_neardup_pairs(
     P = num_partitions or default_partitions()
 
     def explode(batch: pa.Table) -> pa.Table:
-        sims = simhash_batch(batch, text_col)
-        h = np.array([int(s, 16) for s in sims["simhash"].to_pylist()], dtype=np.uint64)
-        ids = np.asarray(sims["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        h = _simhash_packed(batch, text_col)
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         tables = []
         for band in range(bands):
             bits = (h >> np.uint64(band * width)) & np.uint64((1 << width) - 1)
@@ -600,6 +602,8 @@ def simhash_neardup_pairs(
         return pa.concat_tables(tables)
 
     def part_pairs(group: pa.Table) -> pa.Table:
+        from .similarity import popcount64
+
         keys = np.asarray(group["key"].to_numpy(zero_copy_only=False), dtype=np.int64)
         ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         h = np.asarray(group["h"].to_numpy(zero_copy_only=False), dtype=np.uint64)
@@ -610,7 +614,7 @@ def simhash_neardup_pairs(
             gi = ids[s : s + g]
             gh = h[s : s + g]
             iu, ju = np.triu_indices(int(g), k=1)
-            ham = _popcount64(gh[iu] ^ gh[ju]).astype(np.int64)
+            ham = popcount64(gh[iu] ^ gh[ju]).astype(np.int64)
             keep = ham <= max_hamming
             out_a.append(gi[iu[keep]])
             out_b.append(gi[ju[keep]])
@@ -776,10 +780,10 @@ def ngram_jaccard_pairs(
         pre-aggregated locally (combiner) before the global groupby."""
         sh = np.asarray(group["shingle"].to_pylist(), dtype=object)
         ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        if len(ids) and int(ids.max()) >= (1 << 31):
+        if len(ids) and (int(ids.max()) >= (1 << 31) or int(ids.min()) < 0):
             raise ValueError(
-                "ngram_jaccard packed-pair path requires doc ids < 2^31; "
-                "re-key the corpus or shard the id space"
+                "ngram_jaccard packed-pair path requires doc ids in "
+                "[0, 2^31); re-key the corpus or shard the id space"
             )
         order = np.lexsort((ids, sh))
         sh, ids = sh[order], ids[order]
@@ -953,19 +957,17 @@ def embedding_neardup_pairs(
         signs = (mat @ planes.T) > 0  # (n, n_planes)
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
         weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+        # build the Arrow columns ONCE (the per-band loop used to redo
+        # the O(n·dim) tolist conversion for every band)
+        vid_arr = pa.array(ids, pa.int64())
+        vec_arr = pa.array(mat.tolist(), pa.list_(pa.float64()))
         tables = []
         for band in range(bands):
             chunk = signs[:, band * planes_per_band : (band + 1) * planes_per_band]
             pattern = (chunk.astype(np.int64) * weights[None, :]).sum(axis=1)
             key = band * (1 << planes_per_band) + pattern
             tables.append(
-                pa.table(
-                    {
-                        "key": pa.array(key, pa.int64()),
-                        "vid": pa.array(ids, pa.int64()),
-                        "vec": pa.array(mat.tolist(), pa.list_(pa.float64())),
-                    }
-                )
+                pa.table({"key": pa.array(key, pa.int64()), "vid": vid_arr, "vec": vec_arr})
             )
         return pa.concat_tables(tables)
 
@@ -1006,10 +1008,21 @@ def embedding_neardup_pairs(
             }
         )
 
-    # lower gather budget: exploded rows carry the full vector payload
+    # byte-scaled gather budget: each exploded row carries the FULL
+    # float64 vector, so a flat row count would let a high-dim corpus
+    # pull gigabytes onto the driver (dim 1536 × 8 B × 200k rows ≈
+    # 2.4 GB); cap the one-gather fast path at ~128 MB like minhash
+    dim = 0
+    try:
+        f = ds.schema().base_schema.field(vec_col).type
+        if pa.types.is_fixed_size_list(f):
+            dim = int(f.list_size)
+    except Exception:
+        dim = 0
+    row_bytes = (dim or 256) * 8 + 24
     return _pairs_pipeline(
         exploded, "key", part_pairs, "cosine", pa.float64(), "max", P,
-        small_rows_budget=200_000,
+        small_rows_budget=min(200_000, (128 << 20) // row_bytes),
         rows_hint=(ds.count() if n_rows is None else n_rows) * bands,
     )
 
@@ -1022,7 +1035,14 @@ def _embedding_neardup_exact(
     shape)."""
     import ray
 
-    tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return empty
+    tbl = pa.concat_tables(tbls)
     ids = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in tbl[vec_col].to_pylist()])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)

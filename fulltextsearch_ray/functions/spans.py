@@ -414,7 +414,11 @@ def cut_dup_spans(
         return pa.table(
             {
                 "doc_id": pa.array(ids),
-                "text": b[text_col],
+                # fill nulls: the rebuild routes rows by text validity
+                # (doc vs span), so a null-text DOCUMENT would land on
+                # the span side and crash the lookup — the broadcast
+                # path already treats null text as "" (flat_tokens)
+                "text": pc.fill_null(b[text_col], ""),
                 "start_tok": pa.nulls(b.num_rows, pa.int64()),
                 "end_tok": pa.nulls(b.num_rows, pa.int64()),
                 "_part": pa.array(ids % P),

@@ -55,7 +55,8 @@ def test_curate_drops_dups_and_low_quality(corpus):
     assert 5 in ids
     # doc 3 is a near dup of doc 1 (one token differs): dropped iff its
     # simhash is within hamming 3 — verify against the operator itself
-    from fulltextsearch_ray.functions.dedup import _popcount64, simhash_batch
+    from fulltextsearch_ray.functions.dedup import simhash_batch
+    from fulltextsearch_ray.functions.similarity import popcount64 as _popcount64
 
     sims = simhash_batch(tbl)
     h = np.array([int(s, 16) for s in sims["simhash"].to_pylist()], dtype=np.uint64)

@@ -165,3 +165,25 @@ def test_grams_with_pos_doc_boundaries():
 def test_spans_from_marks_empty():
     t = spans_from_marks(np.empty(0, np.int64), np.empty(0, np.int64), 4)
     assert t.num_rows == 0
+
+
+def test_cut_dup_spans_distributed_null_text(ray_session):
+    """Regression: a NULL-text document in the distributed (budget-0)
+    cut used to be routed to the SPAN side of the co-group (the
+    rebuild classifies rows by text validity) and crashed the doc
+    lookup; the broadcast path always treated null as ''."""
+    texts = ["w x y z w x y z", "w x y z q r s t", None, "unrelated words only here"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    key = lambda rows: sorted((r["doc_id"], r["text_cut"], r["n_removed"]) for r in rows)
+    bc = key(cut_dup_spans(ds, gram_len=3, min_count=2).take_all())
+    dist = key(
+        cut_dup_spans(ds, gram_len=3, min_count=2, broadcast_budget=0).take_all()
+    )
+    assert bc == dist
+    assert len(bc) == len(texts)

@@ -7,10 +7,10 @@ import pytest
 import ray.data
 
 from fulltextsearch_ray.functions.dedup import (
-    _popcount64,
     simhash_batch,
     simhash_neardup_pairs,
 )
+from fulltextsearch_ray.functions.similarity import popcount64 as _popcount64
 from fulltextsearch_ray.functions.windows import (
     hopping_window_agg,
     session_window_agg,
