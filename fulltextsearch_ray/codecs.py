@@ -78,16 +78,22 @@ def varint_encode_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def varint_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) -> np.ndarray:
-    """Decode a LEB128 buffer back into a uint64 array (vectorized)."""
+    """Decode a LEB128 buffer back into a uint64 array (vectorized).
+
+    Raises ValueError on a truncated stream (trailing continuation
+    byte) or a ``count`` mismatch — real exceptions, not asserts, so
+    corrupt posting data fails loudly under ``python -O`` too."""
     arr = np.frombuffer(buf, dtype=np.uint8)
     if len(arr) == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = (arr & 0x80) == 0
+    if not is_end[-1]:
+        raise ValueError("varint_decode: truncated stream (ends mid-varint)")
     if is_end.all():
         # all-1-byte fast path: every byte is its own value
         values = arr.astype(np.uint64)
-        if count is not None:
-            assert len(values) == count, f"varint_decode: expected {count}, got {len(values)}"
+        if count is not None and len(values) != count:
+            raise ValueError(f"varint_decode: expected {count}, got {len(values)}")
         return values
     # group id per byte = number of terminators before this byte
     group = np.zeros(len(arr), dtype=np.int64)
@@ -96,8 +102,8 @@ def varint_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None
     pos = np.arange(len(arr), dtype=np.int64) - starts[group]
     contrib = (arr & 0x7F).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
     values = np.add.reduceat(contrib, starts)
-    if count is not None:
-        assert len(values) == count, f"varint_decode: expected {count}, got {len(values)}"
+    if count is not None and len(values) != count:
+        raise ValueError(f"varint_decode: expected {count}, got {len(values)}")
     return values
 
 
@@ -222,10 +228,23 @@ def decode_posting_columns(
     — occurrence arrays only when ``pos_bufs`` is given.
     """
     dfs = np.asarray(dfs, dtype=np.int64)
+    if (dfs == 0).any():
+        # zero-df blocks contribute no entries but would index their
+        # start past the end of the decoded arrays (IndexError on a
+        # legitimate trailing empty block) — drop them up front
+        keep = dfs > 0
+        dfs = dfs[keep]
+        if pos_bufs is not None:
+            pos_bufs = [b for b, k in zip(pos_bufs, keep) if k]
     e_deltas = varint_decode(b"".join(docs_bufs))
     e_fields = varint_decode(b"".join(fields_bufs))
     e_tfs = varint_decode(b"".join(tfs_bufs))
     n_entries = len(e_deltas)
+    if not len(dfs):
+        e = np.empty(0, dtype=np.uint64)
+        if pos_bufs is None:
+            return e, e.copy(), e.copy()
+        return e, e.copy(), e.copy(), e.copy(), e.copy(), e.copy()
     starts = np.zeros(len(dfs), dtype=np.int64)
     np.cumsum(dfs[:-1], out=starts[1:])
     csum = np.cumsum(e_deltas, dtype=np.uint64)
@@ -282,5 +301,8 @@ def lower_bound_block(first_docs: np.ndarray, target_doc: int) -> int:
     """Index of the first block that may contain ``doc >= target`` —
     binary search over per-block first_doc metadata, mirroring the
     reference's block-bisection ``LowerBound``
-    (``PostingListVarIntDeltaReader.cs:163-222``)."""
-    return int(np.searchsorted(np.asarray(first_docs, dtype=np.uint64), np.uint64(target_doc), side="right")) - 1
+    (``PostingListVarIntDeltaReader.cs:163-222``).  A target below the
+    first block's first_doc answers block 0 (every doc there is
+    already >= target), never -1."""
+    i = int(np.searchsorted(np.asarray(first_docs, dtype=np.uint64), np.uint64(target_doc), side="right")) - 1
+    return max(i, 0)

@@ -56,15 +56,16 @@ def build_huffman(freqs: dict[str, int]) -> dict[str, Bits]:
         heapq.heappush(heap, (f1 + f2, next_id, (n1, n2)))
         next_id += 1
     codes: dict[str, Bits] = {}
-
-    def walk(node, prefix: Bits) -> None:
+    # iterative walk: a skewed tree's depth equals the longest code,
+    # which exceeds Python's recursion limit on 1000+-symbol alphabets
+    stack: list[tuple[object, Bits]] = [(heap[0][2], ())]
+    while stack:
+        node, prefix = stack.pop()
         if isinstance(node, str):
             codes[node] = prefix or (0,)  # single-symbol alphabet edge case
-            return
-        walk(node[0], prefix + (0,))
-        walk(node[1], prefix + (1,))
-
-    walk(heap[0][2], ())
+        else:
+            stack.append((node[1], prefix + (1,)))
+            stack.append((node[0], prefix + (0,)))
     return codes
 
 
@@ -76,19 +77,19 @@ def build_balanced(freqs: dict[str, int]) -> dict[str, Bits]:
     w = np.array([freqs[s] for s in syms], dtype=np.float64)
     cum = np.concatenate([[0.0], np.cumsum(w)])
     codes: dict[str, Bits] = {}
-
-    def split(lo: int, hi: int, prefix: Bits) -> None:
+    # iterative (depth = code length; see build_huffman)
+    stack: list[tuple[int, int, Bits]] = [(0, len(syms), ())]
+    while stack:
+        lo, hi, prefix = stack.pop()
         if hi - lo == 1:
             codes[syms[lo]] = prefix or (0,)
-            return
+            continue
         total = cum[hi] - cum[lo]
         # cut index minimizing |left - right| with both sides non-empty
         lefts = cum[lo + 1 : hi] - cum[lo]
         cut = lo + 1 + int(np.argmin(np.abs(2 * lefts - total)))
-        split(lo, cut, prefix + (0,))
-        split(cut, hi, prefix + (1,))
-
-    split(0, len(syms), ())
+        stack.append((cut, hi, prefix + (1,)))
+        stack.append((lo, cut, prefix + (0,)))
     return codes
 
 
@@ -121,16 +122,16 @@ def build_hutucker(freqs: dict[str, int]) -> dict[str, Bits]:
             cost[i, j] = totals[best] + (cum[j] - cum[i])
             cut[i, j] = ks[best]
     codes: dict[str, Bits] = {}
-
-    def walk(i: int, j: int, prefix: Bits) -> None:
+    # iterative (depth = code length; see build_huffman)
+    stack: list[tuple[int, int, Bits]] = [(0, n, ())]
+    while stack:
+        i, j, prefix = stack.pop()
         if j - i == 1:
             codes[syms[i]] = prefix or (0,)
-            return
+            continue
         k = int(cut[i, j])
-        walk(i, k, prefix + (0,))
-        walk(k, j, prefix + (1,))
-
-    walk(0, n, ())
+        stack.append((k, j, prefix + (1,)))
+        stack.append((i, k, prefix + (0,)))
     return codes
 
 
@@ -182,6 +183,10 @@ class VarLenTextEncoding:
         return cls(dict(codes))
 
     def encode_bits(self, value: str, *, terminated: bool = True) -> Bits:
+        if TERMINAL in value:
+            # the in-band terminal would truncate decode mid-string and
+            # collide distinct keys ('a\x00b' == 'a\x00c' packed)
+            raise ValueError("cannot encode text containing the NUL terminal character")
         out: list[int] = []
         for ch in value:
             out.extend(self.codes[ch])
@@ -218,6 +223,8 @@ class VarLenTextEncoding:
                 node = trie
         if stop_at_terminal:
             raise ValueError("no terminal symbol found in encoded data")
+        if node is not trie:
+            raise ValueError("truncated bit sequence: ends mid-codeword")
         return "".join(out)
 
     def _trie(self):

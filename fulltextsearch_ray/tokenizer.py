@@ -47,37 +47,42 @@ class TokenizedBatch(NamedTuple):
 
 
 def tokenize(text: str) -> list[str]:
-    """Tokenize a single document into lowercased (truncated) terms."""
-    return [t[:MAX_TOKEN_SIZE] for t in TOKEN_RE.findall(text.lower())]
+    """Tokenize a single document into lowercased (truncated) terms.
+
+    Delegates to the Arrow kernel path (:func:`tokenize_batch`) so
+    query-side tokenization is IDENTICAL to index-side by
+    construction: Python ``str.lower()`` applies full Unicode case
+    mapping while Arrow's ``utf8_lower`` applies utf8proc's, and the
+    two disagree on locale-special characters ('İ') — a query
+    tokenized differently from the index silently misses documents."""
+    return tokenize_batch(pa.array([text], pa.string())).terms.to_pylist()
 
 
 def tokenize_with_positions(text: str) -> list[tuple[str, int, int]]:
     """(term, char_offset, true_length) per token — the highlight path.
 
     Mirrors the reference's forward-index ``TextPosition`` contract:
-    offset/length are pre-truncation character spans.
-    """
-    out = []
-    for m in TOKEN_RE.finditer(text):
-        tok = m.group(0)
-        out.append((tok.lower()[:MAX_TOKEN_SIZE], m.start(), len(tok)))
-    return out
+    offset/length are pre-truncation character spans into the RAW
+    text.  Terms are lowered/truncated with the SAME Arrow kernels as
+    the index (one batched call), so highlight terms match dictionary
+    terms; the span boundaries themselves come from the Python regex
+    over the raw text, which can split differently from the index for
+    case-expanding characters (documented divergence)."""
+    ms = list(TOKEN_RE.finditer(text))
+    if not ms:
+        return []
+    toks = pa.array([m.group(0) for m in ms], pa.string())
+    terms = pc.utf8_slice_codeunits(pc.utf8_lower(toks), 0, MAX_TOKEN_SIZE).to_pylist()
+    return [(t, m.start(), len(m.group(0))) for t, m in zip(terms, ms)]
 
 
 def token_counts(texts: "Iterable[str] | pa.Array | pa.ChunkedArray") -> np.ndarray:
-    """Per-document token count (``doc_len`` for BM25) — Arrow kernels only."""
-    if isinstance(texts, pa.ChunkedArray):
-        arr = texts.combine_chunks()
-    elif isinstance(texts, pa.Array):
-        arr = texts
-    else:
-        arr = pa.array(list(texts), type=pa.string())
-    arr = pc.fill_null(arr, "")
-    parts = pc.split_pattern_regex(arr, SPLIT_PATTERN)
-    flat = pc.list_flatten(parts)
-    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
-    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False))
-    return np.bincount(parent[keep], minlength=len(arr)).astype(np.int64)
+    """Per-document token count (``doc_len`` for BM25) — built on
+    :func:`flat_tokens` so the count matches the INDEX's token stream
+    exactly (the old copy split the raw text, which can tokenize
+    differently from the lowered text for case-expanding chars)."""
+    _toks, _parent, counts = flat_tokens(texts)
+    return counts
 
 
 # RE2 (Arrow) splitter: complement of the token-char class.  \p{L}\p{N}

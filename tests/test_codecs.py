@@ -106,3 +106,49 @@ def test_lower_bound_block_metadata():
     assert lower_bound_block(first_docs, 150) == 1
     assert lower_bound_block(first_docs, 200) == 2
     assert lower_bound_block(first_docs, 9999) == 3
+
+
+def test_varint_decode_rejects_truncated_stream():
+    import pytest
+
+    from fulltextsearch_ray.codecs import varint_decode
+
+    with pytest.raises(ValueError, match="truncated"):
+        varint_decode(b"\x80")
+    with pytest.raises(ValueError, match="expected"):
+        varint_decode(b"\x01\x02", count=3)
+
+
+def test_lower_bound_block_below_first():
+    import numpy as np
+
+    from fulltextsearch_ray.codecs import lower_bound_block
+
+    fd = np.array([10, 100], dtype=np.uint64)
+    assert lower_bound_block(fd, 5) == 0      # was -1 (wrapped to last block)
+    assert lower_bound_block(fd, 10) == 0
+    assert lower_bound_block(fd, 99) == 0
+    assert lower_bound_block(fd, 100) == 1
+    assert lower_bound_block(fd, 10**9) == 1
+
+
+def test_decode_posting_columns_zero_df_block():
+    import numpy as np
+
+    from fulltextsearch_ray.codecs import decode_posting_columns, encode_posting_block
+
+    full = encode_posting_block(
+        np.array([1, 2], dtype=np.uint64),
+        np.array([1, 1], dtype=np.uint64),
+        np.array([1, 1], dtype=np.uint64),
+    )
+    empty = encode_posting_block(
+        np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    )
+    e_docs, _f, _t = decode_posting_columns(
+        [full.docs, empty.docs], [full.fields, empty.fields],
+        [full.tfs, empty.tfs], None, np.array([2, 0]),
+    )
+    assert e_docs.tolist() == [1, 2]
+    out = decode_posting_columns([empty.docs], [empty.fields], [empty.tfs], None, np.array([0]))
+    assert len(out[0]) == 0

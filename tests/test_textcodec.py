@@ -197,3 +197,31 @@ def test_decoding_matcher_unit():
     assert not dm.is_final()
     ok = all(dm.next(b) for b in keys[2])  # "xyz" vs "ab?" must fail
     assert not ok
+
+
+def test_builders_handle_deep_skewed_trees():
+    """Regression: recursive tree walks hit Python's recursion limit on
+    1000+-symbol skewed alphabets (doubling weights force code length
+    ~ alphabet size for Huffman)."""
+    import math
+
+    from fulltextsearch_ray.textcodec import BUILDERS
+
+    n = 1100
+    syms = [chr(0x100 + i) for i in range(n)]
+    freqs = {s: int(math.pow(2, min(i, 500))) for i, s in enumerate(syms)}
+    for name, build in BUILDERS.items():
+        codes = build(freqs)
+        assert len(codes) == n, name
+
+
+def test_encode_rejects_nul_and_decode_rejects_truncation():
+    from fulltextsearch_ray.textcodec import VarLenTextEncoding
+
+    enc = VarLenTextEncoding.from_text("abcabcab")
+    with pytest.raises(ValueError, match="NUL"):
+        enc.encode("a\x00b")
+    bits = enc.encode_bits("abc", terminated=False)
+    assert enc.decode(bits) == "abc"
+    with pytest.raises(ValueError, match="mid-codeword"):
+        enc.decode(bits[:-1])
