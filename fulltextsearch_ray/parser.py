@@ -48,8 +48,8 @@ class FunctionQuery(AstQuery):
     args: list[AstQuery] = field(default_factory=list)
 
     def to_canonical(self) -> str:
-        if not self.args:
-            return self.name
+        # always parenthesize: a bare name ('OR') is not re-parseable,
+        # breaking the canonical round-trip for an empty arg list
         return f"{self.name}({','.join(a.to_canonical() for a in self.args)})"
 
 
@@ -139,9 +139,15 @@ def _parse_arguments(s: str, pos: int, name: str) -> tuple[AstQuery, int]:
         sub, pos = _parse(s, pos)
         query.args.append(sub)
         pos = _skip_ws(s, pos)
-        if pos < len(s) and s[pos] != ",":
+        if pos >= len(s):
+            break  # caller reports the missing ')' at a real position
+        if s[pos] != ",":
             break
         pos += 1
+        nxt = _skip_ws(s, pos)
+        if nxt >= len(s) or s[nxt] == ")":
+            # 'OR(WORD(a),)' silently parsed as OR(WORD(a)) before
+            raise QueryParseError("Expected value", nxt)
     return query, pos
 
 

@@ -56,14 +56,25 @@ def iter_enwiki_titles(path: str) -> Iterator[str]:
     row_number-based oracle) holds even on degenerate inputs.  An empty
     document simply indexes to zero tokens."""
     with _open_maybe_gzip(path) as f:
-        for _, elem in ET.iterparse(f, events=("end",)):
+        it = ET.iterparse(f, events=("start", "end"))
+        root = None
+        for event, elem in it:
+            if root is None:
+                root = elem  # document root, captured at first event
+            if event != "end":
+                continue
             tag = elem.tag.rsplit("}", 1)[-1]
             if tag == "title":
                 text = elem.text or ""
                 if text.startswith(_WIKI_PREFIX):
                     text = text[len(_WIKI_PREFIX):]
                 yield text
-            elem.clear()  # free the subtree — keeps iterparse O(1) memory
+            elem.clear()  # free the subtree
+            # clear() empties elements but the ROOT keeps accumulating
+            # (cleared) children — on a single multi-million-doc dump
+            # that list alone breaks the O(1)-memory promise
+            if root is not None and elem is not root and len(root):
+                root.clear()
 
 
 def _list_files(path: str, pattern: str) -> list[str]:

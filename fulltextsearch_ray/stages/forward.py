@@ -15,6 +15,16 @@ Build cost is one extra corpus pass (opt-in ``store_forward=True``):
 span extraction needs the Python regex ``finditer`` (Arrow's split
 kernels do not expose match offsets), paid once at build instead of on
 every highlight.
+
+Known divergence (same family as the ones documented in
+``tokenizer.py``): spans come from the Python regex over the RAW text
+while posting token ids come from the RE2 split of the LOWERED text.
+For characters whose lowercase expands ('İ' → 'i' + combining mark)
+the two can split differently, shifting every later ordinal in that
+document — highlight spans for such documents may misalign.  All
+conformance fixtures and the oracle corpora are unaffected; a full fix
+requires offset-preserving case folding, which neither regex engine
+exposes.
 """
 
 from __future__ import annotations

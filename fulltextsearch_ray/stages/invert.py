@@ -173,7 +173,8 @@ def _binary_column(buf: np.ndarray, ends: np.ndarray, value_bounds: np.ndarray) 
     """Zero-copy Arrow binary column: slice one global varint buffer
     into per-term payloads via an offsets buffer (no bytes copies)."""
     byte_ends = np.r_[np.int64(0), ends]
-    assert len(buf) < (1 << 31), "batch payload exceeds int32 binary offsets — lower batch_size"
+    if len(buf) >= (1 << 31):  # real exception: asserts vanish under -O
+        raise ValueError("batch payload exceeds int32 binary offsets — lower batch_size")
     offsets = byte_ends[value_bounds].astype(np.int32)
     return pa.Array.from_buffers(
         pa.binary(), len(value_bounds) - 1,
@@ -326,20 +327,26 @@ def encode_docstats_row(doc_ids: np.ndarray, doc_lens: np.ndarray, shas: list[st
     """
     from ..codecs import varint_encode
 
+    # ONE id sort aligns all three parallel payloads — a prior version
+    # sorted docs/doc_lens but left the sha blob in batch-row order,
+    # pairing each doc with a NEIGHBOR's sha256 whenever the batch's
+    # ids arrived unsorted (assign_doc_ids rank path)
+    order = np.argsort(doc_ids, kind="stable") if len(doc_ids) else np.empty(0, np.int64)
+    sorted_ids = doc_ids[order]
     return {
-        "term": f"{DOCSTATS_TERM_PREFIX}{int(doc_ids[0]) if len(doc_ids) else 0}",
+        "term": f"{DOCSTATS_TERM_PREFIX}{int(sorted_ids[0]) if len(doc_ids) else 0}",
         "bucket": -1,
         "block_id": 0,
-        "first_doc": int(doc_ids[0]) if len(doc_ids) else 0,
-        "last_doc": int(doc_ids[-1]) if len(doc_ids) else 0,
+        "first_doc": int(sorted_ids[0]) if len(doc_ids) else 0,
+        "last_doc": int(sorted_ids[-1]) if len(doc_ids) else 0,
         "df": int(len(doc_ids)),
         "cf": int(num_occ),
         "max_tf": 0,
         "n_docs": int(len(doc_ids)),
-        "docs": varint_encode(np.sort(doc_ids)) if len(doc_ids) else b"",
+        "docs": varint_encode(sorted_ids) if len(doc_ids) else b"",
         "fields": b"",
-        "tfs": varint_encode(doc_lens[np.argsort(doc_ids, kind="stable")]) if len(doc_ids) else b"",
-        "positions": "".join(shas).encode("ascii"),
+        "tfs": varint_encode(doc_lens[order]) if len(doc_ids) else b"",
+        "positions": "".join(shas[int(i)] for i in order).encode("ascii"),
     }
 
 
@@ -456,6 +463,18 @@ class InvertStage:
 
         occ_docs = doc_ids[tok.doc_index]
         occ_tokens = tok.token_ids
+        terms = tok.terms
+        if len(doc_ids) > 1 and (doc_ids[1:] < doc_ids[:-1]).any():
+            # _invert_sorted requires a (doc, token)-ordered occurrence
+            # stream (it only stable-sorts by term); positional builds
+            # satisfy this for free, but assign_doc_ids' rank ids and
+            # user doc_id_col batches can arrive unsorted — without
+            # this sort such a batch silently writes corrupt blocks
+            # (row-order occurrence streams, wrong first/last_doc,
+            # split df entries)
+            order = np.lexsort((occ_tokens, occ_docs))
+            occ_docs, occ_tokens = occ_docs[order], occ_tokens[order]
+            terms = terms.take(pa.array(order))
         # single-field corpora skip the fields array entirely (the
         # constant is synthesized at encode time) — one less 8-byte
         # stream through a memory-bandwidth-bound stage
@@ -464,7 +483,7 @@ class InvertStage:
             None if const_field else np.full(len(occ_tokens), self.field_id, dtype=np.uint64)
         )
 
-        return self._invert_sorted(tok.terms, occ_docs, occ_fields, occ_tokens, const_field, stats)
+        return self._invert_sorted(terms, occ_docs, occ_fields, occ_tokens, const_field, stats)
 
     def _invert_sorted(self, terms, occ_docs, occ_fields, occ_tokens, const_field, stats):
         """Local invert of a (doc, field, token)-ordered token stream:
@@ -763,12 +782,10 @@ def merge_posting_runs(group: pa.Table, block_cf: int = DEFAULT_BLOCK_CF) -> pa.
     last = np.asarray(group["last_doc"].to_numpy(zero_copy_only=False), dtype=np.uint64)
     cfs = np.asarray(group["cf"].to_numpy(zero_copy_only=False))
     n = len(first)
-    disjoint = bool((last[:-1] <= first[1:]).all()) if n > 1 else True
-    # NOTE: equal boundary docs (last[i] == first[i+1]) can only happen
-    # for multi-field docs split across batches; conservative: treat as
-    # overlap and take the slow path.
-    if n > 1:
-        disjoint = bool((last[:-1] < first[1:]).all())
+    # NOTE: STRICT <: equal boundary docs (last[i] == first[i+1]) can
+    # only happen for multi-field docs split across batches;
+    # conservative: treat as overlap and take the slow path.
+    disjoint = bool((last[:-1] < first[1:]).all()) if n > 1 else True
 
     term = group["term"][0].as_py()
     bucket = group["bucket"][0].as_py()

@@ -214,3 +214,41 @@ def test_manifest_lineage_capped_and_resume(ray_session, corpus_dir, tmp_path):
         segment=seg, lineage_budget=2,
     )
     assert meta2.segments == meta.segments
+
+
+def test_unsorted_doc_ids_within_batch_build_correctly(ray_session, tmp_path):
+    """Regression: the single-field invert only stable-sorts by term and
+    requires a (doc, token)-ordered stream — a batch whose doc ids
+    arrive UNSORTED (user doc_id_col, assign_doc_ids rank) silently
+    wrote corrupt blocks (row-order streams, wrong first/last_doc,
+    split df).  Build from shuffled rows must equal the sorted build."""
+    import pyarrow as pa
+    import ray.data
+
+    from fulltextsearch_ray.pipelines.query import IndexSearcher
+
+    rng = np.random.default_rng(5)
+    n = 300
+    words = ["ant", "bee", "cat", "dog", "elk"]
+    texts = [" ".join(rng.choice(words, size=1 + i % 6)) for i in range(n)]
+    ids = np.arange(1, n + 1, dtype=np.uint64)
+    perm = rng.permutation(n)
+
+    def build(order, path):
+        tbl = pa.table(
+            {"doc_id": pa.array(ids[order], pa.uint64()),
+             "text": pa.array([texts[i] for i in order], pa.string())}
+        )
+        build_index(ray.data.from_arrow(tbl), path, text_col="text",
+                    doc_id_col="doc_id", num_buckets=2, overwrite=True)
+        return IndexSearcher(path)
+
+    s_sorted = build(np.arange(n), str(tmp_path / "sorted"))
+    s_shuf = build(perm, str(tmp_path / "shuffled"))
+    for w in words:
+        a = s_sorted.bm25_topk(w, k=20)
+        b = s_shuf.bm25_topk(w, k=20)
+        assert a.equals(b), w
+        ra = s_sorted.search_to_string(f"WORD({w})")
+        rb = s_shuf.search_to_string(f"WORD({w})")
+        assert ra == rb, w

@@ -68,3 +68,18 @@ def test_unexpected_end():
         parse_query("WORD(")
     with pytest.raises(QueryParseError):
         parse_query("")
+
+
+def test_empty_args_render_reparseable():
+    q = parse_query("OR()")
+    assert str(q) == "OR()"
+    assert str(parse_query(str(q))) == "OR()"
+
+
+def test_trailing_comma_rejected():
+    with pytest.raises(QueryParseError, match="Expected value"):
+        parse_query("OR(WORD(a),)")
+    # error position for a missing ')' stays within the input
+    with pytest.raises(QueryParseError) as e:
+        parse_query("OR(WORD(a)")
+    assert e.value.position <= len("OR(WORD(a)")
