@@ -50,7 +50,13 @@ class VarIntCodec:
 
 
 class GroupVarIntCodec:
-    """The reference's ``BinaryCompressed`` group-varint analog (32-bit)."""
+    """The reference's ``BinaryCompressed`` group-varint analog.
+
+    DOMAIN: the group-varint wire format is 32-bit (reference parity),
+    so these codecs ('groupvarint', 'binary', 'binarycompressed')
+    accept values < 2^32 only — group_varint_encode raises ValueError
+    past that.  Indexes whose doc-id space can exceed 2^32 must use
+    the default 'varint' codec (unbounded LEB128)."""
 
     name = "groupvarint"
 
@@ -65,8 +71,8 @@ class GroupVarIntCodec:
 
         n = int.from_bytes(buf[:4], "little")
         out = group_varint_decode(buf[4:], n)
-        if count is not None:
-            assert len(out) == count
+        if count is not None and len(out) != count:  # loud under -O too
+            raise ValueError(f"{self.name}: expected {count} values, got {len(out)}")
         return out.astype(np.uint64)
 
 
@@ -84,8 +90,8 @@ class PackedIntCodec:
         from .groupvarint import packed_ints_decode
 
         out = packed_ints_decode(buf)
-        if count is not None:
-            assert len(out) == count
+        if count is not None and len(out) != count:  # loud under -O too
+            raise ValueError(f"{self.name}: expected {count} values, got {len(out)}")
         return out
 
 

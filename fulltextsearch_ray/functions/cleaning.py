@@ -30,7 +30,15 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Replace emails / IPv4s / international phone numbers with typed
     placeholder tags; per-doc match counts come along for filtering
-    decisions downstream."""
+    decisions downstream.
+
+    COUNT SEMANTICS: n_email/n_ip/n_phone are matches against the RAW
+    text, counted independently per pattern — NOT the number of tags
+    inserted.  A phone-looking digit run inside an email address
+    counts as both even though only <EMAIL> lands in clean_text (the
+    replacement is ordered: emails first).  The SQL oracle mirrors
+    exactly this; treat the counts as per-pattern signal strength, not
+    a tag census."""
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()

@@ -98,9 +98,14 @@ class HighlightStage:
             )
         rows = np.flatnonzero(hit)
         spans = self.searcher.get_positions_many(ids[rows])
-        texts = batch[self.text_col].to_pylist()
+        # materialize ONLY the matched rows' texts (a whole-batch
+        # to_pylist allocates every document's string for 2 matches)
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        matched_texts = col.take(pa.array(rows)).to_pylist()
         out_ids, out = [], []
-        for r in rows:
+        for j, r in enumerate(rows):
             did = int(ids[r])
             if did not in spans:
                 # forward row missing for a hit doc (index built
@@ -115,7 +120,7 @@ class HighlightStage:
             offs, lens = spans[did]
             tids = self.hit_tokens[int(pos[r])].as_py()
             out_ids.append(did)
-            out.append(annotate_from_positions(texts[r] or "", tids, offs, lens))
+            out.append(annotate_from_positions(matched_texts[j] or "", tids, offs, lens))
         return pa.table(
             {"doc_id": pa.array(out_ids, pa.int64()), "annotated": pa.array(out, pa.string())}
         )

@@ -105,6 +105,22 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+_OFFSETS_CACHE: dict = {}
+
+
+def _cached_offsets(ref):
+    """Worker-process cache for the broadcast bucket-offset dict: a
+    map_groups UDF runs once per GROUP, and ray.get-ing a ~1M-entry
+    dict per group is O(buckets²) deserialization — pin it per worker
+    instead (same rationale as the actor-pinned broadcast stages)."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    hit = _OFFSETS_CACHE.get(key)
+    if hit is None:
+        _OFFSETS_CACHE.clear()  # one live broadcast per op; drop stale
+        hit = _OFFSETS_CACHE[key] = ray.get(ref)
+    return hit
+
+
 def pack_sequences(
     ds: ray.data.Dataset,
     *,
@@ -187,8 +203,15 @@ def pack_sequences(
     offsets_ref = ray.put(offsets)
 
     # stage 2: per-bucket local cumsum + span explode (vectorized)
+    empty_spans = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "seq_id": pa.array([], pa.int64()),
+         "tok_lo": pa.array([], pa.int64()), "tok_hi": pa.array([], pa.int64())}
+    )
+
     def spans(group: pa.Table) -> pa.Table:
-        offs = ray.get(offsets_ref)
+        if not group.num_columns or not group.num_rows:
+            return empty_spans
+        offs = _cached_offsets(offsets_ref)
         ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         n = np.asarray(group["n_tok"].to_numpy(zero_copy_only=False), dtype=np.int64)
         order = np.argsort(ids, kind="stable")

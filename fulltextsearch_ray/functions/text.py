@@ -51,7 +51,7 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "pred_lang": pa.array([LANG_ORDER[b] for b in best], type=pa.string()),
+            "pred_lang": pa.array(np.array(LANG_ORDER, dtype=object)[best], type=pa.string()),
             "stopword_hits": pa.array(hits[best, np.arange(n_docs)], type=pa.int64()),
         }
     )

@@ -29,6 +29,35 @@ def _to_cents(values: "pa.Array | pa.ChunkedArray") -> pa.Array:
     )
 
 
+def _ts_us(ts: "pa.Array | pa.ChunkedArray") -> tuple[np.ndarray, pa.DataType]:
+    """Microsecond int64 view of a timestamp column, normalizing the
+    unit first — a raw int64 cast of a timestamp('ns') column yields
+    NANOSECOND ticks, silently shrinking every window/gap constant
+    1000×.  Returns (ticks_us, normalized Arrow type)."""
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    t = pa.timestamp("us", getattr(ts.type, "tz", None))
+    if ts.type != t:
+        ts = ts.cast(t)
+    return np.asarray(ts.cast(pa.int64()).to_numpy(zero_copy_only=False)), t
+
+
+def _finish_cents(batch: pa.Table, key_col: str) -> pa.Table:
+    """Shared cents→float finisher for the windowed aggregates (one
+    copy of the rounding-sensitive math)."""
+    cents = np.asarray(batch["_sum_cents"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    n = np.asarray(batch["n_events"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    return pa.table(
+        {
+            "window_start": batch["window_start"],
+            key_col: batch[key_col],
+            "n_events": batch["n_events"].cast(pa.int64()),
+            "sum_value": pa.array(cents / 100.0, pa.float64()),
+            "avg_value": pa.array(cents / (100.0 * n), pa.float64()),
+        }
+    )
+
+
 def tumbling_window_agg(
     ds: ray.data.Dataset,
     *,
@@ -69,22 +98,9 @@ def tumbling_window_agg(
         )
     )
 
-    def finish(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        cents = np.asarray(batch["_sum_cents"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        n = np.asarray(batch["n_events"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        return pa.table(
-            {
-                "window_start": batch["window_start"],
-                key_col: batch[key_col],
-                "n_events": batch["n_events"].cast(pa.int64()),
-                "sum_value": pa.array(cents / 100.0, pa.float64()),
-                "avg_value": pa.array(cents / (100.0 * n), pa.float64()),
-            }
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(
+        lambda b: _finish_cents(b, key_col), batch_format="pyarrow"
+    )
 
 
 def hopping_window_agg(
@@ -108,10 +124,7 @@ def hopping_window_agg(
     hop_us = hop_minutes * 60 * 1_000_000
 
     def assign(batch: pa.Table) -> pa.Table:
-        ts = batch[ts_col]
-        if isinstance(ts, pa.ChunkedArray):
-            ts = ts.combine_chunks()
-        us = np.asarray(ts.cast(pa.int64()).to_numpy(zero_copy_only=False))
+        us, ts_type = _ts_us(batch[ts_col])
         base = (us // hop_us) * hop_us  # latest window containing the event
         cents = np.asarray(_to_cents(batch[value_col]).to_numpy(zero_copy_only=False))
         keys = batch[key_col]
@@ -121,7 +134,7 @@ def hopping_window_agg(
             tables.append(
                 pa.table(
                     {
-                        "window_start": pa.array(w).cast(ts.type),
+                        "window_start": pa.array(w).cast(ts_type),
                         key_col: keys,
                         "_cents": pa.array(cents),
                     }
@@ -137,20 +150,9 @@ def hopping_window_agg(
         .aggregate(Count(alias_name="n_events"), Sum("_cents", alias_name="_sum_cents"))
     )
 
-    def finish(batch: pa.Table) -> pa.Table:
-        cents = np.asarray(batch["_sum_cents"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        n = np.asarray(batch["n_events"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        return pa.table(
-            {
-                "window_start": batch["window_start"],
-                key_col: batch[key_col],
-                "n_events": batch["n_events"].cast(pa.int64()),
-                "sum_value": pa.array(cents / 100.0, pa.float64()),
-                "avg_value": pa.array(cents / (100.0 * n), pa.float64()),
-            }
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(
+        lambda b: _finish_cents(b, key_col), batch_format="pyarrow"
+    )
 
 
 def session_window_agg(
@@ -177,10 +179,7 @@ def session_window_agg(
     gap_us = gap_minutes * 60 * 1_000_000
 
     def tag(batch: pa.Table) -> pa.Table:
-        ts = batch[ts_col]
-        if isinstance(ts, pa.ChunkedArray):
-            ts = ts.combine_chunks()
-        us = np.asarray(ts.cast(pa.int64()).to_numpy(zero_copy_only=False))
+        us, _ts_type = _ts_us(batch[ts_col])
         users = np.asarray(batch[user_col].to_numpy(zero_copy_only=False), dtype=np.int64)
         cents = np.asarray(_to_cents(batch[value_col]).to_numpy(zero_copy_only=False))
         return pa.table(
@@ -193,6 +192,13 @@ def session_window_agg(
         )
 
     def sessions(group: pa.Table) -> pa.Table:
+        if not group.num_columns or not group.num_rows:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "session_start": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64()),
+                 "sum_value": pa.array([], pa.float64())}
+            )
         u = np.asarray(group["u"].to_numpy(zero_copy_only=False), dtype=np.int64)
         t = np.asarray(group["t"].to_numpy(zero_copy_only=False), dtype=np.int64)
         c = np.asarray(group["_cents"].to_numpy(zero_copy_only=False), dtype=np.int64)

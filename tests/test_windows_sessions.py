@@ -106,3 +106,36 @@ def test_simhash_neardup_exact_when_hamming_below_bands(ray_session):
     # banding with max_hamming <= bands-1 is EXACT: recall 1
     assert got == expect
     assert got[(0, 1)] == 0 and got[(0, 2)] == 0
+
+
+def test_window_aggs_normalize_timestamp_unit(ray_session):
+    """Regression: hopping/session cast ts to raw int64 ticks — for a
+    timestamp('ns') column (the pandas default) the tick constants
+    were interpreted 1000x too small.  All three window ops must give
+    identical results for us- and ns-unit inputs."""
+    rng = np.random.default_rng(8)
+    n = 400
+    base = 1_700_000_000_000_000  # us epoch
+    ts_us = base + np.sort(rng.integers(0, 6 * 3_600_000_000, size=n))
+    tbl_us = pa.table(
+        {
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "event_type": pa.array(rng.choice(["a", "b"], size=n)),
+            "user_id": pa.array(rng.integers(1, 9, size=n), pa.int64()),
+            "value": pa.array(np.round(rng.uniform(0, 50, size=n), 2)),
+        }
+    )
+    tbl_ns = tbl_us.set_column(0, "ts", tbl_us["ts"].cast(pa.timestamp("ns")))
+
+    def key_rows(tbl):
+        return sorted(map(tuple, tbl.to_pylist()[0].items())) if False else None
+
+    for fn, kw in (
+        (hopping_window_agg, dict(size_minutes=120, hop_minutes=60)),
+        (session_window_agg, dict(gap_minutes=30)),
+    ):
+        a = fn(ray.data.from_arrow(tbl_us), **kw).take_all()
+        b = fn(ray.data.from_arrow(tbl_ns), **kw).take_all()
+        norm = lambda rows: sorted(tuple(sorted(r.items())) for r in rows)
+        assert norm(a) == norm(b), fn.__name__
+        assert len(a) > 1
