@@ -346,6 +346,24 @@ def _main(argv: list[str] | None = None) -> int:
 
         import numpy as np
 
+        # buffer the current term ACROSS batch boundaries (a term whose
+        # rows straddle two batches printed as two lines before) and
+        # emit occurrences in (doc, field, token) order — sort("term")
+        # guarantees nothing within equal keys
+        cur_term = None
+        cur_d: list = []
+        cur_f: list = []
+        cur_t: list = []
+
+        def flush():
+            if cur_term is None:
+                return
+            d = np.asarray(np.concatenate(cur_d) if len(cur_d) > 1 else cur_d[0])
+            f = np.asarray(np.concatenate(cur_f) if len(cur_f) > 1 else cur_f[0])
+            t = np.asarray(np.concatenate(cur_t) if len(cur_t) > 1 else cur_t[0])
+            o = np.lexsort((t, f, d))
+            print(f"{cur_term} -> " + format_posting_text(d[o], f[o], t[o]))
+
         for batch in dump_postings_dataset(args.index).sort("term").iter_batches(
             batch_format="pyarrow"
         ):
@@ -356,13 +374,14 @@ def _main(argv: list[str] | None = None) -> int:
             start = 0
             for i in range(1, len(terms) + 1):
                 if i == len(terms) or terms[i] != terms[start]:
-                    print(
-                        f"{terms[start]} -> "
-                        + format_posting_text(
-                            np.asarray(d[start:i]), np.asarray(f[start:i]), np.asarray(t[start:i])
-                        )
-                    )
+                    if terms[start] != cur_term:
+                        flush()
+                        cur_term, cur_d, cur_f, cur_t = terms[start], [], [], []
+                    cur_d.append(d[start:i])
+                    cur_f.append(f[start:i])
+                    cur_t.append(t[start:i])
                     start = i
+        flush()
         return 0
 
     if args.verb == "meta-store":

@@ -165,6 +165,10 @@ def text_as_media(batch: pa.Table) -> pa.Table:
             "media_id": batch["doc_id"],
             "payload": pa.array(texts, pa.binary()),
             "media_type": pa.array(["image"] * len(texts), pa.string()),
-            "source": batch["source"] if "source" in batch.schema.names else pa.array([""] * len(texts)),
+            # explicit type: an inferred pa.array([]) is null-typed and
+            # a zero-row block's schema then fights the string blocks
+            "source": batch["source"]
+            if "source" in batch.schema.names
+            else pa.array([""] * len(texts), pa.string()),
         }
     )

@@ -82,6 +82,11 @@ def compact_index(
     old_segments = list(meta.segments)
     new_seg = f"compact-{len(old_segments):03d}-{int(meta.modified_at)}"
     seg_path = segment_dir(index_dir, new_seg)
+    if os.path.exists(seg_path):
+        # a crashed earlier attempt left a partial dir; the name is
+        # deterministic across retries and parquet writes APPEND, so
+        # reusing it would double every posting file (df/cf 2x)
+        shutil.rmtree(seg_path)
     os.makedirs(seg_path, exist_ok=True)
 
     import glob as _glob
@@ -100,12 +105,19 @@ def compact_index(
 
     def ensure_ndocs(b: pa.Table) -> pa.Table:
         # legacy (pre-n_docs) segments: per-block unique-doc proxy = df,
-        # the same fallback the searcher's catalog reader applies
+        # the same fallback the searcher's catalog reader applies.
+        # Emit the CANONICAL column order — merge_runs_batch concats
+        # its output with schema-ordered tables, and an appended
+        # n_docs at the end raised ArrowInvalid on legacy compactions
+        from ..state.index import POSTINGS_SCHEMA
+
         if "n_docs" not in b.column_names:
-            return b.append_column("n_docs", b["df"])
-        return b.set_column(
-            b.column_names.index("n_docs"), "n_docs", pc.coalesce(b["n_docs"], b["df"])
-        )
+            b = b.append_column("n_docs", b["df"])
+        else:
+            b = b.set_column(
+                b.column_names.index("n_docs"), "n_docs", pc.coalesce(b["n_docs"], b["df"])
+            )
+        return b.select(POSTINGS_SCHEMA.names)
 
     runs = ray.data.read_parquet(post_files).map_batches(ensure_ndocs, batch_format="pyarrow")
     merged = runs.sort("term").map_batches(
@@ -331,21 +343,41 @@ class DocStatsStage:
 
     The sha256 column is the per-row invariant the baseline requires
     (BASELINE.json ``input_hint``): it must equal a recomputation from
-    the original input table.
+    the original input table.  With ``text_cols`` (compound documents)
+    doc_len sums the per-field counts and sha256 hashes the
+    '\x1f'-joined fields — the SAME semantics as the fused invert
+    sentinel (``InvertStage._docstats_table``), so docs_meta and docs
+    agree; a prior version always read ``text_col``, which crashed (or
+    silently hashed the wrong column) on multi-field builds.
     """
 
-    def __init__(self, text_col: str, meta_cols: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        text_col: str,
+        meta_cols: tuple[str, ...] = (),
+        text_cols: "list[str] | None" = None,
+    ):
         from ..stages.invert import _warm_heap
 
         self.text_col = text_col
         self.meta_cols = meta_cols
+        self.text_cols = list(text_cols) if text_cols else None
         _warm_heap()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = [t if t is not None else "" for t in batch[self.text_col].to_pylist()]
+        if self.text_cols:
+            cols = [batch[c].to_pylist() for c in self.text_cols]
+            texts = ["\x1f".join(v or "" for v in row) for row in zip(*cols)]
+            lens = sum(
+                (np.asarray(token_counts(batch[c]), dtype=np.int64) for c in self.text_cols),
+                np.zeros(batch.num_rows, dtype=np.int64),
+            )
+        else:
+            texts = [t if t is not None else "" for t in batch[self.text_col].to_pylist()]
+            lens = token_counts(batch[self.text_col])
         out = {
             "doc_id": batch["doc_id"],
-            "doc_len": pa.array(token_counts(batch[self.text_col]), type=pa.int64()),
+            "doc_len": pa.array(np.asarray(lens, dtype=np.int64), type=pa.int64()),
             "sha256": pa.array(sha256_hex(texts), type=pa.string()),
         }
         for c in self.meta_cols:
@@ -353,11 +385,13 @@ class DocStatsStage:
         return pa.table(out)
 
 
-def _doc_stats_batch_fn(batch: pa.Table, *, text_col: str, meta_cols: tuple) -> pa.Table:
+def _doc_stats_batch_fn(
+    batch: pa.Table, *, text_col: str, meta_cols: tuple, text_cols=None
+) -> pa.Table:
     """Task-pool entry for :class:`DocStatsStage` — construction is
     config-only, so tasks beat an actor pool (see
     stages/invert.py:invert_batch_fn)."""
-    return DocStatsStage(text_col, meta_cols)(batch)
+    return DocStatsStage(text_col, meta_cols, text_cols)(batch)
 
 
 def _forward_file_batch_fn(batch: pa.Table, *, text_col: str, text_cols):
@@ -472,7 +506,7 @@ def build_index(
         ds = normalize_corpus(source, text_col, doc_id_col=doc_id_col, id_cols=id_cols, start_id=meta.next_doc_id)
     _mark("read_ids", t0)
 
-    if meta_cols and ds is not None:
+    if meta_cols:
         # metadata projection pass (only when extra doc columns are
         # requested — the common path fuses doc stats into the invert).
         # STREAMING: no corpus materialize — the invert below simply
@@ -480,10 +514,22 @@ def build_index(
         # than pinning the whole corpus in the object store; ids are
         # reproducible across executions (doc_id_col passes through,
         # assign_doc_ids is rank-of-unique-key and materializes only
-        # its own keyed intermediate once).
-        docs_ds = ds.map_batches(
+        # its own keyed intermediate once).  On the positional fast
+        # path (ds is None) the pass reads the corpus with the SAME
+        # positional ids — meta_cols used to be silently dropped there.
+        if ds is not None:
+            meta_src = ds
+        else:
+            from ..sources.corpus import read_corpus_with_ids
+
+            meta_src = read_corpus_with_ids(
+                source, columns=cols, start_id=meta.next_doc_id
+            )
+        docs_ds = meta_src.map_batches(
             _doc_stats_batch_fn,
-            fn_kwargs=dict(text_col=text_col, meta_cols=meta_cols),
+            fn_kwargs=dict(
+                text_col=text_col, meta_cols=meta_cols, text_cols=text_cols
+            ),
             batch_format="pyarrow",
             batch_size=batch_size,
         )
@@ -619,10 +665,14 @@ def build_index(
                 batch_size=1,
             )
         else:
+            # sort: custom doc_id_col batches can arrive in any order,
+            # and the forward range catalog's bounded walk-left assumes
+            # sorted near-disjoint per-file doc ranges (an unsorted
+            # write made stored docs unreachable)
             fwd = ds.map_batches(
                 lambda b: forward_batch(b, text_col, text_cols), batch_format="pyarrow",
                 batch_size=batch_size,
-            )
+            ).sort("doc_id")
         fwd.write_parquet(fwd_dir, row_group_size=2048)
         forward_ranges = _scan_doc_ranges(fwd_dir, seg_path)
         _mark("forward", t0)
@@ -637,9 +687,18 @@ def build_index(
     post_meta_cols = ["term", "bucket", "df", "cf", "max_tf", "n_docs", "first_doc", "last_doc"]
     post_dir = os.path.join(seg_path, "postings")
     try:
-        blocks_tbl = pq.read_table(post_dir, columns=post_meta_cols, filters=[("bucket", ">=", 0)])
-        if blocks_tbl.num_rows > 50_000_000:
+        # gate on FOOTER row counts BEFORE reading — the old order read
+        # the whole block-stats table onto the driver first and only
+        # then noticed it was too big to hold
+        import glob as _g
+
+        footer_rows = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _g.glob(os.path.join(post_dir, "**", "*.parquet"), recursive=True)
+        )
+        if footer_rows > 50_000_000:
             raise MemoryError("catalog too large for driver-side aggregate")
+        blocks_tbl = pq.read_table(post_dir, columns=post_meta_cols, filters=[("bucket", ">=", 0)])
         catalog_tbl = (
             blocks_tbl.group_by("term")
             .aggregate(

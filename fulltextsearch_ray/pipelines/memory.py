@@ -131,9 +131,16 @@ def build_in_memory(
         batch_format="pyarrow",
         batch_size=None,
     )
-    # in-memory materialization — the contract of this variant (blocks
-    # arrive in global term order from the sort)
+    # in-memory materialization — the contract of this variant.
+    # NOTE: merge_runs_batch reorders rows WITHIN a block (pass-through
+    # / hot / re-encoded tables concat per category), so the concat is
+    # NOT term-sorted; _read_term_rows binary-searches _post_terms, so
+    # re-sort here — without this, every fragmented (i.e. common) term
+    # silently vanished from in-memory search/BM25 results
     tbl = pa.concat_tables(ray.get(merged.to_arrow_refs()))
+    tbl = tbl.sort_by(
+        [("term", "ascending"), ("first_doc", "ascending"), ("block_id", "ascending")]
+    )
     is_sentinel = pc.starts_with(tbl["term"], DOCSTATS_TERM_PREFIX)
     docs = decode_docstats_rows(tbl.filter(is_sentinel).select(["docs", "tfs", "positions"]))
     docs = docs.take(pa.array(np.argsort(docs["doc_id"].to_numpy(zero_copy_only=False))))

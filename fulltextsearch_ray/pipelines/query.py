@@ -1082,7 +1082,15 @@ def dump_postings_dataset(index_dir: str) -> "ray.data.Dataset":
     import ray.data
 
     meta = load_meta(index_dir)
-    paths = [os.path.join(segment_dir(index_dir, s), "postings") for s in meta.segments]
+    # expand to FILES: ray.data.read_parquet accepts one directory or a
+    # list of files, but a LIST of directories fails at open time —
+    # multi-segment dumps crashed with 'path ... is a directory'
+    import glob as _glob
+
+    paths = []
+    for s in meta.segments:
+        d = os.path.join(segment_dir(index_dir, s), "postings")
+        paths.extend(sorted(_glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)))
 
     def decode_rows(batch: pa.Table) -> pa.Table:
         # drop fused doc-stats sentinel rows (term starts with '\x00')

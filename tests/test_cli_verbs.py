@@ -132,3 +132,23 @@ def test_cli_clean_error_surface(small_index, capsys):
     assert "query error:" in err and "Traceback" not in err
     assert main(["search", "--index", idx, "--query", "EDIT(apple,x)"]) == 2
     assert "query error:" in capsys.readouterr().err
+
+
+def test_print_merges_terms_across_segments(small_index, capsys, tmp_path):
+    """Regression pair: (a) a LIST of segment postings directories
+    crashed read_parquet ('path ... is a directory'); (b) a term whose
+    rows straddled a batch/segment boundary printed as multiple lines.
+    A two-segment index must print ONE line per term with occurrences
+    in (doc, field, token) order."""
+    corpus, _idx = small_index
+    idx2 = str(tmp_path / "idx2")
+    assert main(["index", "--input", corpus, "--index", idx2, "--num-buckets", "2"]) == 0
+    assert main(["index", "--input", corpus, "--index", idx2, "--num-buckets", "2"]) == 0
+    capsys.readouterr()
+    assert main(["print", "--index", idx2]) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if " -> " in l]
+    terms = [l.split(" -> ")[0] for l in lines]
+    assert len(terms) == len(set(terms)), "duplicate term lines"
+    apple = next(l for l in lines if l.startswith("apple -> "))
+    # docs 1,1,3 from session 1 and 4,4,6 from session 2, doc-ordered
+    assert apple == "apple -> [1,1,1], [1,1,3], [3,1,1], [4,1,1], [4,1,3], [6,1,1]"
