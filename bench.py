@@ -1,21 +1,24 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Phases (all run by default):
+Sections of the default (no-flag) run:
   build    — inverted-index build over the deterministic synthetic
-             source-code corpus (docs/s, occurrences/s) with
-             deterministic doc-id assignment.
+             source-code corpus (docs/s, occurrences/s), best of two.
   docs     — index build over the sf dir's ``documents.parquet``.
-  query    — BM25 top-10 p50/p99 latency over 200 generated queries
-             against the warm searcher + distributed SearcherStage
-             throughput.
+  query    — BM25 top-10 p50/p99 warm latency over 200 generated
+             queries + distributed SearcherStage pool throughput.
   ops      — representative training-data operators at the sf dir.
+  skew     — hot-term build + degenerate-MinHash-bucket probes.
+
+``--phase {build,query,skew}`` runs one section standalone (docs/ops
+only run in the full default pass).
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
 (default 32), GRAFT_BENCH_DOCS (synthetic corpus rows, default 20000).
 
-``--scaling`` runs the build phase twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both
-throughputs plus efficiency = T(32) / (4 * T(8)) — the sandbox
+``--scaling`` runs the build phase in FRESH processes at num_cpus =
+2, 8 and 32 on the same input (paired rounds, host probes per round;
+headline = MEDIAN paired 2→8 efficiency); ``--scaling-pairs`` runs the
+tight alternating 2↔8 protocol at 100k docs.  Both are the sandbox
 evidence protocol for the two-cluster-size criterion (BASELINE.md).
 """
 
@@ -86,8 +89,12 @@ def bench_docs_table(sf_dir: str) -> dict:
 
 def _query_set(searcher, n: int = 200) -> list[str]:
     rng = np.random.default_rng(7)
-    terms = searcher.terms.to_pylist()
-    top = sorted(terms)[: min(len(terms), 500)]
+    if searcher.terms is not None:
+        # the searcher's term column is already sorted — slice, don't
+        # materialize + re-sort the whole vocabulary
+        top = searcher.terms.slice(0, 500).to_pylist()
+    else:  # lazy paged-catalog mode exposes no terms array
+        top = [r["term"] for r in searcher.term_stats_dataset().take(500)]
     out = []
     for _ in range(n):
         k = int(rng.integers(1, 4))
@@ -102,7 +109,11 @@ def bench_query(index_dir: str, num_cpus: int) -> dict:
 
     s = IndexSearcher(index_dir)
     qs = _query_set(s)
-    # warm the posting cache with one pass, then measure per-query
+    # warm the posting cache with one UNTIMED pass, then measure — the
+    # old single loop both warmed and measured, so p99 was dominated by
+    # cold first-touch posting reads
+    for q in qs:
+        s.bm25_topk(q, k=10)
     lat = []
     for q in qs:
         t0 = time.perf_counter()
@@ -284,6 +295,27 @@ def _run_probe_child(_i: int) -> float:
     return _probe_once()
 
 
+def _child_build_dps(cpus: int, n_docs: int) -> float:
+    """Run `bench.py --phase build` in a fresh process and return its
+    docs/s.  Raises with the child's stderr tail on ANY failure — a
+    crashed child used to surface as an opaque IndexError on an empty
+    stdout, discarding hours of completed rounds and the diagnosis."""
+    env = dict(os.environ)
+    env["RAY_GRAFT_CPUS"] = str(cpus)
+    env["GRAFT_BENCH_DOCS"] = str(n_docs)
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--phase", "build"],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+    if p.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"child build at {cpus} cpus failed (rc={p.returncode}); "
+            f"stderr tail: {p.stderr[-800:]}"
+        )
+    return json.loads(lines[-1])["queries"]["build_docs_per_sec"]
+
+
 def run_scaling(n_docs: int, repeats: int = 3) -> dict:
     """Fresh-process build bench at num_cpus = 2, 8 and 32 on the same
     input; reports N→4N efficiency for (2→8) and (8→32).
@@ -294,10 +326,11 @@ def run_scaling(n_docs: int, repeats: int = 3) -> dict:
     independently across rounds lets one fast 2-cpu window deflate the
     ratio (round-3 measured 0.61-0.65 that way, vs 0.80+ in rounds
     1-2).  Within one round the three levels run back-to-back, so the
-    round's own ratio largely cancels host speed; the headline is the
-    BEST paired round (same spirit as the repo's best-of-N
-    convention), with the per-round table + a single-thread host-speed
-    probe emitted alongside for adjudication.
+    round's own ratio largely cancels host speed; the HEADLINE is the
+    MEDIAN paired round (best-paired can exceed 1.0 whenever the 2-cpu
+    level draws a slow window — equally drift, opposite sign), with
+    the per-round table + host-speed probes emitted alongside for
+    adjudication.
 
     CPU PINNING: each level's whole process tree (driver, raylet,
     object store, workers) is pinned with ``taskset -c 0-(N-1)`` when
@@ -332,17 +365,22 @@ def run_scaling(n_docs: int, repeats: int = 3) -> dict:
             "pinned": bool(pin),
         }
         for cpus in (2, 8, 32):
-            env = dict(os.environ)
-            env["RAY_GRAFT_CPUS"] = str(cpus)
-            env["GRAFT_BENCH_DOCS"] = str(n_docs)
-            argv = [sys.executable, os.path.abspath(__file__), "--phase", "build"]
-            if pin:
-                argv = ["taskset", "-c", f"0-{cpus - 1}"] + argv
-            p = subprocess.run(
-                argv, capture_output=True, text=True, env=env, timeout=3600,
-            )
-            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r[f"dps_{cpus}"] = json.loads(line)["queries"]["build_docs_per_sec"]
+            if pin:  # pinning needs the explicit argv form
+                env = dict(os.environ)
+                env["RAY_GRAFT_CPUS"] = str(cpus)
+                env["GRAFT_BENCH_DOCS"] = str(n_docs)
+                argv = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+                        os.path.abspath(__file__), "--phase", "build"]
+                p = subprocess.run(argv, capture_output=True, text=True, env=env, timeout=3600)
+                lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+                if p.returncode != 0 or not lines:
+                    raise RuntimeError(
+                        f"pinned child build at {cpus} cpus failed (rc={p.returncode}); "
+                        f"stderr tail: {p.stderr[-800:]}"
+                    )
+                r[f"dps_{cpus}"] = json.loads(lines[-1])["queries"]["build_docs_per_sec"]
+            else:
+                r[f"dps_{cpus}"] = _child_build_dps(cpus, n_docs)
         r["eff_2_8"] = round(r["dps_8"] / (4 * r["dps_2"]), 3) if r["dps_2"] else 0.0
         r["eff_8_32"] = round(r["dps_32"] / (4 * r["dps_8"]), 3) if r["dps_8"] else 0.0
         rounds.append(r)
@@ -389,15 +427,7 @@ def run_scaling_pairs(n_docs: int = 100_000, pairs: int = 5) -> dict:
     for i in range(pairs):
         r: dict = {"probe": _host_speed_probe(), "probe8": _host_parallel_probe()}
         for cpus in (2, 8):
-            env = dict(os.environ)
-            env["RAY_GRAFT_CPUS"] = str(cpus)
-            env["GRAFT_BENCH_DOCS"] = str(n_docs)
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--phase", "build"],
-                capture_output=True, text=True, env=env, timeout=3600,
-            )
-            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r[f"dps_{cpus}"] = json.loads(line)["queries"]["build_docs_per_sec"]
+            r[f"dps_{cpus}"] = _child_build_dps(cpus, n_docs)
         r["eff_2_8"] = round(r["dps_8"] / (4 * r["dps_2"]), 3) if r["dps_2"] else 0.0
         rounds.append(r)
         print(json.dumps({"scaling_pair": i, **r}), file=sys.stderr)
@@ -437,12 +467,18 @@ def main():
             n_docs = 200_000
         out = run_scaling(n_docs, repeats=int(os.environ.get("GRAFT_SCALING_REPEATS", "2")))
         print(json.dumps({"metric": "scaling_efficiency", "value": out["scaling_efficiency"],
-                          "unit": "ratio", "queries": out, "sf": sf_dir, "num_cpus": [8, 32]}))
+                          "unit": "ratio", "queries": out, "sf": sf_dir,
+                          "num_cpus": [2, 8, 32]}))
         return
 
     phase = None
     if "--phase" in args:
         phase = args[args.index("--phase") + 1]
+        if phase not in ("build", "query", "skew"):
+            # an unknown phase used to run NOTHING and print a vacuous
+            # zero-op metrics line with exit 0
+            print(f"unknown --phase {phase!r} (one of: build, query, skew)", file=sys.stderr)
+            sys.exit(2)
 
     import ray
 

@@ -62,6 +62,13 @@ def main():
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            # a typo'd name used to be silently skipped -> 'all passed'
+            # with ZERO checks run
+            print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+            sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
