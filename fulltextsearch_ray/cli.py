@@ -114,6 +114,11 @@ def _main(argv: list[str] | None = None) -> int:
         "(term dictionary for search/lookup --term-dict fst)",
     )
     p_fst.add_argument("--index", required=True)
+    p_fst.add_argument("--shard-terms", type=int, default=1_000_000,
+                       help="terms per FST shard; past this the build shards "
+                            "contiguous term ranges and compiles them in "
+                            "PARALLEL (Ray tasks) — the single-writer limit "
+                            "stops gating vocabulary size")
 
     p_annb = sub.add_parser("ann-build", help="train + persist an IVF ANN index over an embeddings parquet")
     p_annb.add_argument("--input", required=True, help="parquet with (vec_id, embedding) columns")
@@ -418,10 +423,13 @@ def _main(argv: list[str] | None = None) -> int:
     if args.verb == "fst-build":
         from .state.fst_store import build_fst_sidecar
 
-        info = build_fst_sidecar(args.index)
+        if args.shard_terms and args.shard_terms > 0:
+            _ensure_ray()  # shards compile as parallel Ray tasks
+        info = build_fst_sidecar(args.index, shard_terms=args.shard_terms or 1_000_000)
+        n_sh = len(info.get("shards", [])) or 1
         print(
             f"FST: {info['n_terms']} terms, {info['n_bytes']} bytes, "
-            f"time: {time.time() - t0:.3f}s"
+            f"{n_sh} shard(s), time: {time.time() - t0:.3f}s"
         )
         return 0
 

@@ -10,9 +10,17 @@ expansions from a compressed, offset-addressed image.
 
 Scale shape: the build STREAMS each segment's term-sorted catalog row
 group by row group (never the whole vocabulary in memory) and k-way
-merges segments with ``heapq.merge``; FST construction itself is the
-classic single sequential writer (Lucene does the same).  Output per
-term is its ordinal in the merged vocabulary."""
+merges segments with ``heapq.merge``.  FST construction itself is the
+classic single sequential writer (Lucene does the same) — so past
+``shard_terms`` terms the sidecar SHARDS: contiguous term ranges
+compile to independent per-range FST images IN PARALLEL (Ray tasks
+when a session is live, sequential otherwise), and
+:class:`ShardedFst` serves the union (range-dispatched ``try_match``,
+in-order ``match``/``items`` across shards with ``matcher.reset()``
+between).  Output per term is its GLOBAL ordinal in the merged
+vocabulary (per-shard images store local ordinals; the wrapper adds
+each shard's base).  Driver memory during a sharded build is one
+shard's term list, never the vocabulary."""
 
 from __future__ import annotations
 
@@ -75,33 +83,130 @@ def fst_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "fst")
 
 
-def build_fst_sidecar(index_dir: str) -> dict:
-    """Compile the index vocabulary to ``<index>/fst/terms.fst``.
-    Returns build stats (n_terms, n_bytes)."""
+def _build_shard_bytes(terms: list[str]) -> bytes:
+    return build_fst_from_terms(terms).get_bytes()
+
+
+class ShardedFst:
+    """Union view over contiguous-range FST shards — same query surface
+    as :class:`Fst` (``in`` / ``try_match`` / ``match`` / ``items``),
+    global ordinals via per-shard bases."""
+
+    def __init__(self, shards: "list[tuple[str, str, int, Fst]]"):
+        # (term_min, term_max, base_ordinal, fst) in range order
+        self.shards = shards
+        self.n_terms = sum(f.n_terms for *_m, f in shards)
+        self._mins = [m for m, *_ in shards]
+
+    def try_match(self, term: str):
+        import bisect
+
+        i = bisect.bisect_right(self._mins, term) - 1
+        if i < 0:
+            return False, None
+        mn, mx, base, fst = self.shards[i]
+        if term > mx:
+            return False, None
+        ok, out = fst.try_match(term)
+        return (True, out + base) if ok else (False, None)
+
+    def __contains__(self, term: str) -> bool:
+        return self.try_match(term)[0]
+
+    def match(self, matcher):
+        for *_range, fst in self.shards:
+            matcher.reset()
+            yield from fst.match(matcher)
+
+    def items(self):
+        for _mn, _mx, base, fst in self.shards:
+            for t, o in fst.items():
+                yield t, o + base
+
+
+def build_fst_sidecar(index_dir: str, *, shard_terms: int = 1_000_000) -> dict:
+    """Compile the index vocabulary to ``<index>/fst/terms.fst`` (or
+    ``terms-NNNNN.fst`` shards past ``shard_terms`` terms per shard —
+    built in parallel as Ray tasks when a session is live).  Returns
+    build stats (n_terms, n_bytes, n_shards)."""
     meta = load_meta(index_dir)
     segments = list(meta.segments)
-    fst = build_fst_from_terms(iter_index_terms(index_dir, segments))
     d = fst_dir(index_dir)
     os.makedirs(d, exist_ok=True)
-    data = fst.get_bytes()
-    tmp = os.path.join(d, FST_FILE + ".tmp")
-    with open(tmp, "wb") as fh:
-        fh.write(data)
-    os.replace(tmp, os.path.join(d, FST_FILE))
-    info = {"segments": segments, "n_terms": fst.n_terms, "n_bytes": len(data)}
+
+    shard_lists: list[list[str]] = []
+    cur: list[str] = []
+    for t in iter_index_terms(index_dir, segments):
+        cur.append(t)
+        if len(cur) >= shard_terms:
+            shard_lists.append(cur)
+            cur = []
+    if cur or not shard_lists:
+        shard_lists.append(cur)
+
+    if len(shard_lists) == 1:
+        fst = build_fst_from_terms(shard_lists[0])
+        data = fst.get_bytes()
+        tmp = os.path.join(d, FST_FILE + ".tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, os.path.join(d, FST_FILE))
+        info = {"segments": segments, "n_terms": fst.n_terms, "n_bytes": len(data)}
+        with open(os.path.join(d, FST_META), "w") as fh:
+            json.dump(info, fh)
+        return info
+
+    # sharded: independent contiguous ranges build in parallel
+    try:
+        import ray
+
+        use_ray = ray.is_initialized()
+    except ImportError:
+        use_ray = False
+    if use_ray:
+        import ray
+
+        task = ray.remote(_build_shard_bytes)
+        blobs = ray.get([task.remote(ts) for ts in shard_lists])
+    else:
+        blobs = [_build_shard_bytes(ts) for ts in shard_lists]
+
+    shard_meta = []
+    base = 0
+    total_bytes = 0
+    for i, (ts, blob) in enumerate(zip(shard_lists, blobs)):
+        fname = f"terms-{i:05d}.fst"
+        tmp = os.path.join(d, fname + ".tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, os.path.join(d, fname))
+        shard_meta.append(
+            {"file": fname, "term_min": ts[0], "term_max": ts[-1],
+             "base": base, "n_terms": len(ts)}
+        )
+        base += len(ts)
+        total_bytes += len(blob)
+    info = {
+        "segments": segments, "n_terms": base, "n_bytes": total_bytes,
+        "shards": shard_meta,
+    }
     with open(os.path.join(d, FST_META), "w") as fh:
         json.dump(info, fh)
+    # remove a stale single-image file so the two formats never coexist
+    single = os.path.join(d, FST_FILE)
+    if os.path.exists(single):
+        os.remove(single)
     return info
 
 
-def load_fst_sidecar(index_dir: str, segments: list[str]) -> "Fst | None":
+def load_fst_sidecar(index_dir: str, segments: list[str]) -> "Fst | ShardedFst | None":
     """Load the sidecar if present AND built over exactly the current
     segment list; None otherwise (caller falls back to building from
     the catalogs)."""
     d = fst_dir(index_dir)
     meta_path = os.path.join(d, FST_META)
     data_path = os.path.join(d, FST_FILE)
-    if not (os.path.exists(meta_path) and os.path.exists(data_path)):
+    if not os.path.exists(meta_path):
         return None
     try:
         with open(meta_path) as fh:
@@ -110,5 +215,17 @@ def load_fst_sidecar(index_dir: str, segments: list[str]) -> "Fst | None":
         return None
     if list(info.get("segments", [])) != list(segments):
         return None  # stale: segments were added/compacted since
+    if "shards" in info:
+        shards = []
+        # (terms.fst absent by design in the sharded format)
+        for sm in info["shards"]:
+            p = os.path.join(d, sm["file"])
+            if not os.path.exists(p):
+                return None
+            with open(p, "rb") as fh:
+                shards.append((sm["term_min"], sm["term_max"], int(sm["base"]), Fst(fh.read())))
+        return ShardedFst(shards)
+    if not os.path.exists(data_path):
+        return None
     with open(data_path, "rb") as fh:
         return Fst(fh.read())

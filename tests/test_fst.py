@@ -286,3 +286,54 @@ def test_int_output_large_values_roundtrip():
     for k, v in pairs:
         ok, got = f.try_match(k)
         assert ok and got == v, (k, v, got)
+
+
+def test_sharded_fst_sidecar_parity(ray_session, tmp_path):
+    """A sharded sidecar (tiny shard_terms forces several parallel
+    range images) must serve EXACTLY what the single image serves:
+    membership, global ordinals, dictionary∩automaton enumeration,
+    items order — and the searcher must transparently use it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fulltextsearch_ray.dfa import WildcardDfaMatcher
+    from fulltextsearch_ray.pipelines.build import build_index
+    from fulltextsearch_ray.pipelines.query import IndexSearcher
+    from fulltextsearch_ray.state.fst_store import (
+        build_fst_sidecar,
+        iter_index_terms,
+        load_fst_sidecar,
+    )
+    from fulltextsearch_ray.fst import build_fst
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    words = [f"w{i:03d}" for i in range(40)] + ["apple", "apply", "apt", "zebra"]
+    pq.write_table(
+        pa.table({"content": pa.array([" ".join(words[i::3]) for i in range(3)])}),
+        str(corpus / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(str(corpus), idx, text_col="content", num_buckets=2, overwrite=True)
+
+    info = build_fst_sidecar(idx, shard_terms=7)
+    assert len(info["shards"]) > 3
+    from fulltextsearch_ray.state.index import load_meta
+
+    segs = list(load_meta(idx).segments)
+    sharded = load_fst_sidecar(idx, segs)
+    vocab = list(iter_index_terms(idx, segs))
+    single = build_fst([(t, i) for i, t in enumerate(vocab)])
+
+    for t in vocab + ["nope", "", "zzzz"]:
+        assert (t in sharded) == (t in single), t
+        assert sharded.try_match(t) == single.try_match(t), t
+    assert list(sharded.items()) == list(single.items())
+    got = list(sharded.match(WildcardDfaMatcher("ap*")))
+    assert got == [t for t in vocab if t.startswith("ap")]
+
+    s = IndexSearcher(idx, term_dict="fst")
+    assert s.lookup("WILD(ap*)") == got
+    # staleness: a new segment invalidates the sharded sidecar too
+    build_index(str(corpus), idx, text_col="content", num_buckets=2)
+    assert load_fst_sidecar(idx, list(load_meta(idx).segments)) is None
