@@ -422,10 +422,21 @@ def _main(argv: list[str] | None = None) -> int:
 
     if args.verb == "fst-build":
         from .state.fst_store import build_fst_sidecar
+        from .state.index import load_manifest, load_meta
 
-        if args.shard_terms and args.shard_terms > 0:
+        if args.shard_terms < 1:
+            print("fst-build error: --shard-terms must be >= 1", file=sys.stderr)
+            return 2
+        # init Ray only when the vocabulary will actually shard (sum of
+        # per-segment term counts is an upper bound on distinct terms)
+        try:
+            m = load_meta(args.index)
+            n_upper = sum(load_manifest(args.index, s).num_terms for s in m.segments)
+        except Exception:
+            n_upper = 0
+        if n_upper > args.shard_terms:
             _ensure_ray()  # shards compile as parallel Ray tasks
-        info = build_fst_sidecar(args.index, shard_terms=args.shard_terms or 1_000_000)
+        info = build_fst_sidecar(args.index, shard_terms=args.shard_terms)
         n_sh = len(info.get("shards", [])) or 1
         print(
             f"FST: {info['n_terms']} terms, {info['n_bytes']} bytes, "

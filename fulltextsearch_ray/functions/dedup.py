@@ -1017,6 +1017,13 @@ def embedding_neardup_pairs(
         f = ds.schema().base_schema.field(vec_col).type
         if pa.types.is_fixed_size_list(f):
             dim = int(f.list_size)
+        elif pa.types.is_list(f) or pa.types.is_large_list(f):
+            # variable list (this repo's own layout): measure ONE row —
+            # assuming a small dim here let a 4096-dim corpus blow past
+            # the ~128 MB gather cap by 16×
+            row = ds.limit(1).take_all()
+            if row and row[0].get(vec_col) is not None:
+                dim = len(row[0][vec_col])
     except Exception:
         dim = 0
     row_bytes = (dim or 256) * 8 + 24

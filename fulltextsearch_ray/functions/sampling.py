@@ -116,7 +116,10 @@ def _cached_offsets(ref):
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     hit = _OFFSETS_CACHE.get(key)
     if hit is None:
-        _OFFSETS_CACHE.clear()  # one live broadcast per op; drop stale
+        # bounded FIFO of 2: clear-all would thrash when two concurrent
+        # pack_sequences ops interleave groups on one worker
+        while len(_OFFSETS_CACHE) >= 2:
+            _OFFSETS_CACHE.pop(next(iter(_OFFSETS_CACHE)))
         hit = _OFFSETS_CACHE[key] = ray.get(ref)
     return hit
 

@@ -21,10 +21,11 @@ __all__ = ["group_varint_encode", "group_varint_decode"]
 
 def group_varint_encode(values: np.ndarray) -> bytes:
     values = np.asarray(values)
-    if len(values) and int(values.max()) >= (1 << 32):
+    if len(values) and (int(values.max()) >= (1 << 32) or int(values.min()) < 0):
         # the group-varint wire format is 32-bit; an unsafe cast would
-        # wrap values mod 2^32 and decode a DIFFERENT doc id silently
-        raise ValueError("group_varint_encode: value exceeds 32 bits")
+        # wrap out-of-range values mod 2^32 and decode a DIFFERENT
+        # value silently (negatives included)
+        raise ValueError("group_varint_encode: value outside [0, 2^32)")
     v = np.ascontiguousarray(values, dtype=np.uint32)
     n = len(v)
     if n == 0:

@@ -129,34 +129,13 @@ def build_fst_sidecar(index_dir: str, *, shard_terms: int = 1_000_000) -> dict:
     ``terms-NNNNN.fst`` shards past ``shard_terms`` terms per shard —
     built in parallel as Ray tasks when a session is live).  Returns
     build stats (n_terms, n_bytes, n_shards)."""
+    if shard_terms < 1:
+        raise ValueError("shard_terms must be >= 1")
     meta = load_meta(index_dir)
     segments = list(meta.segments)
     d = fst_dir(index_dir)
     os.makedirs(d, exist_ok=True)
 
-    shard_lists: list[list[str]] = []
-    cur: list[str] = []
-    for t in iter_index_terms(index_dir, segments):
-        cur.append(t)
-        if len(cur) >= shard_terms:
-            shard_lists.append(cur)
-            cur = []
-    if cur or not shard_lists:
-        shard_lists.append(cur)
-
-    if len(shard_lists) == 1:
-        fst = build_fst_from_terms(shard_lists[0])
-        data = fst.get_bytes()
-        tmp = os.path.join(d, FST_FILE + ".tmp")
-        with open(tmp, "wb") as fh:
-            fh.write(data)
-        os.replace(tmp, os.path.join(d, FST_FILE))
-        info = {"segments": segments, "n_terms": fst.n_terms, "n_bytes": len(data)}
-        with open(os.path.join(d, FST_META), "w") as fh:
-            json.dump(info, fh)
-        return info
-
-    # sharded: independent contiguous ranges build in parallel
     try:
         import ray
 
@@ -167,24 +146,57 @@ def build_fst_sidecar(index_dir: str, *, shard_terms: int = 1_000_000) -> dict:
         import ray
 
         task = ray.remote(_build_shard_bytes)
-        blobs = ray.get([task.remote(ts) for ts in shard_lists])
-    else:
-        blobs = [_build_shard_bytes(ts) for ts in shard_lists]
+
+    # STREAM shards: dispatch (or build) each range as soon as its list
+    # fills and DROP the list — driver memory is one shard's terms plus
+    # per-shard (min, max, count) metadata, never the vocabulary.  The
+    # serialized term lists live in the object store while Ray tasks
+    # run (spillable); blobs come back in dispatch order.
+    pending: list = []  # (term_min, term_max, n, future_or_bytes)
+    cur: list[str] = []
+
+    def dispatch(ts: list[str]) -> None:
+        fut = task.remote(ts) if use_ray else _build_shard_bytes(ts)
+        pending.append((ts[0] if ts else "", ts[-1] if ts else "", len(ts), fut))
+
+    n_shards_guess = 0
+    for t in iter_index_terms(index_dir, segments):
+        cur.append(t)
+        if len(cur) >= shard_terms:
+            dispatch(cur)
+            n_shards_guess += 1
+            cur = []
+    if cur or not pending:
+        # final partial shard (or an empty vocabulary)
+        if len(pending) == 0:
+            # single image — keep the compact legacy format
+            fst = build_fst_from_terms(cur)
+            data = fst.get_bytes()
+            tmp = os.path.join(d, FST_FILE + ".tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, os.path.join(d, FST_FILE))
+            info = {"segments": segments, "n_terms": fst.n_terms, "n_bytes": len(data)}
+            with open(os.path.join(d, FST_META), "w") as fh:
+                json.dump(info, fh)
+            return info
+        dispatch(cur)
+        cur = []
 
     shard_meta = []
     base = 0
     total_bytes = 0
-    for i, (ts, blob) in enumerate(zip(shard_lists, blobs)):
+    for i, (mn, mx, n, fut) in enumerate(pending):
+        blob = ray.get(fut) if use_ray else fut
         fname = f"terms-{i:05d}.fst"
         tmp = os.path.join(d, fname + ".tmp")
         with open(tmp, "wb") as fh:
             fh.write(blob)
         os.replace(tmp, os.path.join(d, fname))
         shard_meta.append(
-            {"file": fname, "term_min": ts[0], "term_max": ts[-1],
-             "base": base, "n_terms": len(ts)}
+            {"file": fname, "term_min": mn, "term_max": mx, "base": base, "n_terms": n}
         )
-        base += len(ts)
+        base += n
         total_bytes += len(blob)
     info = {
         "segments": segments, "n_terms": base, "n_bytes": total_bytes,
