@@ -295,6 +295,60 @@ def _run_probe_child(_i: int) -> float:
     return _probe_once()
 
 
+class _RayCpuSampler:
+    """Background /proc sampler: total CPU-seconds consumed by every
+    Ray-related process (driver, raylet, GCS, workers, plasma) during
+    a window.  `num_cpus` is only a SCHEDULING token — this measures
+    how many real cores an N-cpu level actually burns, so paired
+    scaling ratios can be core-normalized instead of hand-waved.
+    Per-pid CPU is tracked monotonically; processes that exit keep
+    their last observed total (undercounts at most one sample
+    interval per process)."""
+
+    _PATTERNS = (b"ray::", b"raylet", b"default_worker", b"gcs_server",
+                 b"plasma", b"bench.py")
+
+    def __init__(self, interval: float = 0.25):
+        import threading
+
+        self.interval = interval
+        self.totals: dict[str, float] = {}
+        self._stop = threading.Event()
+        self._self = str(os.getpid())
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        tick = os.sysconf("SC_CLK_TCK")
+        while not self._stop.wait(self.interval):
+            for pid in os.listdir("/proc"):
+                if not pid.isdigit() or pid == self._self:
+                    continue
+                try:
+                    with open(f"/proc/{pid}/cmdline", "rb") as f:
+                        cmd = f.read()
+                    if not any(pat in cmd for pat in self._PATTERNS):
+                        continue
+                    with open(f"/proc/{pid}/stat") as f:
+                        parts = f.read().rsplit(") ", 1)[1].split()
+                except OSError:
+                    continue
+                cpu = (int(parts[11]) + int(parts[12])) / tick  # utime+stime
+                key = f"{pid}"
+                if cpu > self.totals.get(key, 0.0):
+                    self.totals[key] = cpu
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+    def total(self) -> float:
+        return sum(self.totals.values())
+
+
 def _child_build_dps(cpus: int, n_docs: int) -> float:
     """Run `bench.py --phase build` in a fresh process and return its
     docs/s.  Raises with the child's stderr tail on ANY failure — a
@@ -427,8 +481,22 @@ def run_scaling_pairs(n_docs: int = 100_000, pairs: int = 5) -> dict:
     for i in range(pairs):
         r: dict = {"probe": _host_speed_probe(), "probe8": _host_parallel_probe()}
         for cpus in (2, 8):
-            r[f"dps_{cpus}"] = _child_build_dps(cpus, n_docs)
+            t0 = time.perf_counter()
+            with _RayCpuSampler() as smp:
+                r[f"dps_{cpus}"] = _child_build_dps(cpus, n_docs)
+            wall = time.perf_counter() - t0
+            r[f"cores_{cpus}"] = round(smp.total() / wall, 2)
+            # raw CPU-seconds: per-doc CPU (cpu / docs) compares levels
+            # without the wall-average dilution from init/setup phases
+            r[f"cpu_s_{cpus}"] = round(smp.total(), 1)
         r["eff_2_8"] = round(r["dps_8"] / (4 * r["dps_2"]), 3) if r["dps_2"] else 0.0
+        # per-real-core throughput ratio: measured cores replace the
+        # nominal 4x, evidencing the num_cpus-is-a-token structural
+        # floor with data instead of argument
+        if r["cores_2"] and r["cores_8"] and r["dps_2"]:
+            r["eff_core_norm"] = round(
+                (r["dps_8"] / r["cores_8"]) / (r["dps_2"] / r["cores_2"]), 3
+            )
         rounds.append(r)
         print(json.dumps({"scaling_pair": i, **r}), file=sys.stderr)
     effs = sorted(r["eff_2_8"] for r in rounds)
