@@ -1165,20 +1165,24 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": f"""
             WITH {TOKENS_CTE},
             agg AS (SELECT doc_id, list(term ORDER BY token_id) AS toks FROM tokens GROUP BY doc_id),
+            -- shingles grouped by the SAME 64-bit md5 prefix as the
+            -- Ray pair stage (functions/dedup.py:ngram_jaccard_pairs),
+            -- so grouping — collisions included — is mirrored exactly
+            -- (same device as the dup_spans oracle)
             sh AS (
               SELECT DISTINCT doc_id,
-                array_to_string(toks[i:i+2], ' ') AS shingle
+                ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 16))::UBIGINT AS h
               FROM (SELECT doc_id, toks,
                       unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
                     FROM agg)),
             sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
             -- stop-shingle filter: shingles with df > cap are dropped
             -- from the pair stage (mirrors shingle_df_cap=256)
-            hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 256),
+            hot AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 256),
             common AS (
               SELECT a.doc_id AS a, b.doc_id AS b, count(*)::DOUBLE AS c
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              WHERE a.shingle NOT IN (SELECT shingle FROM hot)
+              FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+              WHERE a.h NOT IN (SELECT h FROM hot)
               GROUP BY a.doc_id, b.doc_id)
             SELECT common.a::BIGINT AS a, common.b::BIGINT AS b,
                    {_r6('common.c / (sa.n + sb.n - common.c)')} AS jaccard

@@ -7,7 +7,8 @@ Sections of the default (no-flag) run:
   query    — BM25 top-10 p50/p99 warm latency over 200 generated
              queries + distributed SearcherStage pool throughput.
   ops      — representative training-data operators at the sf dir.
-  skew     — hot-term build + degenerate-MinHash-bucket probes.
+  skew     — hot-term build + degenerate-MinHash-bucket + 30%-dup
+             spans/cut probes (both budget regimes).
 
 ``--phase {build,query,skew}`` runs one section standalone (docs/ops
 only run in the full default pass).
@@ -31,6 +32,16 @@ import sys
 import time
 
 import numpy as np
+
+# Bench protocol version, stamped into every JSON line so cross-round
+# comparisons know when numbers are incomparable by construction:
+#   1 — rounds 1-3: BM25 latency measured cold (first loop both warmed
+#       and measured), pool qps over a single 200-query set (actor
+#       cold-start dominated).
+#   2 — round 4+: BM25 latency after an untimed warm-up pass; pool qps
+#       over a GRAFT_POOL_MULT× multiset (steady-state serving).
+#   3 — round 5+: adds the spans/cut skew probe (skew phase).
+PROTOCOL_VERSION = 3
 
 
 def _init_ray(num_cpus: int):
@@ -254,6 +265,23 @@ def bench_skew(n_docs: int = 20000) -> dict:
     t0 = time.perf_counter()
     minhash_lsh_pairs(ds, num_perm=64, bands=16, threshold=0.5).count()
     out["minhash_degenerate_bucket_sec"] = round(time.perf_counter() - t0, 3)
+    # --- (c) spans/cut on the same 30%-duplicated corpus (protocol v3):
+    # every copy of the shared text marks the same window hashes, so the
+    # duplicated-hash set is tiny but EVERY duplicated doc rebuilds.
+    # Run both budget regimes: broadcast (the default) and budget 0
+    # (the distributed semi-join / co-group rebuild a 100 TB corpus
+    # always takes) so the scale path has a recorded number.
+    from fulltextsearch_ray.functions.spans import cut_dup_spans, dup_spans
+
+    t0 = time.perf_counter()
+    dup_spans(ds, gram_len=4, min_count=2).count()
+    out["spans_degenerate_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    cut_dup_spans(ds, gram_len=4, min_count=2).count()
+    out["cut_spans_degenerate_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    cut_dup_spans(ds, gram_len=4, min_count=2, broadcast_budget=0).count()
+    out["cut_spans_degenerate_budget0_sec"] = round(time.perf_counter() - t0, 3)
     return out
 
 
@@ -524,7 +552,8 @@ def main():
             pairs=int(os.environ.get("GRAFT_SCALING_REPEATS", "5")),
         )
         print(json.dumps({"metric": "scaling_efficiency", "value": out["scaling_efficiency"],
-                          "unit": "ratio", "queries": out, "sf": sf_dir, "num_cpus": [2, 8]}))
+                          "unit": "ratio", "queries": out, "sf": sf_dir, "num_cpus": [2, 8],
+                          "protocol_version": PROTOCOL_VERSION}))
         return
 
     if "--scaling" in args:
@@ -536,7 +565,7 @@ def main():
         out = run_scaling(n_docs, repeats=int(os.environ.get("GRAFT_SCALING_REPEATS", "2")))
         print(json.dumps({"metric": "scaling_efficiency", "value": out["scaling_efficiency"],
                           "unit": "ratio", "queries": out, "sf": sf_dir,
-                          "num_cpus": [2, 8, 32]}))
+                          "num_cpus": [2, 8, 32], "protocol_version": PROTOCOL_VERSION}))
         return
 
     phase = None
@@ -592,6 +621,7 @@ def main():
         "queries": q,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "protocol_version": PROTOCOL_VERSION,
     }))
     ray.shutdown()
 

@@ -538,22 +538,33 @@ def _simhash_packed(batch: pa.Table, text_col: str) -> np.ndarray:
     return out
 
 
+def _hex16(packed: np.ndarray) -> pa.Array:
+    """uint64 → 16-char lowercase hex, fully vectorized: nibble matrix
+    (high→low) through a hex LUT into one fixed-width ASCII byte block,
+    wrapped as an Arrow string array via from_buffers (offsets are just
+    0,16,32,… — no per-row Python format())."""
+    n = len(packed)
+    shifts = (np.arange(15, -1, -1) * 4).astype(np.uint64)
+    nibbles = (packed[:, None] >> shifts[None, :]) & np.uint64(0xF)
+    lut = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+    chars = lut[nibbles.astype(np.intp)]  # (n, 16) ASCII bytes
+    offsets = np.arange(0, 16 * (n + 1), 16, dtype=np.int32)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(chars.tobytes())
+    )
+
+
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit SimHash per doc: bit b of md5_u64(term), weighted by tf,
     sign-summed.  Exact twin of the SQL oracle (same md5-derived bits).
 
-    Vectorized: Arrow tokenize + (doc, term) tf grouping, ONE DuckDB
-    md5 pass over distinct (doc, term) rows, numpy (rows × 64) bit
-    matrix with per-doc segmented reduction — no per-document loop
-    (hex formatting of the PUBLIC output is the only per-row step).
+    Vectorized end-to-end: Arrow tokenize + (doc, term) tf grouping,
+    ONE DuckDB md5 pass over distinct (doc, term) rows, numpy
+    (rows × 64) bit matrix with per-doc segmented reduction, and LUT
+    hex encoding of the output column — no per-document loop anywhere.
     """
     packed = _simhash_packed(batch, text_col)
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "simhash": pa.array([format(int(x), "016x") for x in packed], pa.string()),
-        }
-    )
+    return pa.table({"doc_id": batch["doc_id"], "simhash": _hex16(packed)})
 
 
 def simhash_neardup_pairs(
@@ -724,13 +735,18 @@ def ngram_jaccard_pairs(
 ) -> ray.data.Dataset:
     """Exact word-n-gram Jaccard similarity pairs (a < b, jacc ≥ τ).
 
-    Shape: distinct (shingle, doc) explode → hash-partition by shingle
-    (P partition tasks, vectorized per-shingle pair emit with LOCAL
-    pair pre-aggregation) → one single-int64-key groupby over packed
-    (a<<32|b) pair keys → score.  Shingles with document frequency >
-    ``shingle_df_cap`` are dropped from the pair stage (stop-shingle
-    filter, logged — a shared boilerplate shingle would otherwise emit
-    O(df²) pairs).
+    Shape: distinct (shingle-HASH, doc) explode → hash-partition by
+    shingle hash (P partition tasks, vectorized per-shingle pair emit
+    with LOCAL pair pre-aggregation) → one single-int64-key groupby
+    over packed (a<<32|b) pair keys → score.  Shingles travel as their
+    64-bit md5 prefix from the explode on (``md5_u64_batch``, same
+    device as ``spans.py``): the shuffle moves 8-byte ints instead of
+    Python-object strings and the pair stage sorts int64 keys, not
+    object arrays.  Hash collisions (≈0 at 2^64) merge shingles; the
+    SQL oracle mirrors the same hash grouping exactly, collisions
+    included.  Shingles with document frequency > ``shingle_df_cap``
+    are dropped from the pair stage (stop-shingle filter, logged — a
+    shared boilerplate shingle would otherwise emit O(df²) pairs).
 
     Per-doc set sizes are computed WITHOUT a shuffle (each doc lives in
     one batch) and join back as a sorted-array broadcast below
@@ -745,22 +761,29 @@ def ngram_jaccard_pairs(
     def explode(batch: pa.Table) -> pa.Table:
         sh, dix = shingle_batch(batch[text_col], n)
         doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        tbl = pa.table({"shingle": sh, "doc_id": pa.array(doc_ids[dix], pa.int64())})
-        # distinct (shingle, doc) within the batch; docs never span
+        # int64 VIEW of the uint64 md5 prefix (Ray groupbys reject
+        # uint64 past int64-max; the reinterpret is a bijection) — the
+        # shingle STRING never leaves this task
+        h = md5_u64_batch(sh).view(np.int64)
+        tbl = pa.table({"h": pa.array(h), "doc_id": pa.array(doc_ids[dix], pa.int64())})
+        # distinct (shingle-hash, doc) within the batch; docs never span
         # batches, so this is globally distinct
-        tbl = tbl.group_by(["shingle", "doc_id"]).aggregate([])
-        # hash-partition tag on the shingle (vectorized md5) — the pair
-        # stage groups by P partition ids, never one task per shingle
-        h = md5_u64_batch(tbl["shingle"].combine_chunks())
-        return tbl.append_column("_part", pa.array((h % np.uint64(P)).astype(np.int64)))
+        tbl = tbl.group_by(["h", "doc_id"]).aggregate([])
+        # hash-partition tag — the pair stage groups by P partition
+        # ids, never one task per shingle
+        hv = np.asarray(tbl["h"].to_numpy(zero_copy_only=False), dtype=np.int64).view(np.uint64)
+        return tbl.append_column("_part", pa.array((hv % np.uint64(P)).astype(np.int64)))
 
     shingle_docs = ds.map_batches(explode, batch_format="pyarrow")
 
     def sizes_batch(batch: pa.Table) -> pa.Table:
-        # per-doc DISTINCT shingle count — no shuffle (doc ⊂ batch)
+        # per-doc DISTINCT shingle-hash count — no shuffle (doc ⊂
+        # batch); hashed so sizes see exactly the same distinctness as
+        # the pair stage (and the oracle), collisions included
         sh, dix = shingle_batch(batch[text_col], n)
         doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        uniq = pa.table({"s": sh, "d": pa.array(dix)}).group_by(["s", "d"]).aggregate([])
+        hs = md5_u64_batch(sh).view(np.int64)
+        uniq = pa.table({"s": pa.array(hs), "d": pa.array(dix)}).group_by(["s", "d"]).aggregate([])
         counts = np.bincount(
             np.asarray(uniq["d"].to_numpy(zero_copy_only=False)), minlength=batch.num_rows
         )
@@ -775,10 +798,11 @@ def ngram_jaccard_pairs(
     doc_sizes = ds.map_batches(sizes_batch, batch_format="pyarrow")
 
     def part_pairs(group: pa.Table) -> pa.Table:
-        """All (shingle, doc) rows of one hash partition: sort by
-        shingle, emit packed doc-pair keys per shingle run (df-capped),
-        pre-aggregated locally (combiner) before the global groupby."""
-        sh = np.asarray(group["shingle"].to_pylist(), dtype=object)
+        """All (shingle-hash, doc) rows of one hash partition: sort by
+        hash, emit packed doc-pair keys per shingle run (df-capped),
+        pre-aggregated locally (combiner) before the global groupby.
+        Pure int64 numpy sort — no Python-object strings anywhere."""
+        sh = np.asarray(group["h"].to_numpy(zero_copy_only=False), dtype=np.int64)
         ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         if len(ids) and (int(ids.max()) >= (1 << 31) or int(ids.min()) < 0):
             raise ValueError(

@@ -5,20 +5,55 @@ columns with typed metadata travelling alongside.  Decode /
 feature-extract stages are ACTOR-POOL ``map_batches`` classes — decoder
 state (a model, a codec context) loads once per actor in ``__init__``.
 
-The actual media codecs are NOT available in this environment, so the
-decode step is STUBBED: ``DecodeStage(fake=True)`` produces a
-deterministic fake decode (dimensions/features derived from the payload
-md5) so the Ray-side plumbing — schema, batch sizing, actor signature,
-output layout — is real and tested; ``fake=False`` raises
-``NotImplementedError`` where a real libjpeg/ffmpeg call would go.
+Codec selection is a three-way ``fake`` flag on each stage:
+
+* ``fake=None`` (auto, the default) — use the REAL codec when its
+  library imports (Pillow for images, PyAV for video), else fall back
+  to the deterministic fake.  This is the production configuration: the
+  same pipeline code runs real decodes on a cluster image that ships
+  the codec libs and stays testable in lib-less sandboxes.
+* ``fake=True`` — always the deterministic fake (dimensions/frames
+  derived from the payload md5); what tests and the driver gates pin so
+  their goldens are environment-independent.
+* ``fake=False`` — require the real codec; raises
+  ``NotImplementedError`` when the library is missing.
+
+The Ray-side plumbing — actor-pool stages with codec state in
+``__init__``, schemas, batch sizing, flat-map frame explode — is
+identical on both paths.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pyarrow as pa
+
+try:  # real image codec (Pillow) — absent in this sandbox
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
+
+try:  # real video demuxer (PyAV / ffmpeg) — absent in this sandbox
+    import av as _av
+except ImportError:
+    _av = None
+
+
+def _resolve_fake(fake: "bool | None", lib, what: str) -> bool:
+    """Three-way codec selection shared by the stages (module
+    docstring): auto → real iff the lib imports; False → demand it."""
+    if fake is None:
+        return lib is None
+    if fake is False and lib is None:
+        raise NotImplementedError(
+            f"{what} requires a media codec library that is not "
+            "available in this environment (install it, or pass "
+            "fake=True / fake=None for the deterministic fake)"
+        )
+    return bool(fake)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -39,11 +74,8 @@ class DecodeStage:
     batch_size=16, concurrency=8)``.
     """
 
-    def __init__(self, fake: bool = True):
-        self.fake = fake
-        if not fake:
-            # real decoder init (PIL / libav) would go here
-            raise NotImplementedError("media codecs are not available in this environment")
+    def __init__(self, fake: "bool | None" = True):
+        self.fake = _resolve_fake(fake, _PILImage, "DecodeStage")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -53,9 +85,16 @@ class DecodeStage:
             d = hashlib.md5(p).hexdigest()
             n_bytes.append(len(p))
             digests.append(d)
-            # deterministic fake "decode": dims derived from the digest
-            widths.append(16 + int(d[:4], 16) % 4080)
-            heights.append(16 + int(d[4:8], 16) % 4080)
+            if self.fake:
+                # deterministic fake "decode": dims derived from the digest
+                widths.append(16 + int(d[:4], 16) % 4080)
+                heights.append(16 + int(d[4:8], 16) % 4080)
+            else:
+                # real decode: header-only open (Pillow is lazy — no
+                # full pixel decode just to read dimensions)
+                with _PILImage.open(io.BytesIO(p)) as im:
+                    widths.append(int(im.width))
+                    heights.append(int(im.height))
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -93,15 +132,17 @@ class ResizeStage:
     ``target`` square box, preserving aspect ratio.
 
     The geometry is PURE INTEGER math (``dim * target // max(w, h)``)
-    so it is engine-reproducible; the pixel resample itself would live
-    where ``fake=False`` raises (no imaging libs in this environment).
-    Input = DecodeStage output (media_id, width, height, ...).
+    so it is engine-reproducible on both paths.  With the real codec
+    (Pillow importable, ``fake`` None/False) AND a ``payload`` column
+    present, the stage additionally resamples the pixels and emits the
+    resized image bytes as ``resized`` (PNG); otherwise it is
+    geometry-only.  Input = DecodeStage output (media_id, width,
+    height, ...), optionally joined with the payload column.
     """
 
-    def __init__(self, target: int = 224, fake: bool = True):
+    def __init__(self, target: int = 224, fake: "bool | None" = True):
         self.target = target
-        if not fake:
-            raise NotImplementedError("media codecs are not available in this environment")
+        self.fake = _resolve_fake(fake, _PILImage, "ResizeStage")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         w = np.asarray(batch["width"].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -109,15 +150,22 @@ class ResizeStage:
         longest = np.maximum(np.maximum(w, h), 1)
         out_w = np.maximum(w * self.target // longest, 1)
         out_h = np.maximum(h * self.target // longest, 1)
-        return pa.table(
-            {
-                "media_id": batch["media_id"],
-                "width": pa.array(w.astype(np.int32)),
-                "height": pa.array(h.astype(np.int32)),
-                "out_width": pa.array(out_w.astype(np.int32)),
-                "out_height": pa.array(out_h.astype(np.int32)),
-            }
-        )
+        cols = {
+            "media_id": batch["media_id"],
+            "width": pa.array(w.astype(np.int32)),
+            "height": pa.array(h.astype(np.int32)),
+            "out_width": pa.array(out_w.astype(np.int32)),
+            "out_height": pa.array(out_h.astype(np.int32)),
+        }
+        if not self.fake and "payload" in batch.column_names:
+            resized = []
+            for p, ow, oh in zip(batch["payload"].to_pylist(), out_w, out_h):
+                with _PILImage.open(io.BytesIO(p or b"")) as im:
+                    buf = io.BytesIO()
+                    im.resize((int(ow), int(oh))).save(buf, format="PNG")
+                    resized.append(buf.getvalue())
+            cols["resized"] = pa.array(resized, pa.binary())
+        return pa.table(cols)
 
 
 class FrameSampleStage:
@@ -127,17 +175,30 @@ class FrameSampleStage:
 
     Deterministic fake: frame count = 2 + md5[8:12] % 7, frame payload
     digest = md5(payload + b':' + frame_idx), timestamp = 40 ms × idx
-    (25 fps).  ``fake=False`` raises where the demuxer would go.
+    (25 fps).  Real path (PyAV importable, ``fake`` None/False):
+    demux + decode keyframes, same output schema with true timestamps
+    and the md5 of each frame's raw plane bytes.
     """
 
-    def __init__(self, fake: bool = True):
-        if not fake:
-            raise NotImplementedError("media codecs are not available in this environment")
+    def __init__(self, fake: "bool | None" = True):
+        self.fake = _resolve_fake(fake, _av, "FrameSampleStage")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids_out, idx_out, md5_out, ts_out = [], [], [], []
         for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
             p = p or b""
+            if not self.fake:
+                with _av.open(io.BytesIO(p)) as container:
+                    stream = container.streams.video[0]
+                    stream.codec_context.skip_frame = "NONKEY"  # keyframes only
+                    for i, frame in enumerate(container.decode(stream)):
+                        ids_out.append(mid)
+                        idx_out.append(i)
+                        md5_out.append(
+                            hashlib.md5(bytes(frame.planes[0])).hexdigest()
+                        )
+                        ts_out.append(int((frame.time or 0.0) * 1000))
+                continue
             d = hashlib.md5(p).hexdigest()
             n_frames = 2 + int(d[8:12], 16) % 7
             for i in range(n_frames):

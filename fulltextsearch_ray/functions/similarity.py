@@ -283,18 +283,26 @@ def ivf_centroids(
 def _topk_reduce_arrays(
     qs: np.ndarray, ns: np.ndarray, ss: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized per-query top-k over flat candidate arrays: sort by
-    (query asc, cosine desc, neighbor asc), dedup (query, neighbor)
-    pairs (duplicates carry the identical cosine — the same vector pair
-    scored by different probe groups/batches), keep the first k rows of
-    each query run.  Returns the surviving (qs, ns, ss) plus each row's
-    0-based rank within its query.  No Python loop over queries."""
-    order = np.lexsort((ns, -ss, qs))
+    """Vectorized per-query top-k over flat candidate arrays: dedup
+    (query, neighbor) pairs keeping the MAX cosine (duplicates normally
+    carry an identical cosine — the same vector pair scored by
+    different probe groups/batches — but ULP-different rescores of the
+    same pair must still collapse to one slot, not occupy two of k),
+    then sort by (query asc, cosine desc, neighbor asc) and keep the
+    first k rows of each query run.  Returns the surviving (qs, ns, ss)
+    plus each row's 0-based rank within its query.  No Python loop over
+    queries."""
+    # pass 1: group (q, n) adjacently with best score first → adjacency
+    # dedup keeps the max score per pair regardless of score equality
+    order = np.lexsort((-ss, ns, qs))
     qs, ns, ss = qs[order], ns[order], ss[order]
     if len(qs):
         dup = np.zeros(len(qs), dtype=bool)
         dup[1:] = (qs[1:] == qs[:-1]) & (ns[1:] == ns[:-1])
         qs, ns, ss = qs[~dup], ns[~dup], ss[~dup]
+    # pass 2: rank order within each query
+    order = np.lexsort((ns, -ss, qs))
+    qs, ns, ss = qs[order], ns[order], ss[order]
     new_q = np.ones(len(qs), dtype=bool)
     if len(qs):
         new_q[1:] = qs[1:] != qs[:-1]
@@ -417,7 +425,9 @@ def _combine_refs_task(combine, *tbls: pa.Table) -> pa.Table | None:
     return combine(pa.concat_tables(live))
 
 
-def _tree_reduce_tables(parts_ds, combine, *, batch_rows: int | None = None):
+def _tree_reduce_tables(
+    parts_ds, combine, *, batch_rows: int | None = None, stats: dict | None = None
+):
     """Reduce a partial-emitting dataset to ONE table with bounded
     driver state: a streaming num_cpus=0 map_batches combine collapses
     every ~``batch_rows`` partial rows, ``to_arrow_refs`` leaves the
@@ -427,7 +437,9 @@ def _tree_reduce_tables(parts_ds, combine, *, batch_rows: int | None = None):
     rows-per-combined-block) driver rows, INDEPENDENT of how many
     batches the upstream pass produced.  ``combine`` must be
     associative-commutative over row unions (top-n, per-key sums).
-    Returns None when every partial block is empty."""
+    Returns None when every partial block is empty.
+    ``stats['driver_rows']`` records the rows gathered on the driver
+    for the final combine (tests assert it stays O(fanin · block))."""
     reduced = parts_ds.map_batches(
         combine,
         batch_format="pyarrow",
@@ -441,6 +453,8 @@ def _tree_reduce_tables(parts_ds, combine, *, batch_rows: int | None = None):
             for i in range(0, len(refs), _REDUCE_FANIN)
         ]
     tbls = [t for t in ray.get(refs) if t is not None and t.num_rows]
+    if stats is not None:
+        stats["driver_rows"] = sum(t.num_rows for t in tbls)
     if not tbls:
         return None
     return combine(pa.concat_tables(tbls))

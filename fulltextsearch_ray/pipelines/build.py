@@ -244,6 +244,39 @@ def _scan_doc_ranges(dir_path: str, seg_path: str) -> list:
     return out
 
 
+def _scan_table_stats(dir_path: str, seg_path: str) -> dict:
+    """Manifest-persisted footer stats for a key-sorted table directory
+    (catalog or docs): relpath → {num_rows, columns, row_groups:
+    [[key_min, key_max, n_rows], ...] | None}.  One footer read per
+    file HERE, at build time, so every cold searcher actor afterwards
+    reads ONE manifest JSON instead of O(files) footers.  ``row_groups``
+    is None when any group lacks key statistics — the searcher then
+    falls back to that file's footer."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    if not os.path.isdir(dir_path):
+        return out
+    for f in sorted(_glob.glob(os.path.join(dir_path, "**", "*.parquet"), recursive=True)):
+        md = pq.ParquetFile(f).metadata
+        groups: "list | None" = []
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            st = rgm.column(0).statistics
+            if st is None or not st.has_min_max:
+                groups = None
+                break
+            groups.append([st.min, st.max, rgm.num_rows])
+        out[os.path.relpath(f, seg_path)] = {
+            "num_rows": md.num_rows,
+            "columns": list(md.schema.to_arrow_schema().names),
+            "row_groups": groups,
+        }
+    return out
+
+
 def cap_lineage(files: list[str], budget: int = 10_000) -> list[str]:
     """Keep the manifest's provenance list O(budget): past the budget,
     store one summary line (count + lexical range) plus a head/tail
@@ -333,6 +366,8 @@ def _write_catalog_and_manifest(
         num_buckets=num_buckets,
         file_ranges=file_ranges,
         forward_ranges=forward_ranges or [],
+        catalog_stats=_scan_table_stats(os.path.join(seg_path, "catalog"), seg_path),
+        docs_stats=_scan_table_stats(docs_dir, seg_path),
     )
     save_manifest(index_dir, manifest)
     return manifest
@@ -787,6 +822,8 @@ def build_index(
         created_at=time.time(),
         complete=True,
         forward_ranges=forward_ranges,
+        catalog_stats=_scan_table_stats(os.path.join(seg_path, "catalog"), seg_path),
+        docs_stats=_scan_table_stats(os.path.join(seg_path, "docs"), seg_path),
     )
     save_manifest(index_dir, manifest)
 

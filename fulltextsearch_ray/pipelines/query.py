@@ -75,6 +75,59 @@ def _sum_by_doc(docs: np.ndarray, vals: np.ndarray) -> "tuple[np.ndarray, np.nda
     return uniq, np.add.reduceat(vals, idx) if len(idx) else vals[:0]
 
 
+class _ManifestFileMeta:
+    """Duck-typed stand-in for ``pq.FileMetaData`` built from the
+    manifest's persisted footer stats (``SegmentManifest.catalog_stats``
+    / ``docs_stats``): exposes exactly the surface IndexSearcher and
+    LazyRowGroupTable consume — ``num_rows``, ``num_row_groups``,
+    ``row_group(i).num_rows`` / ``.column(0).statistics`` (min/max),
+    ``schema.to_arrow_schema().names`` — WITHOUT opening the parquet
+    file, so a cold searcher actor does one manifest JSON read instead
+    of O(files) footer fetches."""
+
+    class _Stats:
+        has_min_max = True
+
+        def __init__(self, mn, mx):
+            self.min, self.max = mn, mx
+
+    class _ColumnMeta:
+        def __init__(self, st):
+            self.statistics = st
+
+    class _RowGroupMeta:
+        def __init__(self, mn, mx, rows):
+            self.num_rows = rows
+            self._stats = _ManifestFileMeta._Stats(mn, mx)
+
+        def column(self, i):
+            if i != 0:
+                raise IndexError("manifest stats cover the key (first) column only")
+            return _ManifestFileMeta._ColumnMeta(self._stats)
+
+    class _Schema:
+        def __init__(self, names):
+            self._names = list(names)
+
+        def to_arrow_schema(self):
+            import types
+
+            return types.SimpleNamespace(names=list(self._names))
+
+    def __init__(self, info: dict):
+        self.num_rows = int(info["num_rows"])
+        self._groups = info["row_groups"]
+        self.schema = _ManifestFileMeta._Schema(info["columns"])
+
+    @property
+    def num_row_groups(self) -> int:
+        return len(self._groups)
+
+    def row_group(self, i: int):
+        mn, mx, rows = self._groups[i]
+        return _ManifestFileMeta._RowGroupMeta(mn, mx, int(rows))
+
+
 class LazyRowGroupTable:
     """Row-group-paged access to a sorted parquet table (catalog or
     docs): only the footer [key_min, key_max] per row group is held in
@@ -96,6 +149,8 @@ class LazyRowGroupTable:
         self.columns = columns
         self.runs: list[tuple] = []  # (key_min, key_max, file, rg)
         self.total_rows = 0
+        self.loads = 0  # row-group reads served (cache misses) — lets
+        # tests assert pruning (loads ≪ len(runs)) without instrumenting
         for f in files:
             md = (metas or {}).get(f)
             if md is None:
@@ -104,15 +159,21 @@ class LazyRowGroupTable:
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(0).statistics
                 if st is None or not st.has_min_max:
-                    # silently dropping the group would make its rows
-                    # invisible in lazy mode; this engine's writers
-                    # always emit stats, so a stat-less group means a
-                    # foreign/corrupt file — fail loudly
-                    raise ValueError(
-                        f"{f} row group {rg} lacks key statistics; "
-                        "rewrite the table with column statistics to "
-                        "serve it in paged (lazy) mode"
+                    # this engine's writers always emit stats, but an
+                    # index written by a foreign/older writer may not:
+                    # degrade by reading the group's key column ONCE for
+                    # its true [min, max] rather than refusing to serve
+                    # the table (or silently dropping the group's rows)
+                    if md.row_group(rg).num_rows == 0:
+                        continue  # empty group: nothing to serve
+                    keycol = pq.ParquetFile(f).read_row_group(
+                        rg, columns=[columns[0]]
+                    ).column(0)
+                    mm = pc.min_max(keycol)
+                    self.runs.append(
+                        (mm["min"].as_py(), mm["max"].as_py(), f, rg)
                     )
+                    continue
                 self.runs.append((st.min, st.max, f, rg))
         self.runs.sort(key=lambda r: (r[0], r[1]))
         self._mins = [r[0] for r in self.runs]
@@ -140,6 +201,7 @@ class LazyRowGroupTable:
             self._cache.move_to_end(key)
             return hit
         t = pq.ParquetFile(f).read_row_group(rg, columns=self.columns)
+        self.loads += 1
         self._cache[key] = t
         if len(self._cache) > self._cache_groups:
             self._cache.popitem(last=False)
@@ -187,9 +249,10 @@ class IndexSearcher:
     to row-group-paged access (:class:`LazyRowGroupTable`) so an actor
     opens a multi-billion-term index within a fixed memory budget."""
 
-    # class default so variants that bypass __init__ (InMemorySearcher)
+    # class defaults so variants that bypass __init__ (InMemorySearcher)
     # stay on the column dictionary
     _fst = None
+    _auto_fst = None
 
     def __init__(
         self,
@@ -204,18 +267,56 @@ class IndexSearcher:
         self.index_dir = index_dir
         self.meta = load_meta(index_dir)
         self.segments = list(self.meta.segments)
+
+        from ..state.index import load_manifest
+
+        self._manifests: dict = {}
+        for seg in self.segments:
+            try:
+                self._manifests[seg] = load_manifest(index_dir, seg)
+            except (FileNotFoundError, TypeError):
+                self._manifests[seg] = None
+
+        def table_files(seg: str, sub: str, stats_attr: str):
+            """(files, per-file metadata) for one segment table.  When
+            the manifest persists this table's footer stats, BOTH come
+            from the already-read manifest JSON — no directory listing
+            and no footer fetches; a legacy manifest (or a file whose
+            stats were unavailable at build time) falls back to the
+            real footer."""
+            segp = segment_dir(index_dir, seg)
+            man = self._manifests[seg]
+            stats = getattr(man, stats_attr, None) if man is not None else None
+            files: list[str] = []
+            metas: dict = {}
+            if stats:
+                for rel in sorted(stats):
+                    f = os.path.join(segp, rel)
+                    info = stats[rel]
+                    metas[f] = (
+                        _ManifestFileMeta(info)
+                        if info.get("row_groups") is not None
+                        else pq.ParquetFile(f).metadata
+                    )
+                    files.append(f)
+            else:
+                files = pq.ParquetDataset(os.path.join(segp, sub)).files
+                metas = {f: pq.ParquetFile(f).metadata for f in files}
+            return files, metas
+
         cat_files: list[str] = []
         docs_files: list[str] = []
+        seg_cat_files: dict[str, list[str]] = {}
+        cat_md: dict = {}
+        docs_md: dict = {}
         for seg in self.segments:
-            d = os.path.join(segment_dir(index_dir, seg), "catalog")
-            cat_files.extend(pq.ParquetDataset(d).files)
-            d = os.path.join(segment_dir(index_dir, seg), "docs")
-            docs_files.extend(pq.ParquetDataset(d).files)
-        # one footer read per file, reused by the row counts, the
-        # schema probes and the lazy tables (each actor used to read
-        # every footer twice at cold start)
-        cat_md = {f: pq.ParquetFile(f).metadata for f in cat_files}
-        docs_md = {f: pq.ParquetFile(f).metadata for f in docs_files}
+            fs, ms = table_files(seg, "catalog", "catalog_stats")
+            seg_cat_files[seg] = fs
+            cat_files.extend(fs)
+            cat_md.update(ms)
+            fs, ms = table_files(seg, "docs", "docs_stats")
+            docs_files.extend(fs)
+            docs_md.update(ms)
         cat_rows = sum(md.num_rows for md in cat_md.values())
         doc_rows = sum(md.num_rows for md in docs_md.values())
 
@@ -226,12 +327,13 @@ class IndexSearcher:
             # terms kept as ONE sorted arrow column for matcher kernels.
             cats = []
             for seg in self.segments:
-                path = os.path.join(segment_dir(index_dir, seg), "catalog")
-                seg_files = pq.ParquetDataset(path).files
+                seg_files = seg_cat_files[seg]
                 cols = ["term", "df", "cf", "max_tf"]
                 if seg_files and "df_docs" in cat_md[seg_files[0]].schema.to_arrow_schema().names:
                     cols.append("df_docs")
-                t = pq.read_table(path, columns=cols)
+                t = pq.read_table(seg_files, columns=cols) if seg_files else pa.table(
+                    {c: pa.array([], pa.string() if c == "term" else pa.int64()) for c in cols}
+                )
                 if "df_docs" not in t.column_names:
                     # legacy catalog (pre-n_docs): entry df is the proxy
                     t = t.append_column("df_docs", t["df"])
@@ -263,8 +365,7 @@ class IndexSearcher:
             self._terms_np = None
             self._lazy_cats = []
             for seg in self.segments:
-                d = os.path.join(segment_dir(index_dir, seg), "catalog")
-                files = pq.ParquetDataset(d).files
+                files = seg_cat_files[seg]
                 has_dd = bool(files) and (
                     "df_docs" in cat_md[files[0]].schema.to_arrow_schema().names
                 )
@@ -290,19 +391,13 @@ class IndexSearcher:
             self._lazy_lens = LazyRowGroupTable(
                 docs_files, ["doc_id", "doc_len"], metas=docs_md
             )
-        from ..state.index import load_manifest
-
         self._postings_ds = {}
         self._seg_buckets = {}
         self._seg_ranges: dict[str, tuple[list[str], list[str], list[str]]] = {}
         self._fwd_ranges: dict[str, tuple[list[int], list[int], list[str]]] = {}
         for seg in self.segments:
-            man = None
-            try:
-                man = load_manifest(index_dir, seg)
-                self._seg_buckets[seg] = man.num_buckets or 0
-            except (FileNotFoundError, TypeError):
-                self._seg_buckets[seg] = 0
+            man = self._manifests[seg]  # already read once at the top
+            self._seg_buckets[seg] = (man.num_buckets or 0) if man is not None else 0
             if man is not None and man.file_ranges:
                 # FST-style run catalog: sorted file [term_min, term_max]
                 # + paths; term_max is needed for boundary-spill lookups
@@ -352,6 +447,23 @@ class IndexSearcher:
             self._fst = fst
         elif term_dict != "parquet":
             raise ValueError(f"term_dict must be 'parquet' or 'fst': {term_dict!r}")
+
+        # lazy-mode pattern acceleration: with the paged catalog, an
+        # EDIT (or leading-wildcard WILD) expansion would page EVERY
+        # catalog row group — O(vocabulary) I/O per query at a
+        # multi-billion-term index.  If a FRESH FST sidecar exists
+        # (built over exactly the current segments), auto-use it for
+        # WILD/EDIT expansion: the dictionary∩automaton walk prunes by
+        # construction (reference FST/TST walks do the same —
+        # ``Automata/FST.cs:1004-1063``, behavior observed, no code
+        # copied).  The parquet catalogs remain the source for stats
+        # and posting lookups; a stale/absent sidecar falls back to the
+        # paged scan, so this is purely an accelerator.
+        self._auto_fst = None
+        if self._fst is None and self._lazy_cats is not None:
+            from ..state.fst_store import load_fst_sidecar as _load_sidecar
+
+            self._auto_fst = _load_sidecar(index_dir, self.segments)
 
     # -- statistics ---------------------------------------------------------
 
@@ -459,20 +571,30 @@ class IndexSearcher:
             Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
         )
 
-    def top_terms(self, k: int = 20) -> pa.Table:
+    def top_terms(self, k: int = 20, *, stats: "dict | None" = None) -> pa.Table:
         """Top-k terms by collection frequency (tie: term asc) via a
-        distributed sort-limit over the catalog dataset — never a
-        whole-vocabulary materialization on the driver."""
-        ds = self.term_stats_dataset().sort(["cf", "term"], descending=[True, False]).limit(k)
-        import ray
+        TREE REDUCE over the catalog dataset: a streaming per-block
+        top-k combiner shrinks every partial block to ≤ k rows, blocks
+        merge through a fan-in task tree, and the driver gathers
+        O(fanin · k) rows — never the vocabulary and never the
+        all-to-all shuffle a full distributed sort would pay for k=20
+        over 10^9 terms.  Associativity holds because
+        ``term_stats_dataset`` emits each term exactly once (segment
+        totals are pre-merged by its groupby).  ``stats['driver_rows']``
+        records the gathered row count for the scale test."""
+        from ..functions.similarity import _tree_reduce_tables
 
-        tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
-        out = (
-            pa.concat_tables(tbls)
-            if tbls
-            else pa.table({"term": pa.array([], pa.string()),
-                           "df": pa.array([], pa.int64()), "cf": pa.array([], pa.int64())})
+        def topk_combine(batch: pa.Table) -> pa.Table:
+            return batch.sort_by(
+                [("cf", "descending"), ("term", "ascending")]
+            ).slice(0, k)
+
+        out = _tree_reduce_tables(
+            self.term_stats_dataset(), topk_combine, stats=stats
         )
+        if out is None:
+            out = pa.table({"term": pa.array([], pa.string()),
+                            "df": pa.array([], pa.int64()), "cf": pa.array([], pa.int64())})
         return out.select(["term", "df", "cf"])
 
     # -- dictionary ---------------------------------------------------------
@@ -497,6 +619,13 @@ class IndexSearcher:
 
         if isinstance(ast, WordQuery):
             return [ast.value] if self._term_row(ast.value) is not None else []
+        if self._auto_fst is not None:
+            # fresh sidecar present: pruned dictionary∩automaton walk
+            # instead of paging catalog row groups (the EDIT path below
+            # otherwise scans the whole vocabulary)
+            from ..dfa import matcher_for
+
+            return list(self._auto_fst.match(matcher_for(ast)))
         out: set[str] = set()
         if isinstance(ast, WildQuery):
             prefix = wildcard_prefix(ast.value)

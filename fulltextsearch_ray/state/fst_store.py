@@ -55,6 +55,29 @@ def _iter_segment_terms(index_dir: str, seg: str) -> Iterator[str]:
             key = st.min if st is not None and st.has_min_max else ""
             runs.append((key, f, rg))
     runs.sort()
+    # parquet string min statistics may be WRITER-TRUNCATED, so two runs
+    # whose truncated mins tie can sort out of true order (the
+    # FstBuilder's strictly-sorted check would then fail loudly at build
+    # time).  Resolve ties by re-keying the tied group on each run's
+    # TRUE first term — row-group term ranges are disjoint within a
+    # segment, so first terms totally order the group.
+    i = 0
+    while i < len(runs):
+        j = i + 1
+        while j < len(runs) and runs[j][0] == runs[i][0]:
+            j += 1
+        if j - i > 1:
+            retied = []
+            for _key, f, rg in runs[i:j]:
+                first = (
+                    pq.ParquetFile(f)
+                    .read_row_group(rg, columns=["term"])["term"][0]
+                    .as_py()
+                )
+                retied.append((first, f, rg))
+            retied.sort()
+            runs[i:j] = retied
+        i = j
     for _key, f, rg in runs:
         col = pq.ParquetFile(f).read_row_group(rg, columns=["term"])["term"]
         for v in col:
@@ -149,15 +172,31 @@ def build_fst_sidecar(index_dir: str, *, shard_terms: int = 1_000_000) -> dict:
 
     # STREAM shards: dispatch (or build) each range as soon as its list
     # fills and DROP the list — driver memory is one shard's terms plus
-    # per-shard (min, max, count) metadata, never the vocabulary.  The
-    # serialized term lists live in the object store while Ray tasks
-    # run (spillable); blobs come back in dispatch order.
-    pending: list = []  # (term_min, term_max, n, future_or_bytes)
+    # per-shard (min, max, count) metadata, never the vocabulary.  Ray
+    # path: serialized term lists live in the object store while tasks
+    # run (spillable), blobs come back in dispatch order.  Sequential
+    # path: each shard's FILE is written AT DISPATCH TIME so the driver
+    # never holds more than one shard's byte image (holding every blob
+    # until the end grows driver memory with shard count).
+    pending: list = []  # (term_min, term_max, n, objectref_or_nbytes)
     cur: list[str] = []
 
+    def _write_shard(i: int, blob: bytes) -> str:
+        fname = f"terms-{i:05d}.fst"
+        tmp = os.path.join(d, fname + ".tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, os.path.join(d, fname))
+        return fname
+
     def dispatch(ts: list[str]) -> None:
-        fut = task.remote(ts) if use_ray else _build_shard_bytes(ts)
-        pending.append((ts[0] if ts else "", ts[-1] if ts else "", len(ts), fut))
+        if use_ray:
+            tail = task.remote(ts)
+        else:
+            blob = _build_shard_bytes(ts)
+            _write_shard(len(pending), blob)
+            tail = len(blob)
+        pending.append((ts[0] if ts else "", ts[-1] if ts else "", len(ts), tail))
 
     n_shards_guess = 0
     for t in iter_index_terms(index_dir, segments):
@@ -186,18 +225,19 @@ def build_fst_sidecar(index_dir: str, *, shard_terms: int = 1_000_000) -> dict:
     shard_meta = []
     base = 0
     total_bytes = 0
-    for i, (mn, mx, n, fut) in enumerate(pending):
-        blob = ray.get(fut) if use_ray else fut
-        fname = f"terms-{i:05d}.fst"
-        tmp = os.path.join(d, fname + ".tmp")
-        with open(tmp, "wb") as fh:
-            fh.write(blob)
-        os.replace(tmp, os.path.join(d, fname))
+    for i, (mn, mx, n, tail) in enumerate(pending):
+        if use_ray:
+            blob = ray.get(tail)
+            fname = _write_shard(i, blob)
+            nbytes = len(blob)
+        else:  # file already written at dispatch time; tail is its size
+            fname = f"terms-{i:05d}.fst"
+            nbytes = tail
         shard_meta.append(
             {"file": fname, "term_min": mn, "term_max": mx, "base": base, "n_terms": n}
         )
         base += n
-        total_bytes += len(blob)
+        total_bytes += nbytes
     info = {
         "segments": segments, "n_terms": base, "n_bytes": total_bytes,
         "shards": shard_meta,

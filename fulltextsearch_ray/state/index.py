@@ -78,6 +78,17 @@ class SegmentManifest:
     # sorted disjoint [relpath, doc_min, doc_max] per forward-store
     # file (present when the segment was built with store_forward)
     forward_ranges: list = field(default_factory=list)
+    # per-file parquet footer stats for the catalog / docs tables:
+    # relpath → {"num_rows": N, "columns": [...], "row_groups":
+    # [[key_min, key_max, n_rows], ...] | None}.  A cold searcher
+    # actor builds its (lazy) tables from this ONE manifest JSON read
+    # instead of fetching one parquet footer per file — at thousands
+    # of files × wide actor pools on network storage, the footer
+    # round-trips dominate cold start.  row_groups is None when a
+    # file's key column lacks min/max statistics (foreign writer);
+    # the searcher then falls back to that file's footer.
+    catalog_stats: dict = field(default_factory=dict)
+    docs_stats: dict = field(default_factory=dict)
 
 
 @dataclass

@@ -88,13 +88,26 @@ class _FileStore:
     def __exit__(self, *exc):
         self.close()
 
+    def _read_exact(self, off: int, n: int, what: str) -> bytes:
+        """Bounds-validated read: a short read means a pointer ran past
+        the data actually on disk (torn write / crash between a record
+        append and its pointer patch) — raise a descriptive corruption
+        error instead of letting struct.error surface downstream."""
+        raw = self._read_at(off, n)
+        if len(raw) != n:
+            raise ValueError(
+                f"{self.path}: corrupt store — {what} at offset {off} "
+                f"runs past end of file ({len(raw)}/{n} bytes)"
+            )
+        return raw
+
     # value records: [u32 len][bytes]
     def _append_value(self, data: bytes) -> int:
         return self._append(_U32.pack(len(data)) + data)
 
     def _read_value(self, off: int) -> bytes:
-        n = _U32.unpack(self._read_at(off, 4))[0]
-        return self._read_at(off + 4, n)
+        n = _U32.unpack(self._read_exact(off, 4, "value length"))[0]
+        return self._read_exact(off + 4, n, "value record")
 
 
 class PersistentBtree(_FileStore):
@@ -131,6 +144,10 @@ class PersistentBtree(_FileStore):
         self._root = _U64.unpack(self._f.read(8))[0]
 
     def _patch_root(self, off: int) -> None:
+        # flush the node/value appends BEFORE the root pointer patch so
+        # a crash between the two leaves the OLD root pointing at intact
+        # data, never a new root pointing at a torn record
+        self._f.flush()
         self._root = off
         self._write_at(len(self.MAGIC) + 4, _U64.pack(off))
 
@@ -165,7 +182,7 @@ class PersistentBtree(_FileStore):
         if hit is not None:
             return hit
         m = 2 * self._order
-        raw = self._read_at(off, self._node_size())
+        raw = self._read_exact(off, self._node_size(), "btree node")
         leaf = bool(raw[0])
         n = struct.unpack_from("<H", raw, 1)[0]
         pos = 3
@@ -279,9 +296,9 @@ class PersistentHashTable(_FileStore):
         return self._dir_off + 8 * self._bucket(key)
 
     def get(self, key: int) -> "bytes | None":
-        off = _U64.unpack(self._read_at(self._head_off(key), 8))[0]
+        off = _U64.unpack(self._read_exact(self._head_off(key), 8, "chain head"))[0]
         while off:
-            nxt, k = struct.unpack("<QQ", self._read_at(off, 16))
+            nxt, k = struct.unpack("<QQ", self._read_exact(off, 16, "chain record header"))
             if k == key:
                 return self._read_value(off + 16)
             off = nxt
@@ -293,6 +310,9 @@ class PersistentHashTable(_FileStore):
         old = _U64.unpack(self._read_at(head_off, 8))[0]
         rec = _U64.pack(old) + _U64.pack(key) + _U32.pack(len(data)) + data
         off = self._append(rec)
+        # flush the record append before patching the chain head (same
+        # crash-ordering discipline as the B-tree root patch)
+        self._f.flush()
         self._write_at(head_off, _U64.pack(off))
 
 
@@ -329,6 +349,7 @@ class PersistentList(_FileStore):
             new_cap *= 2
         slots = self._read_at(self._slots_off, 8 * self._capacity)
         new_off = self._append(slots + b"\x00" * (8 * (new_cap - self._capacity)))
+        self._f.flush()  # new slot region durable before the header points at it
         self._capacity = new_cap
         self._slots_off = new_off
         self._write_at(len(self.MAGIC), _U64.pack(new_cap) + _U64.pack(new_off))
@@ -336,7 +357,7 @@ class PersistentList(_FileStore):
     def get(self, key: int) -> "bytes | None":
         if key < 0 or key >= self._capacity:
             return None
-        off = _U64.unpack(self._read_at(self._slots_off + 8 * key, 8))[0]
+        off = _U64.unpack(self._read_exact(self._slots_off + 8 * key, 8, "slot"))[0]
         return self._read_value(off) if off else None
 
     def save(self, key: int, data: bytes) -> None:
@@ -354,6 +375,7 @@ class PersistentList(_FileStore):
         if key >= self._capacity:
             self._grow(key)
         vptr = self._append_value(data)
+        self._f.flush()  # record durable before its slot pointer lands
         self._write_at(self._slots_off + 8 * key, _U64.pack(vptr))
 
 

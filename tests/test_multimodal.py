@@ -99,3 +99,32 @@ def test_text_as_media_adapter(ray_session):
     out = text_as_media(tbl)
     assert out["payload"].to_pylist() == [b"hello", b""]
     assert out["media_id"].to_pylist() == [1, 2]
+
+
+def test_codec_auto_select_falls_back_to_fake_without_libs():
+    """fake=None (auto) uses the real codec only when its lib imports;
+    in this sandbox (no Pillow/PyAV) every stage must auto-select the
+    deterministic fake, while explicit fake=False still demands the
+    lib (NotImplementedError when missing)."""
+    from fulltextsearch_ray.functions import multimodal as mm
+
+    decode = DecodeStage(fake=None)
+    resize = ResizeStage(fake=None)
+    frames = FrameSampleStage(fake=None)
+    if mm._PILImage is None:
+        assert decode.fake is True and resize.fake is True
+    else:  # real-codec environment: auto selects the real path
+        assert decode.fake is False and resize.fake is False
+    assert frames.fake is (mm._av is None)
+    # auto-mode output schema matches the pinned-fake gates
+    import pyarrow as pa
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"not-an-image"], pa.binary()),
+        }
+    )
+    if mm._PILImage is None:
+        out = decode(batch)
+        assert out.column_names == ["media_id", "n_bytes", "md5", "width", "height"]
