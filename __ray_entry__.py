@@ -356,13 +356,21 @@ def _q_bm25_inmem(sf_dir: str):
 
 def _q_search_docs(sf_dir: str):
     t = _searcher(sf_dir).search_docs("WORD(table)")
-    toks = t["token_ids"].to_pylist()
+    # per-doc min/max over the token_ids list column via segmented
+    # reduction on the flat values (every doc has >= 1 match, so no
+    # empty-list segments)
+    col = t["token_ids"].combine_chunks()
+    vals = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype=np.int64)
+    offs = np.asarray(col.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
+    starts = offs[:-1]
+    first = np.minimum.reduceat(vals, starts) if len(starts) else np.empty(0, np.int64)
+    last = np.maximum.reduceat(vals, starts) if len(starts) else np.empty(0, np.int64)
     return pa.table(
         {
             "doc_id": t["doc_id"].cast(pa.int64()),
             "n_matches": t["n_matches"],
-            "first_token": pa.array([min(l) for l in toks], pa.int64()),
-            "last_token": pa.array([max(l) for l in toks], pa.int64()),
+            "first_token": pa.array(first, pa.int64()),
+            "last_token": pa.array(last, pa.int64()),
         }
     )
 

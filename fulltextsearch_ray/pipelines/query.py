@@ -603,7 +603,9 @@ class IndexSearcher:
         """Pattern expansion over the dictionary — the eager sorted
         column, or (lazy mode) only the catalog row groups the pattern
         can touch: WORD → covering group, WILD → prefix range of
-        groups, EDIT → paged full scan (inherent to edit distance)."""
+        groups, EDIT → pruned FST walk when a fresh sidecar exists
+        (``_auto_fst``), else a paged full scan (inherent to edit
+        distance over a flat sorted dictionary)."""
         if self._fst is not None:
             # dictionary ∩ automaton over the FST byte image (reference
             # PersistentDictionaryFst.GetTerms); same sorted term order
