@@ -24,10 +24,53 @@ from __future__ import annotations
 
 __all__ = [
     "AnyDfaMatcher",
+    "SequenceDfaMatcher",
     "WildcardDfaMatcher",
     "EditDfaMatcher",
     "matcher_for",
 ]
+
+
+class SequenceDfaMatcher:
+    """Fixed-sequence matcher (reference ``Collections/SequenceMatcher.cs``
+    — behavior observed, no code copied): accepts exactly ``seq``, or —
+    with ``accept_prefixes=True`` — every string that STARTS WITH
+    ``seq`` (the consumed input may run past the sequence freely).
+
+    This is the cheap walker for the two anchored dictionary scans:
+    WORD dispatch (the reference query compiler wraps every WordQuery
+    in ``SequenceMatcher(word, false)`` —
+    ``IndexTypes/FullTextQueryCompiler.cs:115``) and pure-prefix WILD
+    patterns (``abc*``), where the O(pattern) bitset NFA per character
+    is wasted work: this matcher advances in O(1)."""
+
+    def __init__(self, seq: str, accept_prefixes: bool = False):
+        self.seq = seq
+        self.accept_prefixes = accept_prefixes
+        self._idx = 0  # chars consumed
+
+    def reset(self) -> None:
+        self._idx = 0
+
+    def next(self, ch: str) -> bool:
+        i = self._idx
+        if i >= len(self.seq):
+            if not self.accept_prefixes:
+                return False
+            self._idx = i + 1  # past the sequence: any char extends
+            return True
+        if self.seq[i] == ch:
+            self._idx = i + 1
+            return True
+        return False
+
+    def pop(self) -> None:
+        self._idx -= 1
+
+    def is_final(self) -> bool:
+        if self.accept_prefixes:
+            return self._idx >= len(self.seq)
+        return self._idx == len(self.seq)
 
 
 class AnyDfaMatcher:
@@ -167,16 +210,25 @@ class EditDfaMatcher:
         return self._stack[-1][-1] <= self.k
 
 
-def matcher_for(ast) -> "AnyDfaMatcher | WildcardDfaMatcher | EditDfaMatcher":
+def matcher_for(
+    ast,
+) -> "AnyDfaMatcher | SequenceDfaMatcher | WildcardDfaMatcher | EditDfaMatcher":
     """Terminal pattern AST → DFA matcher (same dispatch as
-    ``matchers.expand_pattern``; WORD gets an exact wildcard-free
-    pattern, which the FST resolves via ``try_match`` instead)."""
+    ``matchers.expand_pattern`` and the reference query compiler).
+    WORD → exact sequence walk (the FST usually resolves it via
+    ``try_match`` before reaching here); WILD that is a pure prefix
+    pattern (one trailing ``*``, no other wildcards) → prefix-accepting
+    sequence walk (O(1) per char instead of the bitset NFA); general
+    WILD → NFA; EDIT → Levenshtein rows."""
     from .parser import EditQuery, WildQuery, WordQuery
 
     if isinstance(ast, WordQuery):
-        return EditDfaMatcher(ast.value, 0)
+        return SequenceDfaMatcher(ast.value)
     if isinstance(ast, WildQuery):
-        return WildcardDfaMatcher(ast.value)
+        v = ast.value
+        if v.endswith("*") and "?" not in v and "*" not in v[:-1]:
+            return SequenceDfaMatcher(v[:-1], accept_prefixes=True)
+        return WildcardDfaMatcher(v)
     if isinstance(ast, EditQuery):
         return EditDfaMatcher(ast.value, ast.distance)
     raise TypeError(f"not a terminal pattern: {ast!r}")

@@ -159,11 +159,74 @@ def test_dfa_matcher_protocol():
     assert e2.next("a") and not e2.is_final()
     assert not e2.next("x")
 
+    from fulltextsearch_ray.dfa import SequenceDfaMatcher
     from fulltextsearch_ray.parser import parse_query
 
-    assert isinstance(matcher_for(parse_query("WILD(a*)")), WildcardDfaMatcher)
+    # dispatch: pure-prefix WILD and WORD take the O(1)-per-char
+    # sequence walker (reference SequenceMatcher); general WILD the
+    # NFA; EDIT the Levenshtein rows
+    assert isinstance(matcher_for(parse_query("WILD(a*)")), SequenceDfaMatcher)
+    assert isinstance(matcher_for(parse_query("WILD(a*b)")), WildcardDfaMatcher)
+    assert isinstance(matcher_for(parse_query("WILD(a?*)")), WildcardDfaMatcher)
+    assert isinstance(matcher_for(parse_query("WILD(*)")), SequenceDfaMatcher)
     assert isinstance(matcher_for(parse_query("EDIT(ab,1)")), EditDfaMatcher)
-    assert isinstance(matcher_for(parse_query("WORD(ab)")), EditDfaMatcher)
+    assert isinstance(matcher_for(parse_query("WORD(ab)")), SequenceDfaMatcher)
+
+
+def test_sequence_matcher_protocol():
+    """Reference Collections/SequenceMatcher.cs semantics: exact mode
+    accepts only the sequence itself; accept_prefixes mode accepts any
+    extension of it (and IsFinal flips as soon as the sequence is
+    consumed)."""
+    from fulltextsearch_ray.dfa import SequenceDfaMatcher
+
+    m = SequenceDfaMatcher("ab")
+    assert m.next("a") and not m.is_final()
+    assert not m.next("x")  # state unchanged on failure
+    assert m.next("b") and m.is_final()
+    assert not m.next("c")  # exact mode: nothing past the sequence
+    m.pop()
+    assert not m.is_final()
+    m.reset()
+    assert not m.is_final()
+    assert not m.next("b")
+
+    p = SequenceDfaMatcher("ab", accept_prefixes=True)
+    assert not p.is_final()  # empty consumed ≠ starts-with "ab"
+    assert p.next("a") and not p.is_final()
+    assert p.next("b") and p.is_final()
+    assert p.next("z") and p.is_final()  # extensions stay accepted
+    assert p.next("q") and p.is_final()
+    p.pop()
+    p.pop()
+    assert p.is_final()  # back at exactly "ab"
+    p.pop()
+    assert not p.is_final()
+
+    e = SequenceDfaMatcher("", accept_prefixes=True)  # matches everything
+    assert e.is_final()
+    assert e.next("x") and e.is_final()
+
+    x = SequenceDfaMatcher("")  # matches only the empty string
+    assert x.is_final()
+    assert not x.next("x")
+
+
+def test_sequence_matcher_fst_parity():
+    """WILD(prefix*) via the sequence walker enumerates exactly what the
+    wildcard NFA does, over the FST."""
+    from fulltextsearch_ray.dfa import SequenceDfaMatcher
+
+    rng = random.Random(7)
+    words = sorted({"".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                    for _ in range(300)})
+    fst = build_fst(zip(words, range(len(words))))
+    for prefix in ["", "a", "ab", "abc", "ba", "zzz"]:
+        via_seq = list(fst.match(SequenceDfaMatcher(prefix, accept_prefixes=True)))
+        via_nfa = list(fst.match(WildcardDfaMatcher(prefix + "*")))
+        assert via_seq == via_nfa == [w for w in words if w.startswith(prefix)], prefix
+        via_word = list(fst.match(SequenceDfaMatcher(prefix)))
+        assert via_word == [w for w in words if w == prefix], prefix
 
 
 # -- searcher + sidecar integration ----------------------------------------
