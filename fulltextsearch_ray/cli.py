@@ -60,6 +60,14 @@ def _main(argv: list[str] | None = None) -> int:
         "text files, or file NAMES as documents (reference input types)",
     )
     p_index.add_argument("--filter", default=None, help="file glob for enwiki/text/name inputs")
+    p_index.add_argument(
+        "--fst",
+        action="store_true",
+        help="rebuild the FST term-dictionary sidecar after indexing, so "
+        "it stays FRESH across incremental sessions (lazy-mode EDIT/WILD "
+        "auto-use a fresh sidecar; a stale one falls back to the paged "
+        "catalog scan)",
+    )
 
     p_fetch = sub.add_parser("download", help="mirror dump shards into a directory (resumable)")
     p_fetch.add_argument("--url", action="append", required=True, dest="urls")
@@ -107,6 +115,12 @@ def _main(argv: list[str] | None = None) -> int:
 
     p_compact = sub.add_parser("compact", help="merge all segments into one (posting-chain collapse)")
     p_compact.add_argument("--index", required=True)
+    p_compact.add_argument(
+        "--fst",
+        action="store_true",
+        help="rebuild the FST sidecar over the compacted segment "
+        "(compaction changes the segment set, which stales any sidecar)",
+    )
 
     p_fst = sub.add_parser(
         "fst-build",
@@ -263,6 +277,14 @@ def _main(argv: list[str] | None = None) -> int:
                 meta_cols=("meta",),
                 num_buckets=args.num_buckets,
             )
+        if args.fst:
+            # keep the sidecar fresh for this session's segment set so
+            # lazy-mode EDIT/WILD take the pruned FST walk (the searcher
+            # auto-uses a fresh sidecar and ignores a stale one)
+            from .state.fst_store import build_fst_sidecar
+
+            info = build_fst_sidecar(args.index)
+            print(f"FST sidecar: {info['n_terms']} terms, {info['n_bytes']} bytes")
         print(f"Indexed documents: {meta.num_docs}, time: {time.time() - t0:.3f}s")
         return 0
 
@@ -271,6 +293,11 @@ def _main(argv: list[str] | None = None) -> int:
         from .pipelines.build import compact_index
 
         meta = compact_index(args.index)
+        if args.fst:
+            from .state.fst_store import build_fst_sidecar
+
+            info = build_fst_sidecar(args.index)
+            print(f"FST sidecar: {info['n_terms']} terms, {info['n_bytes']} bytes")
         print(f"Compacted to segment {meta.segments[0]}, docs: {meta.num_docs}, "
               f"time: {time.time() - t0:.3f}s")
         return 0

@@ -152,3 +152,45 @@ def test_print_merges_terms_across_segments(small_index, capsys, tmp_path):
     apple = next(l for l in lines if l.startswith("apple -> "))
     # docs 1,1,3 from session 1 and 4,4,6 from session 2, doc-ordered
     assert apple == "apple -> [1,1,1], [1,1,3], [3,1,1], [4,1,1], [4,1,3], [6,1,1]"
+
+
+def test_index_fst_flag_keeps_sidecar_fresh(ray_session, tmp_path, capsys):
+    """``index --fst`` rebuilds the sidecar per session, so incremental
+    appends keep the searcher's auto-FST path live instead of going
+    stale after the first session."""
+    from fulltextsearch_ray.state.fst_store import load_fst_sidecar
+    from fulltextsearch_ray.state.index import load_meta
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(
+        pa.table({"content": pa.array(["apple banana", "cherry date"])}),
+        str(corpus / "part-0.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    assert main(["index", "--input", str(corpus), "--index", idx,
+                 "--num-buckets", "2", "--fst"]) == 0
+    assert "FST sidecar:" in capsys.readouterr().out
+    fst = load_fst_sidecar(idx, load_meta(idx).segments)
+    assert fst is not None and fst.try_match("apple")[0]
+
+    # incremental session with --fst: sidecar covers BOTH segments
+    assert main(["index", "--input", str(corpus), "--index", idx,
+                 "--num-buckets", "2", "--fst"]) == 0
+    segs = load_meta(idx).segments
+    assert len(segs) == 2
+    fst2 = load_fst_sidecar(idx, segs)
+    assert fst2 is not None and fst2.try_match("cherry")[0]
+
+    # a third session WITHOUT --fst leaves the sidecar stale -> loader
+    # refuses it (searcher falls back to the paged scan)
+    assert main(["index", "--input", str(corpus), "--index", idx,
+                 "--num-buckets", "2"]) == 0
+    assert load_fst_sidecar(idx, load_meta(idx).segments) is None
+
+    # compact --fst: the collapsed segment set gets a matching sidecar
+    assert main(["compact", "--index", idx, "--fst"]) == 0
+    segs = load_meta(idx).segments
+    assert len(segs) == 1
+    fst3 = load_fst_sidecar(idx, segs)
+    assert fst3 is not None and fst3.try_match("banana")[0]
