@@ -351,7 +351,13 @@ def match_encoded_keys(keys: list[bytes], matcher, encoding: VarLenTextEncoding)
     :class:`DecodingDfaMatcher` once and reused — the scan does
     O(total distinct-prefix bytes) matcher steps, the same work a
     byte-trie/TST walk over the encoded dictionary would do."""
-    dm = DecodingDfaMatcher(matcher, encoding)
+    return _match_byte_keys(keys, DecodingDfaMatcher(matcher, encoding))
+
+
+def _match_byte_keys(keys: list[bytes], dm) -> list[int]:
+    """Shared-prefix walk of SORTED byte keys against a byte-space
+    matcher ``dm`` (``next(byte)->bool`` leaving state unchanged on
+    failure, ``pop()``, ``is_final()``)."""
     out: list[int] = []
     depth = 0  # bytes of the previous key currently consumed & accepted
     dead = -1  # depth at which the matcher rejected (prefix pruned), -1 = alive
@@ -380,3 +386,125 @@ def match_encoded_keys(keys: list[bytes], matcher, encoding: VarLenTextEncoding)
             out.append(idx)
         prev = key
     return out
+
+
+# ---------------------------------------------------------------------------
+# UTF-8 byte space: table-driven DFA decoder + byte-space matcher
+# ---------------------------------------------------------------------------
+
+# Byte classes: 0 = invalid (F8-FF), 1 = ASCII lead (00-7F), 2 =
+# continuation (80-BF), 3/4/5 = 2/3/4-byte leads (C0-DF / E0-EF /
+# F0-F7).  The 4-state x 6-class transition table is the classic
+# public-domain UTF-8 DFA construction (Hoehrmann-style); the
+# reference ships its own copy in ``Common/UTF8DfaDecoder.cs``
+# (behavior observed, no code copied — tables derived here from the
+# RFC 3629 byte ranges).
+_U8_CLASS = np.zeros(256, dtype=np.int8)
+_U8_CLASS[0x00:0x80] = 1
+_U8_CLASS[0x80:0xC0] = 2
+_U8_CLASS[0xC0:0xE0] = 3
+_U8_CLASS[0xE0:0xF0] = 4
+_U8_CLASS[0xF0:0xF8] = 5
+# state = continuation bytes still expected (0..3); -1 = reject
+_U8_NEXT = np.full((4, 6), -1, dtype=np.int8)
+_U8_NEXT[0, 1] = 0  # ASCII completes immediately
+_U8_NEXT[0, 3] = 1  # 2-byte lead: expect 1 continuation
+_U8_NEXT[0, 4] = 2
+_U8_NEXT[0, 5] = 3
+_U8_NEXT[1, 2] = 0
+_U8_NEXT[2, 2] = 1
+_U8_NEXT[3, 2] = 2
+# payload bits contributed by a byte of each class (lead-byte masks)
+_U8_MASK = (0, 0x7F, 0x3F, 0x1F, 0x0F, 0x07)
+
+
+def decode_utf8_dfa(data: bytes) -> str:
+    """Decode UTF-8 with the table DFA (reference
+    ``UTF8DfaDecoder.Decode`` — behavior observed, no code copied).
+    Raises ``ValueError`` on any byte sequence the DFA rejects.  Used
+    by :class:`Utf8DfaMatcher`; bulk decode in pipelines stays on
+    Arrow/CPython codecs."""
+    out: list[str] = []
+    state = 0
+    symbol = 0
+    for b in data:
+        cls = _U8_CLASS[b]
+        nxt = _U8_NEXT[state, cls] if cls else -1
+        if nxt < 0:
+            raise ValueError(f"not UTF-8 at byte {b:#04x}")
+        symbol = (symbol << 6) | (b & _U8_MASK[cls]) if state else b & _U8_MASK[cls]
+        state = int(nxt)
+        if state == 0:
+            out.append(chr(symbol))
+            symbol = 0
+    if state:
+        raise ValueError("truncated UTF-8 sequence")
+    return "".join(out)
+
+
+class Utf8DfaMatcher:
+    """Byte-space matcher over UTF-8 key bytes: decodes incrementally
+    with the table DFA and advances an inner CHAR matcher once per
+    completed codepoint — WILD/EDIT run directly over the UTF-8 byte
+    trie of a dictionary, no key decoded up front.
+
+    Behavioral reference: ``DecodingMatcherForUTF8``
+    (``Src/.../Common/Compression/DecodingMatcherForUTF8.cs`` —
+    behavior observed, no code copied).  One deliberate divergence:
+    the reference feeds UTF-16 code units to its char matcher (a C#
+    ``(char)symbol`` cast that TRUNCATES astral codepoints mod 2^16);
+    this repo's matchers consume full Python codepoints, so astral
+    symbols match correctly instead of aliasing.
+
+    Protocol matches :mod:`fulltextsearch_ray.dfa`: ``next(byte)``
+    leaves state unchanged on failure; ``pop()`` undoes the last
+    successful ``next``; mid-sequence states are never final."""
+
+    def __init__(self, matcher):
+        self.m = matcher
+        # per consumed byte: (pending_symbol_bits, tail, pushed_char)
+        self._stack: list[tuple[int, int, bool]] = [(0, 0, False)]
+
+    def reset(self) -> None:
+        del self._stack[1:]
+        self.m.reset()
+
+    def next(self, byte: int) -> bool:
+        symbol, tail, _ = self._stack[-1]
+        cls = _U8_CLASS[byte]
+        if cls == 0 or (tail > 0) != (cls == 2):
+            # invalid byte, continuation without a lead, or a new lead
+            # while continuations are still expected
+            return False
+        if cls == 2:
+            symbol = (symbol << 6) | (byte & 0x3F)
+            if tail > 1:
+                self._stack.append((symbol, tail - 1, False))
+                return True
+            if not self.m.next(chr(symbol)):
+                return False
+            self._stack.append((0, 0, True))
+            return True
+        if cls == 1:
+            if not self.m.next(chr(byte)):
+                return False
+            self._stack.append((0, 0, True))
+            return True
+        self._stack.append((byte & _U8_MASK[cls], cls - 2, False))
+        return True
+
+    def pop(self) -> None:
+        _, _, pushed = self._stack.pop()
+        if pushed:
+            self.m.pop()
+
+    def is_final(self) -> bool:
+        return self._stack[-1][1] == 0 and self.m.is_final()
+
+
+def match_utf8_keys(keys: list[bytes], matcher) -> list[int]:
+    """Indices of SORTED UTF-8-encoded keys accepted by a char
+    ``matcher``, evaluated in byte space with shared-prefix reuse
+    (same walk as :func:`match_encoded_keys`; a byte-level dictionary
+    laid out as a trie/TST gets the identical step count)."""
+    return _match_byte_keys(keys, Utf8DfaMatcher(matcher))

@@ -225,3 +225,91 @@ def test_encode_rejects_nul_and_decode_rejects_truncation():
     assert enc.decode(bits) == "abc"
     with pytest.raises(ValueError, match="mid-codeword"):
         enc.decode(bits[:-1])
+
+
+# -- UTF-8 byte-space DFA (reference UTF8DfaDecoder / DecodingMatcherForUTF8)
+
+
+def test_utf8_dfa_decoder_reference_vector():
+    # ported reference test (UTF8DfaDecoderTests.Decoding) + astral chars
+    from fulltextsearch_ray.textcodec import decode_utf8_dfa
+
+    for text in [
+        "Hello Здоровенькі ᆵሄ⅙⅙Ⅸ ТестыТексты Були שלום עולם",
+        "",
+        "ascii only",
+        "astral \U0001f389\U00010348 mix",
+    ]:
+        assert decode_utf8_dfa(text.encode("utf-8")) == text
+
+
+def test_utf8_dfa_decoder_rejects_invalid():
+    from fulltextsearch_ray.textcodec import decode_utf8_dfa
+
+    for bad in [b"\xf8", b"\x80", b"\xc3", b"\xc3A", b"hello\xffworld", b"\xe0\x80"]:
+        with pytest.raises(ValueError):
+            decode_utf8_dfa(bad)
+
+
+def test_match_utf8_keys_parity():
+    """WILD/EDIT/ANY over raw UTF-8 key bytes == decode-then-match,
+    including multi-byte and astral codepoints (where the reference's
+    UTF-16 char cast would alias — divergence documented)."""
+    import random
+
+    from fulltextsearch_ray.dfa import (
+        AnyDfaMatcher,
+        EditDfaMatcher,
+        SequenceDfaMatcher,
+        WildcardDfaMatcher,
+    )
+    from fulltextsearch_ray.matchers import levenshtein_mask, wildcard_match
+    from fulltextsearch_ray.textcodec import match_utf8_keys
+
+    rng = random.Random(11)
+    alphabet = "abcдёжשፕ\U0001f389"
+    words = sorted(
+        {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10)))
+            for _ in range(1200)
+        }
+    )
+    keys = [w.encode("utf-8") for w in words]
+    assert keys == sorted(keys)  # UTF-8 byte order == codepoint order
+    assert match_utf8_keys(keys, AnyDfaMatcher()) == list(range(len(words)))
+    for pat in ["a*", "*ж", "д?c*", "*дё*", "???", "a*б*c", "\U0001f389*"]:
+        got = match_utf8_keys(keys, WildcardDfaMatcher(pat))
+        want = [i for i, w in enumerate(words) if wildcard_match(pat, w)]
+        assert got == want, pat
+    for q, k in [("aжc", 1), ("дёдё", 2), ("\U0001f389\U0001f389", 1)]:
+        got = match_utf8_keys(keys, EditDfaMatcher(q, k))
+        mask = levenshtein_mask(q, words, k)
+        assert got == [i for i, m in enumerate(mask) if m], (q, k)
+    w = words[37]
+    assert match_utf8_keys(keys, SequenceDfaMatcher(w)) == [37]
+
+
+def test_utf8_matcher_protocol_unit():
+    """Failed next() leaves state unchanged mid-sequence; pop() unwinds
+    exactly one byte; mid-sequence states are never final."""
+    from fulltextsearch_ray.dfa import WildcardDfaMatcher
+    from fulltextsearch_ray.textcodec import Utf8DfaMatcher
+
+    m = Utf8DfaMatcher(WildcardDfaMatcher("д?"))
+    lead, cont = "д".encode("utf-8")
+    assert m.next(lead)
+    assert not m.is_final()  # mid-sequence
+    assert not m.next(0x41)  # new lead while a continuation is pending
+    assert not m.next(0xF9)  # invalid byte class
+    assert m.next(cont)  # state was unchanged: correct continuation works
+    assert not m.is_final()  # pattern needs one more char
+    assert m.next(ord("x"))
+    assert m.is_final()
+    m.pop()  # unwind 'x'
+    m.pop()  # unwind the continuation byte
+    m.pop()  # unwind the lead byte
+    assert not m.is_final()
+    # a rejected char (matcher says no) also leaves byte state unchanged
+    m2 = Utf8DfaMatcher(WildcardDfaMatcher("a"))
+    assert not m2.next(ord("b"))
+    assert m2.next(ord("a")) and m2.is_final()
