@@ -362,6 +362,14 @@ def _q_search_docs(sf_dir: str):
     col = t["token_ids"].combine_chunks()
     vals = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype=np.int64)
     offs = np.asarray(col.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
+    # reduceat silently reads the NEXT doc's values for an empty
+    # segment and runs the last segment to the end of the child buffer
+    # (which can extend past offsets[-1] on sliced arrays) — fail loud
+    # on the first and truncate for the second
+    if len(offs) > 1 and not (np.diff(offs) > 0).all():
+        raise ValueError("search_docs emitted a doc with an empty token_ids list")
+    if len(offs):
+        vals = vals[: offs[-1]]
     starts = offs[:-1]
     first = np.minimum.reduceat(vals, starts) if len(starts) else np.empty(0, np.int64)
     last = np.maximum.reduceat(vals, starts) if len(starts) else np.empty(0, np.int64)

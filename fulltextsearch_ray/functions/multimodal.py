@@ -74,7 +74,7 @@ class DecodeStage:
     batch_size=16, concurrency=8)``.
     """
 
-    def __init__(self, fake: "bool | None" = True):
+    def __init__(self, fake: "bool | None" = None):
         self.fake = _resolve_fake(fake, _PILImage, "DecodeStage")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -91,10 +91,16 @@ class DecodeStage:
                 heights.append(16 + int(d[4:8], 16) % 4080)
             else:
                 # real decode: header-only open (Pillow is lazy — no
-                # full pixel decode just to read dimensions)
-                with _PILImage.open(io.BytesIO(p)) as im:
-                    widths.append(int(im.width))
-                    heights.append(int(im.height))
+                # full pixel decode just to read dimensions).  A null or
+                # undecodable payload yields NULL dims for that row —
+                # one corrupt image must not fail the whole batch task.
+                try:
+                    with _PILImage.open(io.BytesIO(p)) as im:
+                        widths.append(int(im.width))
+                        heights.append(int(im.height))
+                except Exception:
+                    widths.append(None)
+                    heights.append(None)
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -140,7 +146,7 @@ class ResizeStage:
     height, ...), optionally joined with the payload column.
     """
 
-    def __init__(self, target: int = 224, fake: "bool | None" = True):
+    def __init__(self, target: int = 224, fake: "bool | None" = None):
         self.target = target
         self.fake = _resolve_fake(fake, _PILImage, "ResizeStage")
 
@@ -160,10 +166,15 @@ class ResizeStage:
         if not self.fake and "payload" in batch.column_names:
             resized = []
             for p, ow, oh in zip(batch["payload"].to_pylist(), out_w, out_h):
-                with _PILImage.open(io.BytesIO(p or b"")) as im:
-                    buf = io.BytesIO()
-                    im.resize((int(ow), int(oh))).save(buf, format="PNG")
-                    resized.append(buf.getvalue())
+                # null/undecodable payload → NULL resized bytes for the
+                # row, never a whole-batch task failure
+                try:
+                    with _PILImage.open(io.BytesIO(p or b"")) as im:
+                        buf = io.BytesIO()
+                        im.resize((int(ow), int(oh))).save(buf, format="PNG")
+                        resized.append(buf.getvalue())
+                except Exception:
+                    resized.append(None)
             cols["resized"] = pa.array(resized, pa.binary())
         return pa.table(cols)
 
@@ -180,7 +191,7 @@ class FrameSampleStage:
     and the md5 of each frame's raw plane bytes.
     """
 
-    def __init__(self, fake: "bool | None" = True):
+    def __init__(self, fake: "bool | None" = None):
         self.fake = _resolve_fake(fake, _av, "FrameSampleStage")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -188,16 +199,21 @@ class FrameSampleStage:
         for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
             p = p or b""
             if not self.fake:
-                with _av.open(io.BytesIO(p)) as container:
-                    stream = container.streams.video[0]
-                    stream.codec_context.skip_frame = "NONKEY"  # keyframes only
-                    for i, frame in enumerate(container.decode(stream)):
-                        ids_out.append(mid)
-                        idx_out.append(i)
-                        md5_out.append(
-                            hashlib.md5(bytes(frame.planes[0])).hexdigest()
-                        )
-                        ts_out.append(int((frame.time or 0.0) * 1000))
+                # an undecodable/null payload contributes zero frames
+                # (flat-map semantics), never a whole-batch failure
+                try:
+                    with _av.open(io.BytesIO(p)) as container:
+                        stream = container.streams.video[0]
+                        stream.codec_context.skip_frame = "NONKEY"  # keyframes only
+                        for i, frame in enumerate(container.decode(stream)):
+                            ids_out.append(mid)
+                            idx_out.append(i)
+                            md5_out.append(
+                                hashlib.md5(bytes(frame.planes[0])).hexdigest()
+                            )
+                            ts_out.append(int((frame.time or 0.0) * 1000))
+                except Exception:
+                    pass
                 continue
             d = hashlib.md5(p).hexdigest()
             n_frames = 2 + int(d[8:12], 16) % 7

@@ -253,6 +253,7 @@ class IndexSearcher:
     # stay on the column dictionary
     _fst = None
     _auto_fst = None
+    _auto_fst_pending = False
 
     def __init__(
         self,
@@ -458,12 +459,12 @@ class IndexSearcher:
         # ``Automata/FST.cs:1004-1063``, behavior observed, no code
         # copied).  The parquet catalogs remain the source for stats
         # and posting lookups; a stale/absent sidecar falls back to the
-        # paged scan, so this is purely an accelerator.
+        # paged scan, so this is purely an accelerator.  Loaded LAZILY
+        # on the first WILD/EDIT expansion: a wide actor pool serving
+        # pure WORD/BM25 traffic never reads the O(vocabulary) image,
+        # keeping lazy mode's fixed cold-start memory promise.
         self._auto_fst = None
-        if self._fst is None and self._lazy_cats is not None:
-            from ..state.fst_store import load_fst_sidecar as _load_sidecar
-
-            self._auto_fst = _load_sidecar(index_dir, self.segments)
+        self._auto_fst_pending = self._fst is None and self._lazy_cats is not None
 
     # -- statistics ---------------------------------------------------------
 
@@ -621,6 +622,13 @@ class IndexSearcher:
 
         if isinstance(ast, WordQuery):
             return [ast.value] if self._term_row(ast.value) is not None else []
+        if self._auto_fst_pending:
+            # one-shot: check for a fresh sidecar only when a pattern
+            # query actually arrives (absence is also cached)
+            from ..state.fst_store import load_fst_sidecar as _load_sidecar
+
+            self._auto_fst = _load_sidecar(self.index_dir, self.segments)
+            self._auto_fst_pending = False
         if self._auto_fst is not None:
             # fresh sidecar present: pruned dictionary∩automaton walk
             # instead of paging catalog row groups (the EDIT path below

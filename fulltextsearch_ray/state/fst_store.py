@@ -51,8 +51,21 @@ def _iter_segment_terms(index_dir: str, seg: str) -> Iterator[str]:
     for f in _segment_catalog_files(index_dir, seg):
         md = pq.ParquetFile(f).metadata
         for rg in range(md.num_row_groups):
+            if md.row_group(rg).num_rows == 0:
+                continue  # contributes no terms
             st = md.row_group(rg).column(0).statistics
-            key = st.min if st is not None and st.has_min_max else ""
+            if st is not None and st.has_min_max:
+                key = st.min
+            else:
+                # stats missing (foreign/older writer): key by the TRUE
+                # first term right away — a placeholder key would sort
+                # the run before all real runs and fail the FstBuilder's
+                # strictly-sorted check even with no tie present
+                key = (
+                    pq.ParquetFile(f)
+                    .read_row_group(rg, columns=["term"])["term"][0]
+                    .as_py()
+                )
             runs.append((key, f, rg))
     runs.sort()
     # parquet string min statistics may be WRITER-TRUNCATED, so two runs

@@ -45,8 +45,9 @@ class _FileStore:
     MAGIC = b"????"
     HEADER_EXTRA = 0  # subclass payload bytes after the magic
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, durable: bool = False):
         self.path = path
+        self.durable = durable
         fresh = not os.path.exists(path) or os.path.getsize(path) == 0
         self._f = open(path, "r+b" if not fresh else "w+b")
         if fresh:
@@ -78,8 +79,23 @@ class _FileStore:
     def flush(self) -> None:
         self._f.flush()
 
+    def _barrier(self) -> None:
+        """Write barrier before a pointer patch.  flush() orders the
+        append ahead of the patch for PROCESS-crash scenarios (both hit
+        the page cache in order; the appended bytes exist when the
+        pointer lands).  It is NOT a power-loss guarantee — the kernel
+        may write the pointer page first; open the store with
+        ``durable=True`` to fsync here (per-save cost) when that
+        matters.  Either way ``_read_exact`` turns a dangling pointer
+        into a descriptive corrupt-store error, never a struct.error."""
+        self._f.flush()
+        if self.durable:
+            os.fsync(self._f.fileno())
+
     def close(self) -> None:
         self._f.flush()
+        if self.durable:
+            os.fsync(self._f.fileno())
         self._f.close()
 
     def __enter__(self):
@@ -128,9 +144,9 @@ class PersistentBtree(_FileStore):
     # ever written and grow O(total nodes))
     CACHE_NODES = 256
 
-    def __init__(self, path: str, order: int = 32):
+    def __init__(self, path: str, order: int = 32, durable: bool = False):
         self._order = order
-        super().__init__(path)
+        super().__init__(path, durable=durable)
         self._cache: dict[int, tuple] = {}
 
     # header after magic: [u32 order][u64 root]
@@ -144,10 +160,9 @@ class PersistentBtree(_FileStore):
         self._root = _U64.unpack(self._f.read(8))[0]
 
     def _patch_root(self, off: int) -> None:
-        # flush the node/value appends BEFORE the root pointer patch so
-        # a crash between the two leaves the OLD root pointing at intact
-        # data, never a new root pointing at a torn record
-        self._f.flush()
+        # barrier the node/value appends BEFORE the root pointer patch
+        # (see _barrier for exactly what this does and does not promise)
+        self._barrier()
         self._root = off
         self._write_at(len(self.MAGIC) + 4, _U64.pack(off))
 
@@ -272,9 +287,9 @@ class PersistentHashTable(_FileStore):
 
     MAGIC = b"RHT1"
 
-    def __init__(self, path: str, n_buckets: int = 4096):
+    def __init__(self, path: str, n_buckets: int = 4096, durable: bool = False):
         self._n_buckets = n_buckets
-        super().__init__(path)
+        super().__init__(path, durable=durable)
 
     def _init_header(self) -> None:
         self._f.write(_U32.pack(self._n_buckets))
@@ -310,9 +325,9 @@ class PersistentHashTable(_FileStore):
         old = _U64.unpack(self._read_at(head_off, 8))[0]
         rec = _U64.pack(old) + _U64.pack(key) + _U32.pack(len(data)) + data
         off = self._append(rec)
-        # flush the record append before patching the chain head (same
-        # crash-ordering discipline as the B-tree root patch)
-        self._f.flush()
+        # barrier the record append before patching the chain head (same
+        # ordering discipline as the B-tree root patch; see _barrier)
+        self._barrier()
         self._write_at(head_off, _U64.pack(off))
 
 
@@ -349,7 +364,7 @@ class PersistentList(_FileStore):
             new_cap *= 2
         slots = self._read_at(self._slots_off, 8 * self._capacity)
         new_off = self._append(slots + b"\x00" * (8 * (new_cap - self._capacity)))
-        self._f.flush()  # new slot region durable before the header points at it
+        self._barrier()  # new slot region ordered before the header points at it
         self._capacity = new_cap
         self._slots_off = new_off
         self._write_at(len(self.MAGIC), _U64.pack(new_cap) + _U64.pack(new_off))
@@ -375,7 +390,7 @@ class PersistentList(_FileStore):
         if key >= self._capacity:
             self._grow(key)
         vptr = self._append_value(data)
-        self._f.flush()  # record durable before its slot pointer lands
+        self._barrier()  # record ordered before its slot pointer lands
         self._write_at(self._slots_off + 8 * key, _U64.pack(vptr))
 
 
@@ -395,16 +410,17 @@ METADATA_STORE_KINDS = {
 }
 
 
-def open_metadata_store(path: str, kind: str):
+def open_metadata_store(path: str, kind: str, durable: bool = False):
     """Factory mirroring the reference's ``PersistentMetadataFactory``
-    (ids BTree / HashTable / List)."""
+    (ids BTree / HashTable / List).  ``durable=True`` fsyncs before
+    every pointer patch (power-loss ordering, per-save cost)."""
     try:
         cls = METADATA_STORE_KINDS[kind]
     except KeyError:
         raise ValueError(
             f"unknown metadata store kind {kind!r} (one of {sorted(METADATA_STORE_KINDS)})"
         ) from None
-    return cls(path)
+    return cls(path, durable=durable)
 
 
 def store_path(index_dir: str, kind: str) -> str:

@@ -392,30 +392,50 @@ def _match_byte_keys(keys: list[bytes], dm) -> list[int]:
 # UTF-8 byte space: table-driven DFA decoder + byte-space matcher
 # ---------------------------------------------------------------------------
 
-# Byte classes: 0 = invalid (F8-FF), 1 = ASCII lead (00-7F), 2 =
-# continuation (80-BF), 3/4/5 = 2/3/4-byte leads (C0-DF / E0-EF /
-# F0-F7).  The 4-state x 6-class transition table is the classic
-# public-domain UTF-8 DFA construction (Hoehrmann-style); the
-# reference ships its own copy in ``Common/UTF8DfaDecoder.cs``
-# (behavior observed, no code copied — tables derived here from the
-# RFC 3629 byte ranges).
+# Byte classes (0 = invalid everywhere: C0-C1 overlong leads, F5-FF):
+#   1 ASCII 00-7F | 2 cont 80-8F | 3 cont 90-9F | 4 cont A0-BF |
+#   5 lead C2-DF | 6 E0 (needs A0-BF) | 7 E1-EC,EE-EF | 8 ED (needs
+#   80-9F, excludes surrogates) | 9 F0 (needs 90-BF) | 10 F1-F3 |
+#   11 F4 (needs 80-8F, caps at U+10FFFF).
+# The class/state transition table is the classic public-domain UTF-8
+# DFA construction (Hoehrmann-style); the reference ships its own copy
+# in ``Common/UTF8DfaDecoder.cs`` (behavior observed, no code copied —
+# tables derived here from the RFC 3629 well-formed byte ranges, so
+# overlongs, surrogates and >U+10FFFF are rejected, not just F8-FF).
 _U8_CLASS = np.zeros(256, dtype=np.int8)
 _U8_CLASS[0x00:0x80] = 1
-_U8_CLASS[0x80:0xC0] = 2
-_U8_CLASS[0xC0:0xE0] = 3
-_U8_CLASS[0xE0:0xF0] = 4
-_U8_CLASS[0xF0:0xF8] = 5
-# state = continuation bytes still expected (0..3); -1 = reject
-_U8_NEXT = np.full((4, 6), -1, dtype=np.int8)
-_U8_NEXT[0, 1] = 0  # ASCII completes immediately
-_U8_NEXT[0, 3] = 1  # 2-byte lead: expect 1 continuation
-_U8_NEXT[0, 4] = 2
-_U8_NEXT[0, 5] = 3
-_U8_NEXT[1, 2] = 0
-_U8_NEXT[2, 2] = 1
-_U8_NEXT[3, 2] = 2
-# payload bits contributed by a byte of each class (lead-byte masks)
-_U8_MASK = (0, 0x7F, 0x3F, 0x1F, 0x0F, 0x07)
+_U8_CLASS[0x80:0x90] = 2
+_U8_CLASS[0x90:0xA0] = 3
+_U8_CLASS[0xA0:0xC0] = 4
+_U8_CLASS[0xC2:0xE0] = 5
+_U8_CLASS[0xE0] = 6
+_U8_CLASS[0xE1:0xED] = 7
+_U8_CLASS[0xED] = 8
+_U8_CLASS[0xEE:0xF0] = 7
+_U8_CLASS[0xF0] = 9
+_U8_CLASS[0xF1:0xF4] = 10
+_U8_CLASS[0xF4] = 11
+# states: 0 start/accept | 1 need 1 cont (any) | 2 need 2 cont (any) |
+# 3 after E0 | 4 after ED | 5 after F0 | 6 after F4 | 7 need 3 cont
+_U8_NEXT = np.full((8, 12), -1, dtype=np.int8)
+_U8_NEXT[0, 1] = 0
+_U8_NEXT[0, 5] = 1
+_U8_NEXT[0, 6] = 3
+_U8_NEXT[0, 7] = 2
+_U8_NEXT[0, 8] = 4
+_U8_NEXT[0, 9] = 5
+_U8_NEXT[0, 10] = 7
+_U8_NEXT[0, 11] = 6
+_U8_NEXT[1, 2:5] = 0
+_U8_NEXT[2, 2:5] = 1
+_U8_NEXT[3, 4] = 1  # E0: only A0-BF (rejects 3-byte overlongs)
+_U8_NEXT[4, 2:4] = 1  # ED: only 80-9F (rejects UTF-16 surrogates)
+_U8_NEXT[5, 3:5] = 2  # F0: only 90-BF (rejects 4-byte overlongs)
+_U8_NEXT[6, 2] = 2  # F4: only 80-8F (rejects > U+10FFFF)
+_U8_NEXT[7, 2:5] = 2
+# payload bits contributed by a LEAD byte of each class (continuation
+# bytes always contribute their low 6 bits)
+_U8_MASK = (0, 0x7F, 0x3F, 0x3F, 0x3F, 0x1F, 0x0F, 0x0F, 0x0F, 0x07, 0x07, 0x07)
 
 
 def decode_utf8_dfa(data: bytes) -> str:
@@ -428,11 +448,10 @@ def decode_utf8_dfa(data: bytes) -> str:
     state = 0
     symbol = 0
     for b in data:
-        cls = _U8_CLASS[b]
-        nxt = _U8_NEXT[state, cls] if cls else -1
+        nxt = _U8_NEXT[state, _U8_CLASS[b]]
         if nxt < 0:
             raise ValueError(f"not UTF-8 at byte {b:#04x}")
-        symbol = (symbol << 6) | (b & _U8_MASK[cls]) if state else b & _U8_MASK[cls]
+        symbol = (symbol << 6) | (b & 0x3F) if state else b & _U8_MASK[_U8_CLASS[b]]
         state = int(nxt)
         if state == 0:
             out.append(chr(symbol))
@@ -462,7 +481,7 @@ class Utf8DfaMatcher:
 
     def __init__(self, matcher):
         self.m = matcher
-        # per consumed byte: (pending_symbol_bits, tail, pushed_char)
+        # per consumed byte: (pending_symbol_bits, dfa_state, pushed_char)
         self._stack: list[tuple[int, int, bool]] = [(0, 0, False)]
 
     def reset(self) -> None:
@@ -470,27 +489,22 @@ class Utf8DfaMatcher:
         self.m.reset()
 
     def next(self, byte: int) -> bool:
-        symbol, tail, _ = self._stack[-1]
+        symbol, state, _ = self._stack[-1]
         cls = _U8_CLASS[byte]
-        if cls == 0 or (tail > 0) != (cls == 2):
-            # invalid byte, continuation without a lead, or a new lead
-            # while continuations are still expected
+        nxt = _U8_NEXT[state, cls]
+        if nxt < 0:
+            # invalid byte, continuation without a lead, a new lead
+            # while continuations are expected, or an ill-formed
+            # (overlong / surrogate / >U+10FFFF) sequence: reject,
+            # state unchanged — the key simply does not match
             return False
-        if cls == 2:
-            symbol = (symbol << 6) | (byte & 0x3F)
-            if tail > 1:
-                self._stack.append((symbol, tail - 1, False))
-                return True
-            if not self.m.next(chr(symbol)):
-                return False
-            self._stack.append((0, 0, True))
+        symbol = (symbol << 6) | (byte & 0x3F) if state else byte & _U8_MASK[cls]
+        if nxt:
+            self._stack.append((symbol, int(nxt), False))
             return True
-        if cls == 1:
-            if not self.m.next(chr(byte)):
-                return False
-            self._stack.append((0, 0, True))
-            return True
-        self._stack.append((byte & _U8_MASK[cls], cls - 2, False))
+        if not self.m.next(chr(symbol)):
+            return False
+        self._stack.append((0, 0, True))
         return True
 
     def pop(self) -> None:

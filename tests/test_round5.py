@@ -135,8 +135,11 @@ def test_lazy_edit_uses_fst_sidecar(built_index):
 
     build_fst_sidecar(built_index)
     s = IndexSearcher(built_index, catalog_budget_rows=0)
-    assert s._auto_fst is not None
+    # the sidecar loads LAZILY, on the first pattern expansion — cold
+    # start never reads the O(vocabulary) image
+    assert s._auto_fst is None and s._auto_fst_pending
     got = s.lookup("EDIT(quick,1)")
+    assert s._auto_fst is not None and not s._auto_fst_pending
     assert got == base and got  # non-trivial match set
     assert sum(c.loads for c in s._lazy_cats) == 0  # no catalog paging
     # WILD goes through the sidecar too
@@ -144,6 +147,11 @@ def test_lazy_edit_uses_fst_sidecar(built_index):
     # occurrence-level query parity (posting fetches still page, but
     # only for the matched terms)
     assert s.search_to_string("EDIT(quick,1)") == plain.search_to_string("EDIT(quick,1)")
+    # a pure WORD/BM25 workload on a fresh searcher never loads the image
+    w = IndexSearcher(built_index, catalog_budget_rows=0)
+    assert w.bm25_topk("quick fox", k=3)
+    assert w.lookup("WORD(quick)")
+    assert w._auto_fst is None and w._auto_fst_pending
 
 
 def test_stale_fst_sidecar_falls_back(built_index, tmp_path):
@@ -241,11 +249,13 @@ def test_fst_iter_segment_terms_breaks_truncated_ties(tmp_path, monkeypatch):
             md = self._pf.metadata
 
             def rg(i):
-                st = md.row_group(i).column(0).statistics
+                g = md.row_group(i)
+                st = g.column(0).statistics
                 return SimpleNamespace(
+                    num_rows=g.num_rows,
                     column=lambda j: SimpleNamespace(
                         statistics=SimpleNamespace(has_min_max=True, min=st.min[:3])
-                    )
+                    ),
                 )
 
             return SimpleNamespace(num_row_groups=md.num_row_groups, row_group=rg)
@@ -260,6 +270,52 @@ def test_fst_iter_segment_terms_breaks_truncated_ties(tmp_path, monkeypatch):
     )
     got = list(fs._iter_segment_terms(str(tmp_path), "s0"))
     assert got == ["abca", "abcb", "abcx", "abcy"]
+
+
+def test_fst_iter_segment_terms_single_statless_group(tmp_path, monkeypatch):
+    """ONE row group without key statistics (foreign writer) must be
+    keyed by its true first term — not a placeholder that sorts it
+    before every real run; empty row groups are skipped entirely."""
+    import fulltextsearch_ray.state.fst_store as fs
+
+    seg = tmp_path / "segments" / "s0" / "catalog"
+    seg.mkdir(parents=True)
+    # lexically FIRST file carries the LATER terms and will lose stats
+    pq.write_table(pa.table({"term": pa.array(["mmm", "nnn"])}), seg / "a.parquet")
+    pq.write_table(pa.table({"term": pa.array(["aaa", "bbb"])}), seg / "b.parquet")
+    pq.write_table(pa.table({"term": pa.array([], pa.string())}), seg / "c.parquet")
+    real_pq = fs.pq
+
+    class NoStatsPF:
+        def __init__(self, path):
+            self._pf = real_pq.ParquetFile(path)
+            self._strip = str(path).endswith("a.parquet")
+
+        @property
+        def metadata(self):
+            md = self._pf.metadata
+            strip = self._strip
+
+            def rg(i):
+                g = md.row_group(i)
+                stats = None if strip else g.column(0).statistics
+                return SimpleNamespace(
+                    num_rows=g.num_rows,
+                    column=lambda j: SimpleNamespace(statistics=stats),
+                )
+
+            return SimpleNamespace(num_row_groups=md.num_row_groups, row_group=rg)
+
+        def read_row_group(self, i, columns=None):
+            return self._pf.read_row_group(i, columns=columns)
+
+    monkeypatch.setattr(
+        fs,
+        "pq",
+        SimpleNamespace(ParquetFile=NoStatsPF, ParquetDataset=real_pq.ParquetDataset),
+    )
+    got = list(fs._iter_segment_terms(str(tmp_path), "s0"))
+    assert got == ["aaa", "bbb", "mmm", "nnn"]
 
 
 def test_sharded_fst_sequential_writes_at_dispatch(tmp_path):

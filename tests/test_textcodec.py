@@ -249,6 +249,56 @@ def test_utf8_dfa_decoder_rejects_invalid():
     for bad in [b"\xf8", b"\x80", b"\xc3", b"\xc3A", b"hello\xffworld", b"\xe0\x80"]:
         with pytest.raises(ValueError):
             decode_utf8_dfa(bad)
+    # RFC 3629 ill-formed (Python's strict codec rejects all of these):
+    # overlongs, UTF-16 surrogates, >U+10FFFF, C0/C1/F5-F7 leads
+    for bad in [
+        b"\xc0\xae",
+        b"\xc1\xbf",
+        b"\xe0\x80\xaf",
+        b"\xe0\x9f\xbf",
+        b"\xed\xa0\x80",
+        b"\xf0\x8f\xbf\xbf",
+        b"\xf4\x90\x80\x80",
+        b"\xf5\x80\x80\x80",
+    ]:
+        with pytest.raises(ValueError):
+            decode_utf8_dfa(bad)
+    # tight boundary accepts
+    assert decode_utf8_dfa(b"\xf4\x8f\xbf\xbf") == "\U0010ffff"
+    assert decode_utf8_dfa(b"\xed\x9f\xbf") == "퟿"
+    assert decode_utf8_dfa(b"\xee\x80\x80") == ""
+    assert decode_utf8_dfa(b"\xe0\xa0\x80") == "ࠀ"
+    assert decode_utf8_dfa(b"\xc2\x80") == "\x80"
+
+
+def test_utf8_dfa_decoder_fuzz_parity_with_python_codec():
+    """decode_utf8_dfa accepts exactly what Python's strict UTF-8
+    codec accepts, and decodes identically."""
+    import random
+
+    from fulltextsearch_ray.textcodec import decode_utf8_dfa
+
+    rng = random.Random(7)
+    for _ in range(3000):
+        data = bytes(rng.randrange(256) for _ in range(rng.randint(0, 8)))
+        try:
+            want = data.decode("utf-8")
+        except UnicodeDecodeError:
+            with pytest.raises(ValueError):
+                decode_utf8_dfa(data)
+        else:
+            assert decode_utf8_dfa(data) == want
+
+
+def test_match_utf8_keys_skips_ill_formed_keys():
+    """A corrupt/foreign key in the sorted list is simply not matched
+    — the walk must not crash on it."""
+    from fulltextsearch_ray.dfa import AnyDfaMatcher
+    from fulltextsearch_ray.textcodec import match_utf8_keys
+
+    keys = sorted([b"abc", "проба".encode(), b"\xc0\xae", b"\xed\xa0\x80", b"\xf5\x80\x80\x80"])
+    good = {keys.index(b"abc"), keys.index("проба".encode())}
+    assert set(match_utf8_keys(keys, AnyDfaMatcher())) == good
 
 
 def test_match_utf8_keys_parity():
