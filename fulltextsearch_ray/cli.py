@@ -232,6 +232,41 @@ def _main(argv: list[str] | None = None) -> int:
                 f"({100 * packed / raw:.0f}%)  build+encode={ke * 1000:.1f}ms  "
                 f"order_preserved={order_ok}"
             )
+
+        # pattern matching directly in byte space (no key ever decoded):
+        # UTF-8 DFA walk and packed-key walks vs the vectorized kernel
+        from .dfa import WildcardDfaMatcher
+        from .matchers import wildcard_match
+        from .textcodec import match_encoded_keys, match_utf8_keys
+
+        pat = "re*"
+        want = [i for i, t in enumerate(terms) if wildcard_match(pat, t)]
+        m0 = time.perf_counter()
+        got = match_utf8_keys([t.encode("utf-8") for t in terms], WildcardDfaMatcher(pat))
+        mu = (time.perf_counter() - m0) * 1000
+        print(f"match-utf8       WILD({pat})  hits={len(got)}  agree={got == want}  {mu:.1f}ms")
+        for bname in BUILDERS:
+            enc, encoded = encode_sorted_terms(terms, bname)
+            m0 = time.perf_counter()
+            got = match_encoded_keys(encoded, WildcardDfaMatcher(pat), enc)
+            me = (time.perf_counter() - m0) * 1000
+            print(f"match-{bname:9s}  WILD({pat})  hits={len(got)}  agree={got == want}  {me:.1f}ms")
+
+        # byte-stream utility codec (RFC 1978 predictor — format-matrix
+        # entry, not a posting hot path)
+        from .predictor import predictor_compress, predictor_decompress
+
+        payload = " ".join(terms).encode("utf-8")
+        c0 = time.perf_counter()
+        comp = predictor_compress(payload)
+        ce = (time.perf_counter() - c0) * 1000
+        d0 = time.perf_counter()
+        assert predictor_decompress(comp) == payload
+        de = (time.perf_counter() - d0) * 1000
+        print(
+            f"predictor     bytes={len(payload)} -> {len(comp)} "
+            f"({100 * len(comp) / len(payload):.0f}%)  compress={ce:.1f}ms  decompress={de:.1f}ms"
+        )
         return 0
 
     if args.verb == "download":

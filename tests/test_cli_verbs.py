@@ -194,3 +194,16 @@ def test_index_fst_flag_keeps_sidecar_fresh(ray_session, tmp_path, capsys):
     assert len(segs) == 1
     fst3 = load_fst_sidecar(idx, segs)
     assert fst3 is not None and fst3.try_match("banana")[0]
+
+
+def test_benchmark_verb_matchers_and_predictor(capsys):
+    """The format-matrix verb exercises every posting codec, the
+    dictionary key encodings, the byte-space matchers (UTF-8 + all
+    packed builders) and the predictor codec — all self-checking
+    (agree=True / internal asserts)."""
+    assert main(["benchmark"]) == 0
+    out = capsys.readouterr().out
+    assert "match-utf8" in out and "predictor" in out
+    matches = [l for l in out.splitlines() if l.startswith("match-")]
+    assert len(matches) == 4
+    assert all("agree=True" in l for l in matches)
