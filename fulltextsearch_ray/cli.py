@@ -21,10 +21,14 @@ import time
 
 
 def _ensure_ray():
+    """Guarded session init.  Honors ``RAY_ADDRESS`` so the same verbs
+    run unchanged under ``ray job submit`` on a multi-node cluster
+    (the job runtime sets RAY_ADDRESS to the cluster GCS); standalone
+    invocations default to a local session."""
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False)
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
 
 
 def main(argv: list[str] | None = None) -> int:
