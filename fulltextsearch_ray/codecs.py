@@ -100,6 +100,13 @@ def varint_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None
     np.cumsum(is_end[:-1], out=group[1:])
     starts = np.flatnonzero(np.r_[True, is_end[:-1]])
     pos = np.arange(len(arr), dtype=np.int64) - starts[group]
+    # a uint64 varint is at most 10 bytes, and byte 10 (shift 63) may
+    # only carry bit 0 — numpy wraps shifts >= 64 silently, so corrupt
+    # over-long varints would otherwise decode to garbage, not an error
+    if int(pos.max()) > 9:
+        raise ValueError("varint_decode: varint longer than 10 bytes (corrupt stream)")
+    if ((pos == 9) & ((arr & 0x7F) > 1)).any():
+        raise ValueError("varint_decode: varint overflows uint64 (corrupt stream)")
     contrib = (arr & 0x7F).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
     values = np.add.reduceat(contrib, starts)
     if count is not None and len(values) != count:
@@ -287,14 +294,20 @@ class SkipList:
 
     def lower_bound(self, doc: int, field: int = 0, token: int = 0) -> int:
         """Index of the first occurrence >= (doc, field, token); len if none."""
-        i = int(np.searchsorted(self.docs, np.uint64(doc), side="left"))
-        # refine within the equal-doc run (runs are tiny)
-        n = len(self.docs)
-        while i < n and self.docs[i] == doc and (
-            self.fields[i] < field or (self.fields[i] == field and self.tokens[i] < token)
-        ):
-            i += 1
-        return i
+        lo = int(np.searchsorted(self.docs, np.uint64(doc), side="left"))
+        if field == 0 and token == 0:
+            return lo
+        # refine within the equal-doc run by two more binary searches —
+        # O(log run) even for a 50k-occurrence hot document (a Python
+        # per-element walk here costs O(tf) interpreted steps per seek)
+        hi = int(np.searchsorted(self.docs, np.uint64(doc), side="right"))
+        if lo >= hi:
+            return lo
+        f0 = lo + int(np.searchsorted(self.fields[lo:hi], np.uint64(field), side="left"))
+        f1 = lo + int(np.searchsorted(self.fields[lo:hi], np.uint64(field), side="right"))
+        if f0 >= f1:
+            return f0
+        return f0 + int(np.searchsorted(self.tokens[f0:f1], np.uint64(token), side="left"))
 
 
 def lower_bound_block(first_docs: np.ndarray, target_doc: int) -> int:

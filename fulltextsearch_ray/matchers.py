@@ -68,6 +68,23 @@ def wildcard_match(pattern: str, text: str) -> bool:
     return re.fullmatch(wildcard_to_regex(pattern), text) is not None
 
 
+def prefix_upper_bound(prefix: str) -> "str | None":
+    """Smallest valid string GREATER than every string starting with
+    ``prefix`` (exclusive upper key for a sorted range scan), or None
+    when no such key exists.  The successor of U+D7FF skips the
+    surrogate block D800-DFFF — lone surrogates are not valid
+    Python/Arrow string codepoints (``chr(0xD800)`` crashes Arrow
+    kernels) and no valid string sorts inside the gap; a trailing
+    U+10FFFF has no single-codepoint successor, so the bound comes
+    from the next-shorter prefix."""
+    while prefix and prefix[-1] == "\U0010ffff":
+        prefix = prefix[:-1]
+    if not prefix:
+        return None
+    c = ord(prefix[-1])
+    return prefix[:-1] + chr(0xE000 if c == 0xD7FF else c + 1)
+
+
 def _terms_to_codepoint_matrix(terms: list[str], width: int) -> tuple[np.ndarray, np.ndarray]:
     """(n_terms, width) int32 codepoint matrix (-1 padded) + lengths."""
     n = len(terms)
@@ -155,7 +172,7 @@ def expand_pattern(
         candidates = terms
         if prefix:
             # range scan on the sorted column: [prefix, prefix+￿...)
-            hi_key = prefix[:-1] + chr(ord(prefix[-1]) + 1) if prefix[-1] != "\U0010ffff" else None
+            hi_key = prefix_upper_bound(prefix)
             if terms_np is not None:
                 lo = int(np.searchsorted(terms_np, prefix))
                 hi = int(np.searchsorted(terms_np, hi_key)) if hi_key is not None else len(terms_np)

@@ -154,13 +154,20 @@ def phrase_chains(lists: Sequence[OccurrenceList]) -> Matches:
         li = lists[i]
         keys = np.sort(_key_view(_as_u64(li.docs), _as_u64(li.fields), _as_u64(li.tokens)))
         probe = _key_view(d, f, t + np.uint64(i))
-        idx = np.searchsorted(keys, probe)
-        idx_c = np.minimum(idx, len(keys) - 1)
-        mask = keys[idx_c] == probe
-        mask &= idx < len(keys)
-        d, f, t = d[mask], f[mask], t[mask]
-        if len(d) == 0:
+        # multiplicity-preserving semi-join: a duplicate occurrence in
+        # EITHER list multiplies the chain count (one chain per way of
+        # picking one occurrence from each list) — term posting lists
+        # are duplicate-free, but OR-merged inputs keep duplicates and
+        # a membership-only probe would collapse them asymmetrically
+        cnt = np.searchsorted(keys, probe, side="right") - np.searchsorted(
+            keys, probe, side="left"
+        )
+        mask = cnt > 0
+        if not mask.any():
+            d, f, t = d[:0], f[:0], t[:0]
             break
+        rep = cnt[mask]
+        d, f, t = np.repeat(d[mask], rep), np.repeat(f[mask], rep), np.repeat(t[mask], rep)
     out = lex_sort(OccurrenceList(d, f, t))
     return Matches(out.docs, out.fields, out.tokens, width=n)
 

@@ -618,7 +618,7 @@ class IndexSearcher:
             return list(self._fst.match(matcher_for(ast)))
         if self._lazy_cats is None:
             return expand_pattern(ast, self.terms, self._terms_np)
-        from ..matchers import wildcard_prefix
+        from ..matchers import prefix_upper_bound, wildcard_prefix
 
         if isinstance(ast, WordQuery):
             return [ast.value] if self._term_row(ast.value) is not None else []
@@ -639,11 +639,7 @@ class IndexSearcher:
         out: set[str] = set()
         if isinstance(ast, WildQuery):
             prefix = wildcard_prefix(ast.value)
-            hi_key = (
-                prefix[:-1] + chr(ord(prefix[-1]) + 1)
-                if prefix and prefix[-1] != "\U0010ffff"
-                else None
-            )
+            hi_key = prefix_upper_bound(prefix) if prefix else None
             for cat in self._lazy_cats:
                 idxs = cat.range_indices(prefix, hi_key) if prefix else range(len(cat))
                 for gi in idxs:

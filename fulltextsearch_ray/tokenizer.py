@@ -15,7 +15,10 @@ Reference behavior reproduced (behavior observed at
 Known, documented divergences from .NET (all outside the conformance
 fixtures): Python's ``\\w`` additionally matches Unicode categories
 ``Nl``/``No`` (e.g. Roman numerals) which .NET ``char.IsLetterOrDigit``
-excludes, and a handful of locale-special lowercasings ('İ') differ.
+excludes; a handful of locale-special lowercasings ('İ') differ; and
+the 64-char truncation counts CODEPOINTS where the reference counts
+.NET UTF-16 code units, so a token of >32 astral characters keeps 64
+codepoints here vs 32 chars there (astral chars cost 2 UTF-16 units).
 
 The hot path is a single C-level ``findall`` per document plus Arrow /
 numpy vectorized post-processing — no per-token Python loop.
@@ -126,26 +129,13 @@ def tokenize_batch(texts: "Iterable[str] | pa.Array | pa.ChunkedArray") -> Token
     multi-worker scaling via allocator pressure).  Ids/indices are
     numpy arithmetic.
     """
-    if isinstance(texts, pa.ChunkedArray):
-        arr = texts.combine_chunks()
-    elif isinstance(texts, pa.Array):
-        arr = texts
-    else:
-        arr = pa.array(list(texts), type=pa.string())
-    arr = pc.fill_null(arr, "")
-    n_docs = len(arr)
-
-    lowered = pc.utf8_lower(arr)
-    parts = pc.split_pattern_regex(lowered, SPLIT_PATTERN)  # keeps empty edge tokens
-    flat = pc.list_flatten(parts)
-    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
-    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False))
-    terms = flat.filter(pa.array(keep))
-    parent = parent[keep]
+    toks, _parent, counts = flat_tokens(texts)
+    n_docs = len(counts)
     # Truncate >64-char terms (vectorized; no-op for the common case).
-    terms = pc.utf8_slice_codeunits(terms, 0, MAX_TOKEN_SIZE)
-
-    counts = np.bincount(parent, minlength=n_docs).astype(np.int64)
+    # NOTE a documented parity divergence: this counts CODEPOINTS,
+    # while the reference's MAX_TOKEN_SIZE counts .NET UTF-16 code
+    # units (an astral char costs 2 there) — see the module docstring.
+    terms = pc.utf8_slice_codeunits(toks, 0, MAX_TOKEN_SIZE)
     total = int(counts.sum())
     starts = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])

@@ -152,3 +152,59 @@ def test_decode_posting_columns_zero_df_block():
     assert e_docs.tolist() == [1, 2]
     out = decode_posting_columns([empty.docs], [empty.fields], [empty.tfs], None, np.array([0]))
     assert len(out[0]) == 0
+
+
+def test_varint_decode_rejects_overlong_and_overflow():
+    """Corrupt over-long varints must raise, not wrap shifts mod 64."""
+    import pytest
+
+    from fulltextsearch_ray.codecs import varint_decode
+
+    # 11-byte varint (shift would reach 70 and wrap silently)
+    with pytest.raises(ValueError, match="longer than 10 bytes"):
+        varint_decode(bytes([0x80] * 10 + [0x01]))
+    # 10-byte varint whose final byte carries bits above bit 0
+    with pytest.raises(ValueError, match="overflows uint64"):
+        varint_decode(bytes([0x80] * 9 + [0x02]))
+    # the legitimate extremes still decode
+    from fulltextsearch_ray.codecs import varint_encode
+    import numpy as np
+
+    for v in (0, 1, 2**63, 2**64 - 1):
+        got = varint_decode(varint_encode(np.array([v], dtype=np.uint64)))
+        assert got.tolist() == [v]
+
+
+def test_skiplist_lower_bound_matches_reference_walk():
+    """Vectorized (field, token) refinement == the elementwise walk,
+    randomized, including a 5k-occurrence hot document."""
+    import random
+
+    import numpy as np
+
+    from fulltextsearch_ray.codecs import SkipList
+
+    rng = random.Random(3)
+    occ = sorted(
+        {
+            (rng.randint(1, 8), rng.randint(0, 2), rng.randint(1, 30))
+            for _ in range(400)
+        }
+        | {(5, 1, t) for t in range(1, 5001)}  # hot doc run
+    )
+    docs, fields, tokens = (np.array(x, dtype=np.uint64) for x in zip(*occ))
+    sl = SkipList(docs, fields, tokens)
+
+    def walk(doc, field, token):
+        i = int(np.searchsorted(docs, np.uint64(doc), side="left"))
+        n = len(docs)
+        while i < n and docs[i] == doc and (
+            fields[i] < field or (fields[i] == field and tokens[i] < token)
+        ):
+            i += 1
+        return i
+
+    probes = [(rng.randint(0, 9), rng.randint(0, 3), rng.randint(0, 5002)) for _ in range(300)]
+    probes += [(5, 1, 4999), (5, 1, 5001), (5, 2, 0), (99, 0, 0), (0, 0, 0)]
+    for p in probes:
+        assert sl.lower_bound(*p) == walk(*p), p

@@ -92,3 +92,39 @@ def test_edit_distance_insert_delete():
     assert levenshtein_mask("abc", ["abcdef"], 2).tolist() == [False]
     assert levenshtein_mask("", ["ab"], 2).tolist() == [True]
     assert levenshtein_mask("", ["abc"], 2).tolist() == [False]
+
+
+def test_prefix_upper_bound_surrogate_gap_and_max_codepoint():
+    """Successor of U+D7FF must skip the surrogate block (chr(0xD800)
+    is not a valid Arrow string and crashed the range scan); a trailing
+    U+10FFFF falls back to the next-shorter prefix's bound."""
+    from fulltextsearch_ray.matchers import prefix_upper_bound
+
+    assert prefix_upper_bound("ab") == "ac"
+    assert prefix_upper_bound("a퟿") == "a"
+    assert prefix_upper_bound("a\U0010ffff") == "b"
+    assert prefix_upper_bound("\U0010ffff") is None
+    assert prefix_upper_bound("\U0010ffff\U0010ffff") is None
+    assert prefix_upper_bound("") is None
+    # ordering contract: every string with the prefix sorts below the bound
+    for p in ["ab", "a퟿", "a\U0010ffff"]:
+        hi = prefix_upper_bound(p)
+        assert p < hi and (p + "zzz") < hi
+
+
+def test_wild_prefix_ending_at_u_d7ff_both_paths():
+    """A wildcard whose literal prefix ends in U+D7FF (valid Hangul
+    Jamo) must range-scan without crashing, on the Arrow path and the
+    numpy path, with identical results."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fulltextsearch_ray.matchers import expand_pattern
+    from fulltextsearch_ray.parser import parse_query
+
+    terms = sorted(["a퟿", "a퟿x", "a", "able", "zz"])
+    arr = pa.array(terms, pa.string())
+    q = parse_query("WILD(a퟿*)")
+    got_arrow = expand_pattern(q, arr)
+    got_numpy = expand_pattern(q, arr, np.array(terms, dtype=object))
+    assert got_arrow == got_numpy == ["a퟿", "a퟿x"]

@@ -109,3 +109,26 @@ def test_and_docs():
     b = occ("[2,1,9], [3,1,1], [4,1,1]")
     assert and_docs([a, b]).tolist() == [2, 3]
     assert and_docs([a, b, empty_occurrences()]).tolist() == []
+
+
+def test_phrase_chains_duplicate_multiplicity_symmetric():
+    """One chain per way of picking one occurrence from each list: a
+    duplicate occurrence in ANY list multiplies the chain count (the
+    OR operator preserves duplicates, so an OR-merged input can carry
+    them; a membership-only probe used to collapse probed-side
+    duplicates while keeping first-list ones)."""
+    a = occ("[1,1,1]")
+    b_dup = or_merge([occ("[1,1,2]"), occ("[1,1,2]")])  # duplicate kept by OR
+    m = phrase_chains([a, b_dup])
+    assert len(m.docs) == 2  # 1 x 2 chains
+    assert format_matches(m) == "{[1,1,1], [1,1,2]}, {[1,1,1], [1,1,2]}"
+    # symmetric: duplicate in the FIRST list multiplies the same way
+    a_dup = or_merge([occ("[1,1,1]"), occ("[1,1,1]")])
+    m2 = phrase_chains([a_dup, occ("[1,1,2]")])
+    assert len(m2.docs) == 2
+    # 2 x 2 across both lists
+    m3 = phrase_chains([a_dup, b_dup])
+    assert len(m3.docs) == 4
+    # duplicate-free inputs are unchanged
+    m4 = phrase_chains([occ("[1,1,1], [1,1,2]"), occ("[1,1,2]")])
+    assert format_matches(m4) == "{[1,1,1], [1,1,2]}"
