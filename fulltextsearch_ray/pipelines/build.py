@@ -119,13 +119,33 @@ def compact_index(
             )
         return b.select(POSTINGS_SCHEMA.names)
 
-    runs = ray.data.read_parquet(post_files).map_batches(ensure_ndocs, batch_format="pyarrow")
+    # drop the fused doc-stats sentinel rows (bucket == -1): compaction
+    # rebuilds the docs table from the docs dirs below, so carrying the
+    # sentinels would store every doc's stats payload twice forever,
+    # re-pay their shuffle on every future compaction, and pollute the
+    # first postings file's term_min with sentinel keys
+    runs = (
+        ray.data.read_parquet(post_files)
+        .filter(expr="bucket >= 0")
+        .map_batches(ensure_ndocs, batch_format="pyarrow")
+    )
     merged = runs.sort("term").map_batches(
         lambda b: merge_runs_batch(b, block_cf=block_cf),
         batch_format="pyarrow",
         batch_size=None,
     )
     merged.write_parquet(os.path.join(seg_path, "postings"), row_group_size=4096)
+    if not os.path.isdir(os.path.join(seg_path, "postings")):
+        # zero real postings (e.g. an empty corpus's sentinel-only
+        # segments): write_parquet emits nothing — keep the segment
+        # structure uniform with build_index's empty-corpus path
+        from ..state.index import POSTINGS_SCHEMA
+
+        os.makedirs(os.path.join(seg_path, "postings"), exist_ok=True)
+        pq.write_table(
+            POSTINGS_SCHEMA.empty_table(),
+            os.path.join(seg_path, "postings", "part-0.parquet"),
+        )
 
     # docs table: merge of per-segment docs (ids are disjoint).  Small
     # tables concat on the driver; past the budget the merge streams
@@ -294,13 +314,10 @@ def cap_lineage(files: list[str], budget: int = 10_000) -> list[str]:
     ]
 
 
-def _write_catalog_and_manifest(
-    index_dir: str, segment: str, seg_path: str, num_buckets: int, lineage: list[str],
-    forward_ranges: list | None = None,
-) -> "SegmentManifest":
-    """Catalog + file-range + counter/manifest writes shared by
-    build_index and compact_index (driver-side, footer/metadata reads
-    only — see build_index for the scale fallback discussion)."""
+def _scan_postings_ranges(seg_path: str) -> list:
+    """Per-file ``[relpath, term_min, term_max]`` over the postings
+    directory, from parquet FOOTERS only (no data read) — the
+    FST-style sorted-term run catalog both build and compact persist."""
     import glob as _glob
 
     import pyarrow.parquet as pq
@@ -310,29 +327,87 @@ def _write_catalog_and_manifest(
         md = pq.ParquetFile(f).metadata
         tmins, tmaxs = [], []
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(0).statistics
+            st = md.row_group(rg).column(0).statistics  # 'term' is column 0
             if st is not None and st.has_min_max:
                 tmins.append(st.min)
                 tmaxs.append(st.max)
         if tmins:
             file_ranges.append([os.path.relpath(f, seg_path), min(tmins), max(tmaxs)])
     file_ranges.sort(key=lambda r: r[1])
+    return file_ranges
 
-    post_meta_cols = ["term", "bucket", "df", "cf", "max_tf", "n_docs", "first_doc", "last_doc"]
-    blocks_tbl = pq.read_table(
-        os.path.join(seg_path, "postings"), columns=post_meta_cols, filters=[("bucket", ">=", 0)]
+
+_POST_META_COLS = ["term", "bucket", "df", "cf", "max_tf", "n_docs", "first_doc", "last_doc"]
+
+
+def _build_catalog(seg_path: str, driver_budget_rows: int = 50_000_000) -> tuple[int, int]:
+    """Per-term catalog aggregate over the block-stat columns →
+    ``<seg>/catalog`` parquet; returns ``(n_terms, total_occurrences)``.
+
+    Gated on FOOTER row counts BEFORE any read: below the budget a
+    driver-side Arrow group_by (block stats are tiny next to the
+    corpus); above it a Ray groupby whose result never rides back to
+    the driver — the counters come from catalog footers plus one
+    streaming Sum, keeping driver memory O(1) at billion-term scale.
+    Shared by build_index and compact_index so the two can never fork
+    catalog schemas."""
+    import glob as _g
+
+    import pyarrow.parquet as pq
+
+    post_dir = os.path.join(seg_path, "postings")
+    cat_dir = os.path.join(seg_path, "catalog")
+    footer_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _g.glob(os.path.join(post_dir, "**", "*.parquet"), recursive=True)
     )
-    catalog_tbl = (
-        blocks_tbl.group_by("term")
-        .aggregate(
-            [("df", "sum"), ("cf", "sum"), ("max_tf", "max"), ("n_docs", "sum"),
-             ("first_doc", "min"), ("last_doc", "max"), ("term", "count")]
+    if footer_rows <= driver_budget_rows:
+        blocks_tbl = pq.read_table(post_dir, columns=_POST_META_COLS, filters=[("bucket", ">=", 0)])
+        catalog_tbl = (
+            blocks_tbl.group_by("term")
+            .aggregate(
+                [("df", "sum"), ("cf", "sum"), ("max_tf", "max"), ("n_docs", "sum"),
+                 ("first_doc", "min"), ("last_doc", "max"), ("term", "count")]
+            )
+            .rename_columns(["term", "df", "cf", "max_tf", "df_docs", "first_doc", "last_doc", "n_blocks"])
+            .sort_by("term")
         )
-        .rename_columns(["term", "df", "cf", "max_tf", "df_docs", "first_doc", "last_doc", "n_blocks"])
-        .sort_by("term")
+        os.makedirs(cat_dir, exist_ok=True)
+        pq.write_table(catalog_tbl, os.path.join(cat_dir, "part-0.parquet"), row_group_size=65536)
+        return catalog_tbl.num_rows, int(pc.sum(catalog_tbl["cf"]).as_py() or 0)
+    postings = ray.data.read_parquet(post_dir, columns=_POST_META_COLS).filter(expr="bucket >= 0")
+    catalog = (
+        postings.groupby("term")
+        .aggregate(
+            ray.data.aggregate.Sum("df", alias_name="df"),
+            ray.data.aggregate.Sum("cf", alias_name="cf"),
+            ray.data.aggregate.Max("max_tf", alias_name="max_tf"),
+            ray.data.aggregate.Sum("n_docs", alias_name="df_docs"),
+            ray.data.aggregate.Min("first_doc", alias_name="first_doc"),
+            ray.data.aggregate.Max("last_doc", alias_name="last_doc"),
+            ray.data.aggregate.Count(alias_name="n_blocks"),
+        )
+        .sort("term")
     )
-    os.makedirs(os.path.join(seg_path, "catalog"), exist_ok=True)
-    pq.write_table(catalog_tbl, os.path.join(seg_path, "catalog", "part-0.parquet"), row_group_size=65536)
+    catalog.write_parquet(cat_dir)
+    n_terms = sum(pq.ParquetFile(f).metadata.num_rows for f in pq.ParquetDataset(cat_dir).files)
+    occ_row = ray.data.read_parquet(cat_dir, columns=["cf"]).aggregate(
+        ray.data.aggregate.Sum("cf", alias_name="cf")
+    )
+    return n_terms, int(occ_row["cf"] or 0)
+
+
+def _write_catalog_and_manifest(
+    index_dir: str, segment: str, seg_path: str, num_buckets: int, lineage: list[str],
+    forward_ranges: list | None = None,
+) -> "SegmentManifest":
+    """Catalog + file-range + counter/manifest writes shared by
+    build_index and compact_index (footer/metadata-gated driver work
+    with Ray fallbacks — see _build_catalog)."""
+    import pyarrow.parquet as pq
+
+    file_ranges = _scan_postings_ranges(seg_path)
+    n_terms, n_occ = _build_catalog(seg_path)
 
     docs_dir = os.path.join(seg_path, "docs")
     n_doc_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in pq.ParquetDataset(docs_dir).files)
@@ -355,8 +430,8 @@ def _write_catalog_and_manifest(
     manifest = SegmentManifest(
         name=segment,
         num_docs=n_doc_rows,
-        num_terms=catalog_tbl.num_rows,
-        num_occurrences=int(pc.sum(catalog_tbl["cf"]).as_py() or 0),
+        num_terms=n_terms,
+        num_occurrences=n_occ,
         total_tokens=total_tokens,
         min_doc_id=min_id,
         max_doc_id=max_id,
@@ -606,26 +681,8 @@ def build_index(
     _mark("postings_write", t0)
 
     # file → term-range catalog from footers only (no data read)
-    import glob as _glob
-
-    import pyarrow.parquet as _pq
-
     t0 = _t()
-    file_ranges = []
-    for f in sorted(_glob.glob(os.path.join(seg_path, "postings", "**", "*.parquet"), recursive=True)):
-        md = _pq.ParquetFile(f).metadata
-        tmins, tmaxs = [], []
-        for rg in range(md.num_row_groups):
-            col = md.row_group(rg).column(0)  # 'term' is the first column
-            st = col.statistics
-            if st is not None and st.has_min_max:
-                tmins.append(st.min)
-                tmaxs.append(st.max)
-        if tmins:
-            file_ranges.append(
-                [os.path.relpath(f, seg_path), min(tmins), max(tmaxs)]
-            )
-    file_ranges.sort(key=lambda r: r[1])
+    file_ranges = _scan_postings_ranges(seg_path)
     _mark("file_ranges", t0)
 
     # --- split the fused doc-stats sentinel rows into the docs table
@@ -712,59 +769,11 @@ def build_index(
         forward_ranges = _scan_doc_ranges(fwd_dir, seg_path)
         _mark("forward", t0)
 
-    # --- catalog: per-term totals over blocks (metadata-sized).
-    # The block-stat columns are tiny relative to the corpus, so the
-    # aggregate runs driver-side in Arrow; a Ray groupby fallback
-    # covers catalogs too large for one process (>~50M block rows).
-    import pyarrow.parquet as pq
-
+    # --- catalog: per-term totals over blocks (metadata-sized) —
+    # shared footer-gated helper (driver Arrow below ~50M block rows,
+    # Ray groupby with O(1)-driver counters above it)
     t0 = _t()
-    post_meta_cols = ["term", "bucket", "df", "cf", "max_tf", "n_docs", "first_doc", "last_doc"]
-    post_dir = os.path.join(seg_path, "postings")
-    try:
-        # gate on FOOTER row counts BEFORE reading — the old order read
-        # the whole block-stats table onto the driver first and only
-        # then noticed it was too big to hold
-        import glob as _g
-
-        footer_rows = sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in _g.glob(os.path.join(post_dir, "**", "*.parquet"), recursive=True)
-        )
-        if footer_rows > 50_000_000:
-            raise MemoryError("catalog too large for driver-side aggregate")
-        blocks_tbl = pq.read_table(post_dir, columns=post_meta_cols, filters=[("bucket", ">=", 0)])
-        catalog_tbl = (
-            blocks_tbl.group_by("term")
-            .aggregate(
-                [("df", "sum"), ("cf", "sum"), ("max_tf", "max"), ("n_docs", "sum"),
-                 ("first_doc", "min"), ("last_doc", "max"), ("term", "count")]
-            )
-            .rename_columns(["term", "df", "cf", "max_tf", "df_docs", "first_doc", "last_doc", "n_blocks"])
-            .sort_by("term")
-        )
-        os.makedirs(os.path.join(seg_path, "catalog"), exist_ok=True)
-        pq.write_table(catalog_tbl, os.path.join(seg_path, "catalog", "part-0.parquet"), row_group_size=65536)
-    except MemoryError:
-        postings = ray.data.read_parquet(post_dir, columns=post_meta_cols).filter(
-            expr="bucket >= 0"
-        )
-        catalog = (
-            postings.groupby("term")
-            .aggregate(
-                ray.data.aggregate.Sum("df", alias_name="df"),
-                ray.data.aggregate.Sum("cf", alias_name="cf"),
-                ray.data.aggregate.Max("max_tf", alias_name="max_tf"),
-                ray.data.aggregate.Sum("n_docs", alias_name="df_docs"),
-                ray.data.aggregate.Min("first_doc", alias_name="first_doc"),
-                ray.data.aggregate.Max("last_doc", alias_name="last_doc"),
-                ray.data.aggregate.Count(alias_name="n_blocks"),
-            )
-            .sort("term")
-        )
-        catalog.write_parquet(os.path.join(seg_path, "catalog"))
-        catalog_tbl = pq.read_table(os.path.join(seg_path, "catalog"), columns=["term", "cf"])
-
+    n_terms, n_occ = _build_catalog(seg_path)
     _mark("catalog", t0)
     t0 = _t()
     # --- per-segment counters (same aggregates as the reference's
@@ -795,8 +804,8 @@ def build_index(
             "max_id": int(pc.max(dl_tbl["doc_id"]).as_py() or 0),
         }
     cat_stats = {
-        "terms": catalog_tbl.num_rows,
-        "occ": int(pc.sum(catalog_tbl["cf"]).as_py() or 0),
+        "terms": n_terms,
+        "occ": n_occ,
     }
 
     if input_lineage is not None:
@@ -831,6 +840,7 @@ def build_index(
         meta.segments.append(segment)
     meta.num_docs += n_docs
     meta.total_tokens += total_tokens
+    meta.num_fields = max(meta.num_fields, len(text_cols) if text_cols else 1)
     meta.next_doc_id = max(meta.next_doc_id, manifest.max_doc_id + 1)
     _mark("manifest", t0)
     if os.environ.get("FTSRAY_BUILD_TIMING"):

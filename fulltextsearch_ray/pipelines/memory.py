@@ -145,4 +145,7 @@ def build_in_memory(
     docs = decode_docstats_rows(tbl.filter(is_sentinel).select(["docs", "tfs", "positions"]))
     docs = docs.take(pa.array(np.argsort(docs["doc_id"].to_numpy(zero_copy_only=False))))
     postings = tbl.filter(pc.invert(is_sentinel)).combine_chunks()
-    return InMemorySearcher(postings, docs)
+    searcher = InMemorySearcher(postings, docs)
+    # scoring sums tf across fields — the MaxScore bound scales by this
+    searcher.meta.num_fields = len(text_cols) if text_cols else 1
+    return searcher

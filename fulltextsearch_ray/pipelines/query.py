@@ -1087,11 +1087,20 @@ class IndexSearcher:
     def _term_upper_bound(self, term: str) -> float:
         """MaxScore upper bound of one term's per-doc contribution:
         idf × bound(max_tf) with the dl→0 denominator bound — uses only
-        catalog metadata (df_docs, max_tf), no posting decode."""
+        catalog metadata (df_docs, max_tf), no posting decode.
+
+        The catalog's max_tf is per-(doc, FIELD) entry while scoring
+        sums a doc's tf across fields, so the tf bound is
+        max_tf × num_fields (a doc has at most num_fields entries per
+        term; the contribution is monotone in tf, so this stays a
+        valid upper bound — without the factor a tf split across two
+        fields exceeds the "bound" and the prune can drop a true
+        top-k doc)."""
         row = self._term_row(term)
         if row is None:
             return 0.0
         df, mtf = float(row[0]), float(row[2])
+        mtf *= float(getattr(self.meta, "num_fields", 1) or 1)
         N = float(self.num_docs)
         idf = float(np.log((N - df + 0.5) / (df + 0.5) + 1.0))
         return idf * (mtf * (K1 + 1.0)) / (mtf + K1 * (1.0 - B))
@@ -1293,7 +1302,10 @@ class SearcherStage:
             ranks.extend(range(1, n + 1))
         return pa.table(
             {
-                "query_id": pa.array(qids),
+                # explicit type: an all-OOV batch yields qids == [] and
+                # an inferred pa.array([]) is null-typed, which fails
+                # schema unification against non-empty blocks downstream
+                "query_id": pa.array(qids, type=batch["query_id"].type),
                 "rank": pa.array(ranks, type=pa.int32()),
                 "doc_id": pa.array(docs, type=pa.uint64()),
                 "score": pa.array(scores, type=pa.float64()),

@@ -290,8 +290,10 @@ def _posting_rows_vectorized(
     np.not_equal(e_docs[1:], e_docs[:-1], out=dchange[1:])
     dchange[1:] |= e_term[1:] != e_term[:-1]
     n_docs_per_term = np.bincount(e_term[dchange], minlength=T)
+    # term_bucket is THE bucket contract (query-side pruning depends on
+    # it) — never inline the hash here or the two can silently diverge
     buckets = np.fromiter(
-        (zlib.crc32(t.encode("utf-8")) % num_buckets for t in terms_sorted),
+        (term_bucket(t, num_buckets) for t in terms_sorted),
         dtype=np.int32, count=T,
     )
     return pa.table(

@@ -105,6 +105,11 @@ class IndexMeta:
     max_token_size: int = 64
     created_at: float = 0.0
     modified_at: float = 0.0
+    # max number of indexed FIELDS across sessions: scoring sums tf
+    # across a doc's fields, so the MaxScore bound must scale the
+    # catalog's per-(doc,field) max_tf by this (default 1 = the
+    # single-text_col case and every pre-existing index)
+    num_fields: int = 1
 
     @property
     def avgdl(self) -> float:

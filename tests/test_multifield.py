@@ -121,3 +121,36 @@ def test_multifield_store_served_highlight(multifield_fwd_index):
         got = annotate_from_positions(texts[(d, f)], tids, offs, lens)
         want = annotate(texts[(d, f)], tids)
         assert got == want and got != texts[(d, f)], (d, f)
+
+
+def test_pruned_bm25_multifield_bound_scales_by_fields(ray_session):
+    """Scoring sums tf across fields, so the MaxScore tf bound must be
+    max_tf x num_fields.  This corpus is tuned so the UNSCALED bound
+    provably mis-prunes (asserted via a forced num_fields=1): the
+    victim doc holds the query term tf=5 in EACH of two fields (10
+    total), beating the per-entry bound; the fixed bound keeps it."""
+    import ray.data
+
+    from fulltextsearch_ray.pipelines.memory import build_in_memory
+
+    rows = [
+        {"doc_id": 1, "a": " ".join(["alpha"] * 5), "b": " ".join(["alpha"] * 5)},
+        {"doc_id": 2, "a": " ".join(["beta"] * 8), "b": ""},
+        {"doc_id": 3, "a": " ".join(["beta"] * 3), "b": ""},
+        {"doc_id": 4, "a": " ".join(["alpha"] * 5), "b": ""},  # df=2, max_tf=5
+    ]
+    for i in range(5, 61):  # long fillers push avgdl >> victim dl
+        rows.append({"doc_id": i, "a": " ".join(f"pad{i}x{j}" for j in range(200)), "b": ""})
+    tbl = pa.table({k: [r[k] for r in rows] for k in ("doc_id", "a", "b")})
+    s = build_in_memory(
+        ray.data.from_arrow(tbl), text_col="a", text_cols=["a", "b"], doc_id_col="doc_id"
+    )
+    assert s.meta.num_fields == 2
+    ex = s.bm25_topk(["alpha", "beta"], k=1)
+    pr = s.bm25_topk_pruned(["alpha", "beta"], k=1)
+    assert pr["doc_id"].to_pylist() == ex["doc_id"].to_pylist() == [1]
+    assert pr["score"].to_pylist() == ex["score"].to_pylist()
+    # sharpness: the pre-fix bound (num_fields=1) mis-prunes THIS corpus
+    s.meta.num_fields = 1
+    wrong = s.bm25_topk_pruned(["alpha", "beta"], k=1)
+    assert wrong["doc_id"].to_pylist() == [2], "corpus no longer trips the unscaled bound"

@@ -96,3 +96,38 @@ def test_binary_vs_binarycompressed_distinct():
     assert list(POSTING_CODECS["binarycompressed"].decode(b3, 4)) == v.tolist()
     # deltas compress the increasing run strictly better here
     assert len(b3) < len(b2)
+
+
+def test_searcher_stage_all_oov_batch_keeps_schema(small_index):
+    """A batch whose queries all miss (OOV) yields an EMPTY table whose
+    query_id keeps the input type — an inferred null-typed column used
+    to break schema unification when mixed with non-empty blocks."""
+    qt = pa.table(
+        {
+            "query_id": pa.array([0, 1], pa.int64()),
+            "query": pa.array(["zzqxvnope", "qqwwyyzz missingterm"], pa.string()),
+        }
+    )
+    stage = SearcherStage(small_index)
+    out = stage(qt)
+    assert out.num_rows == 0
+    assert out.schema.field("query_id").type == pa.int64()
+    # end-to-end: an all-OOV block unions cleanly with a hit block
+    qt2 = pa.table(
+        {
+            "query_id": pa.array([0, 1], pa.int64()),
+            "query": pa.array(["zzqxvnope", "def class return"], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow_refs(
+        [ray.put(qt), ray.put(qt2)]
+    ).map_batches(
+        SearcherStage,
+        fn_constructor_args=(small_index,),
+        batch_format="pyarrow",
+        batch_size=2,
+        concurrency=2,
+    )
+    tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()), promote_options="default")
+    assert tbl.schema.field("query_id").type == pa.int64()
+    assert tbl.num_rows > 0

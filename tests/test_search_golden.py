@@ -2,6 +2,8 @@
 (FIXTURES.md §2): the 6-document corpus, exact match strings, and two
 incremental add sessions.  This is the conformance surface."""
 
+import os
+
 import pyarrow as pa
 import pytest
 import ray.data
@@ -175,3 +177,34 @@ def test_term_stats_and_meta(index_sessions):
     assert s3.term_stats("this") == (6, 6)
     assert s1.term_stats("is") == (3, 4)
     assert s1.term_stats("zzz") == (0, 0)
+
+
+def test_compaction_drops_docstats_sentinels(index_sessions, tmp_path_factory):
+    """The compacted postings carry no bucket == -1 sentinel rows (the
+    docs table is rebuilt from the docs dirs — storing the stats twice
+    would re-pay their shuffle on every future compaction)."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from fulltextsearch_ray.pipelines.build import compact_index
+    from fulltextsearch_ray.state.index import load_meta, segment_dir
+
+    _, _, s3 = index_sessions
+    d2 = str(tmp_path_factory.mktemp("compact_nosent"))
+    shutil.copytree(s3.index_dir, d2, dirs_exist_ok=True)
+    # the pre-compaction segments DO carry sentinels
+    pre = 0
+    for seg in load_meta(d2).segments:
+        t = pq.read_table(os.path.join(segment_dir(d2, seg), "postings"), columns=["bucket"])
+        pre += int(pc.sum(pc.cast(pc.less(t["bucket"], 0), "int64")).as_py() or 0)
+    assert pre > 0
+    compact_index(d2)
+    seg = load_meta(d2).segments[0]
+    t = pq.read_table(os.path.join(segment_dir(d2, seg), "postings"), columns=["bucket"])
+    assert int(pc.min(t["bucket"]).as_py()) >= 0
+    # and the docs table still serves every doc
+    from fulltextsearch_ray.pipelines.query import IndexSearcher
+
+    assert IndexSearcher(d2).num_docs == s3.num_docs
