@@ -81,6 +81,15 @@ def iter_capped_runs(keys: np.ndarray, cap: int, op_name: str):
     but a skewed corpus at scale must not flood the logs with a line
     per bucket either)."""
     starts, counts = sorted_runs(keys)
+    yield from iter_capped_precomputed(starts, counts, cap, op_name)
+
+
+def iter_capped_precomputed(starts, counts, cap: int, op_name: str):
+    """:func:`iter_capped_runs` over PRE-computed run (start, size)
+    arrays — for composite sort keys whose change array the caller
+    already built (e.g. minhash's (bucket, band-signature) runs).
+    THE single implementation of the run-cap / skip-count / summary-log
+    contract; pair stages must not inline it."""
     n_skip = docs_skip = biggest = 0
     for s, g in zip(starts, counts):
         if g < 2:
@@ -185,3 +194,17 @@ def md5_hex_batch(strings) -> "pa.Array":
 
     tbl = pa.table({"s": strings})
     return _duck().execute("SELECT md5(s) AS h FROM tbl").arrow()["h"].combine_chunks()
+
+
+def vec_list_array(mat: np.ndarray) -> "pa.Array":
+    """(n, dim) float matrix → Arrow ``list<double>`` column without
+    boxing (``mat.tolist()`` allocated n·dim Python floats per batch in
+    embedding hot paths): one contiguous values buffer + arithmetic
+    offsets.  Variable-size list type (not fixed_size_list) so empty
+    batches — whose inferred dim is 0 — unify with full ones."""
+    import pyarrow as pa
+
+    m = np.ascontiguousarray(mat, dtype=np.float64)
+    n, dim = m.shape
+    offsets = pa.array((np.arange(n + 1, dtype=np.int64) * dim).astype(np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(m.ravel(), type=pa.float64()))

@@ -38,7 +38,14 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..tokenizer import TOKEN_RE, flat_tokens
-from .common import iter_capped_runs, md5_u64, md5_u64_batch, round6, sorted_runs
+from .common import (
+    iter_capped_runs,
+    md5_u64,
+    md5_u64_batch,
+    round6,
+    sorted_runs,
+    vec_list_array,
+)
 
 # Exploded-row budget under which a pair stage takes the ONE-GATHER
 # fast path: the (key, id, payload) rows are fetched once from the
@@ -455,15 +462,11 @@ def minhash_lsh_pairs(
         starts = np.flatnonzero(change)
         counts = np.diff(np.r_[starts, n])
         out_a, out_b, out_e = [], [], []  # numpy chunks, concatenated once
-        n_skip = docs_skip = biggest = 0  # one summary line per task, not per bucket
-        for s, g in zip(starts, counts):
-            if g < 2:
-                continue
-            if g > max_bucket:
-                n_skip += 1
-                docs_skip += int(g)
-                biggest = max(biggest, int(g))
-                continue
+        # shared run-cap/skip-log contract over the composite
+        # (bucket, band-signature) runs computed above
+        from .common import iter_capped_precomputed
+
+        for s, g in iter_capped_precomputed(starts, counts, max_bucket, "minhash_lsh"):
             sigs = M[s : s + g]
             agree = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
             iu, ju = np.triu_indices(int(g), k=1)
@@ -473,11 +476,6 @@ def minhash_lsh_pairs(
             out_a.append(gi[iu[keep]])
             out_b.append(gi[ju[keep]])
             out_e.append(est[keep])
-        if n_skip:
-            print(
-                f"minhash_lsh: skipped {n_skip} oversized buckets"
-                f" (> cap {max_bucket}; {docs_skip} docs total, largest {biggest})"
-            )
         if not out_a:
             return pa.table(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -501,7 +499,11 @@ def minhash_lsh_pairs(
         small_rows_budget=min(
             SMALL_PAIRS_ROW_BUDGET, (128 << 20) // (num_perm * 8 + 24)
         ),
-        rows_hint=(ds.count() if n_rows is None else n_rows) * bands,
+        # None = let _pairs_pipeline materialize+count the (small)
+        # exploded rows itself — ONE pipeline execution; a driver-side
+        # ds.count() here re-executed the whole upstream tokenize/
+        # fingerprint pass just to size the hint
+        rows_hint=None if n_rows is None else n_rows * bands,
     )
 
 
@@ -510,15 +512,22 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 
-def _simhash_packed(batch: pa.Table, text_col: str) -> np.ndarray:
-    """Packed uint64 SimHash per batch row (0 for empty/null docs) —
-    the internal kernel behind :func:`simhash_batch`; the pair stage
-    consumes this directly so fingerprints never round-trip through
-    hex strings in the hot path."""
+def _simhash_packed(batch: pa.Table, text_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(packed uint64 SimHash, has-tokens mask) per batch row (hash 0
+    for empty/null docs) — the internal kernel behind
+    :func:`simhash_batch`; the pair stage consumes this directly so
+    fingerprints never round-trip through hex strings in the hot path.
+    Token-less docs carry no content signal and MUST be skipped by
+    pair emitters (their shared hash 0 would pair every empty /
+    punctuation-only doc with every other — the same contract as
+    MinHashStage's no-shingle mask, and the SQL oracle's tf-derived
+    fingerprints exclude them by construction)."""
     n_docs = batch.num_rows
     toks, parent, _counts = flat_tokens(batch[text_col])
     out = np.zeros(n_docs, dtype=np.uint64)
+    present = np.zeros(n_docs, dtype=bool)
     if len(toks):
+        present[parent] = True
         tf_tbl = (
             pa.table({"d": pa.array(parent), "t": toks})
             .group_by(["d", "t"])
@@ -535,7 +544,7 @@ def _simhash_packed(batch: pa.Table, text_col: str) -> np.ndarray:
         sums = np.add.reduceat(weighted, starts, axis=0)  # (docs_present, 64)
         packed = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
         out[d[starts]] = packed
-    return out
+    return out, present
 
 
 def _hex16(packed: np.ndarray) -> pa.Array:
@@ -563,7 +572,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     (rows × 64) bit matrix with per-doc segmented reduction, and LUT
     hex encoding of the output column — no per-document loop anywhere.
     """
-    packed = _simhash_packed(batch, text_col)
+    packed, _present = _simhash_packed(batch, text_col)
     return pa.table({"doc_id": batch["doc_id"], "simhash": _hex16(packed)})
 
 
@@ -595,8 +604,13 @@ def simhash_neardup_pairs(
     P = num_partitions or default_partitions()
 
     def explode(batch: pa.Table) -> pa.Table:
-        h = _simhash_packed(batch, text_col)
+        h, present = _simhash_packed(batch, text_col)
         ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        # skip token-less docs — no content signal; their shared hash 0
+        # would mutually pair every empty/punctuation-only doc (the
+        # minhash path skips no-shingle docs for the same reason, and
+        # the SQL oracle never assigns them a fingerprint)
+        h, ids = h[present], ids[present]
         tables = []
         for band in range(bands):
             bits = (h >> np.uint64(band * width)) & np.uint64((1 << width) - 1)
@@ -646,7 +660,11 @@ def simhash_neardup_pairs(
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     return _pairs_pipeline(
         exploded, "key", part_pairs, "hamming", pa.int64(), "min", P,
-        rows_hint=(ds.count() if n_rows is None else n_rows) * bands,
+        # None = let _pairs_pipeline materialize+count the (small)
+        # exploded rows itself — ONE pipeline execution; a driver-side
+        # ds.count() here re-executed the whole upstream tokenize/
+        # fingerprint pass just to size the hint
+        rows_hint=None if n_rows is None else n_rows * bands,
     )
 
 
@@ -712,6 +730,15 @@ def _cogroup_attach(
         s_vals = np.asarray(size_rows["_sz"].to_numpy(zero_copy_only=False), dtype=np.int64)
         o = np.argsort(s_keys, kind="stable")
         s_keys, s_vals = s_keys[o], s_vals[o]
+        if len(s_keys) > 1 and (s_keys[1:] == s_keys[:-1]).any():
+            # uniqueness contract (same as the broadcast path and
+            # cut_dup_spans): a duplicated doc_id would silently attach
+            # an arbitrary row's size — every size row for a given doc
+            # lands in this partition (key % P), so the check is local
+            dup = np.unique(s_keys[1:][s_keys[1:] == s_keys[:-1]])
+            raise ValueError(
+                f"ngram_jaccard_pairs: doc_id must be unique; duplicates: {dup.tolist()[:10]}"
+            )
         p_keys = np.asarray(pair_rows["_key"].to_numpy(zero_copy_only=False), dtype=np.int64)
         idx = np.searchsorted(s_keys, p_keys)
         idx = np.minimum(idx, max(len(s_keys) - 1, 0))
@@ -864,7 +891,16 @@ def ngram_jaccard_pairs(
         s_keys = np.asarray(sizes_tbl["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         s_vals = np.asarray(sizes_tbl["n_shingles"].to_numpy(zero_copy_only=False), dtype=np.int64)
         o = np.argsort(s_keys, kind="stable")
-        sizes_ref = _ray.put((s_keys[o], s_vals[o]))
+        s_keys, s_vals = s_keys[o], s_vals[o]
+        if len(s_keys) > 1 and (s_keys[1:] == s_keys[:-1]).any():
+            # same contract cut_dup_spans enforces: a duplicated doc_id
+            # would make the set-size lookup pick an arbitrary row and
+            # the packed pair key self-collide — fail loudly
+            dup = s_keys[1:][s_keys[1:] == s_keys[:-1]]
+            raise ValueError(
+                f"ngram_jaccard_pairs: doc_id must be unique; duplicates: {np.unique(dup).tolist()[:10]}"
+            )
+        sizes_ref = _ray.put((s_keys, s_vals))
 
         def score(batch: pa.Table) -> pa.Table:
             if not batch.num_columns or not batch.num_rows:
@@ -984,7 +1020,7 @@ def embedding_neardup_pairs(
         # build the Arrow columns ONCE (the per-band loop used to redo
         # the O(n·dim) tolist conversion for every band)
         vid_arr = pa.array(ids, pa.int64())
-        vec_arr = pa.array(mat.tolist(), pa.list_(pa.float64()))
+        vec_arr = vec_list_array(mat)
         tables = []
         for band in range(bands):
             chunk = signs[:, band * planes_per_band : (band + 1) * planes_per_band]
@@ -1054,7 +1090,11 @@ def embedding_neardup_pairs(
     return _pairs_pipeline(
         exploded, "key", part_pairs, "cosine", pa.float64(), "max", P,
         small_rows_budget=min(200_000, (128 << 20) // row_bytes),
-        rows_hint=(ds.count() if n_rows is None else n_rows) * bands,
+        # None = let _pairs_pipeline materialize+count the (small)
+        # exploded rows itself — ONE pipeline execution; a driver-side
+        # ds.count() here re-executed the whole upstream tokenize/
+        # fingerprint pass just to size the hint
+        rows_hint=None if n_rows is None else n_rows * bands,
     )
 
 

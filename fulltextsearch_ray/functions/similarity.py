@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .common import round6
+from .common import round6, vec_list_array
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -91,7 +91,7 @@ def brute_force_topk(
         concurrency=(1, concurrency or 4),
         batch_size=1024,
     )
-    return _distributed_topk(cand_ds, np.asarray(query_ids, dtype=np.int64), k, stats=stats)
+    return _distributed_topk(cand_ds, k, stats=stats)
 
 
 def round12(x: np.ndarray) -> np.ndarray:
@@ -154,7 +154,7 @@ def _combine_cluster_sums(batch: pa.Table) -> pa.Table:
         {
             "cluster": pa.array(np.arange(k), pa.int32()),
             "count": pa.array(counts, pa.int64()),
-            "sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+            "sum": vec_list_array(sums),
         }
     )
 
@@ -260,7 +260,7 @@ def ivf_centroids(
                 {
                     "cluster": pa.array(np.arange(len(c)), pa.int32()),
                     "count": pa.array(counts, pa.int64()),
-                    "sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                    "sum": vec_list_array(sums),
                 }
             )
 
@@ -332,14 +332,15 @@ def _topk_reduce_batch(batch: pa.Table, k: int) -> pa.Table:
     )
 
 
-def _final_topk(
-    cand_tbl: pa.Table, query_ids: np.ndarray, k: int
-) -> pa.Table:
+def _final_topk(cand_tbl: pa.Table, k: int) -> pa.Table:
     """Exact per-query top-k merge over a small candidate table
     (query_id, neighbor_id, cosine) — callers hand this a table that is
     O(fanin · k · n_queries), never dataset-sized (see
     ``_distributed_topk``).  Dedup across groups keeps the max
-    (identical) cosine; tie-break (cosine desc, neighbor asc)."""
+    (identical) cosine; tie-break (cosine desc, neighbor asc).
+    Queries with zero surviving candidates are absent from the output
+    (no padding rows) — the behavior every caller and the SQL oracles
+    rely on."""
     qs = np.asarray(cand_tbl["query_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
     ns = np.asarray(cand_tbl["neighbor_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
     ss = np.asarray(cand_tbl["cosine"].to_numpy(zero_copy_only=False), dtype=np.float64)
@@ -475,7 +476,6 @@ def _reduce_refs_task(k: int, *tbls: pa.Table) -> pa.Table:
 
 def _distributed_topk(
     cand_ds: ray.data.Dataset,
-    query_ids: np.ndarray,
     k: int,
     *,
     stats: dict | None = None,
@@ -521,7 +521,7 @@ def _distributed_topk(
     cand_tbl = pa.concat_tables(tbls) if tbls else _EMPTY_CAND
     if stats is not None:
         stats["driver_candidate_rows"] = cand_tbl.num_rows
-    return _final_topk(cand_tbl, query_ids, k)
+    return _final_topk(cand_tbl, k)
 
 
 def ivf_topk(
@@ -577,7 +577,7 @@ def ivf_topk(
         return _score_allowed(q, ids, m, q["member"][:, assign], k)
 
     cand_ds = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=1024)
-    return _distributed_topk(cand_ds, q_ids, k, stats=stats)
+    return _distributed_topk(cand_ds, k, stats=stats)
 
 
 def project_embeddings(
@@ -662,7 +662,7 @@ def build_ann_index(
         pa.table(
             {
                 "cluster": pa.array(np.arange(len(cents), dtype=np.int32)),
-                "w": pa.array(cents.tolist(), pa.list_(pa.float64())),
+                "w": vec_list_array(cents),
             }
         ),
         os.path.join(index_dir, "centroids.parquet"),
@@ -682,7 +682,7 @@ def build_ann_index(
                 "vec_id": pa.array(ids),
                 "cluster": pa.array(assign.astype(np.int32)),
                 "cluster_id": pa.array(assign.astype(np.int32)),
-                "vec": pa.array(m.tolist(), pa.list_(pa.float64())),
+                "vec": vec_list_array(m),
             }
         )
 
@@ -765,7 +765,7 @@ def query_ann_index(
 
     probed_files = _cluster_files(index_dir, np.unique(q_probes))
     if not probed_files:
-        return _final_topk(_EMPTY_CAND, q_ids, k)
+        return _final_topk(_EMPTY_CAND, k)
     vec_ds = ray.data.read_parquet(probed_files, columns=["vec_id", "cluster_id", "vec"])
 
     def score_batch(batch: pa.Table) -> pa.Table:
@@ -776,7 +776,7 @@ def query_ann_index(
         return _score_allowed(q, ids, mat, q["member"][:, cluster], k)
 
     cand_ds = vec_ds.map_batches(score_batch, batch_format="pyarrow", batch_size=1024)
-    return _distributed_topk(cand_ds, q_ids, k, stats=stats)
+    return _distributed_topk(cand_ds, k, stats=stats)
 
 
 def lsh_hyperplanes(dim: int, bits: int = 8, seed: int = 13) -> np.ndarray:
@@ -852,4 +852,4 @@ def lsh_bucketed_topk(
         return _score_allowed(q, ids, mat, allowed, k)
 
     cand_ds = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=1024)
-    return _distributed_topk(cand_ds, q_ids, k, stats=stats)
+    return _distributed_topk(cand_ds, k, stats=stats)

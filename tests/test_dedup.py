@@ -209,3 +209,26 @@ def test_pair_pipeline_small_and_distributed_paths_agree(ray_session, monkeypatc
     key = lambda r: (r["a"], r["b"])
     assert sorted(small, key=key) == sorted(dist, key=key)
     assert len(small) >= 1
+
+
+def test_simhash_neardup_skips_tokenless_docs(ray_session):
+    """Null/empty/punctuation-only docs share fingerprint 0 but carry
+    no content signal — they must NOT pair with each other (the SQL
+    oracle's tf-derived fingerprints exclude them by construction, and
+    the minhash path skips no-shingle docs for the same reason)."""
+    import ray.data
+
+    from fulltextsearch_ray.functions.dedup import simhash_neardup_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(["!!!", "???", None, "real text here", "real text here"]),
+            }
+        )
+    )
+    out = simhash_neardup_pairs(ds, max_hamming=3, bands=4).to_pandas()
+    pairs = set(zip(out.a.tolist(), out.b.tolist()))
+    assert (4, 5) in pairs  # the genuine duplicate pair survives
+    assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in pairs), pairs
