@@ -1440,8 +1440,12 @@ def oracle_sql() -> dict[str, str]:
             sh AS (SELECT doc_id, md5(array_to_string(toks[i:i+2], ' ')) AS m
                    FROM (SELECT doc_id, toks,
                            unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
-                         FROM agg))
-            SELECT doc_id, min(m) AS fingerprint FROM sh GROUP BY doc_id
+                         FROM agg)),
+            fp AS (SELECT doc_id, min(m) AS fingerprint FROM sh GROUP BY doc_id)
+            -- LEFT JOIN: token-less docs fingerprint as md5('') — the
+            -- Ray kernel emits one row per INPUT doc, not per tokenized doc
+            SELECT d.doc_id, coalesce(fp.fingerprint, md5('')) AS fingerprint
+            FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
         """,
         "multimodal_meta": """
             SELECT doc_id::BIGINT AS media_id,
@@ -1455,7 +1459,7 @@ def oracle_sql() -> dict[str, str]:
             WITH cents AS (
               SELECT date_trunc('hour', ts) AS window_start, event_type,
                      CAST(round(value * 100) AS BIGINT) AS c
-              FROM events)
+              FROM events WHERE ts IS NOT NULL)
             SELECT window_start, event_type,
                    count(*)::BIGINT AS n_events,
                    {_r6('sum(c) / 100.0')} AS sum_value,
@@ -1486,7 +1490,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hopping": f"""
             WITH ev AS (
-              SELECT ts, event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+              SELECT ts, event_type, CAST(round(value * 100) AS BIGINT) AS c
+              FROM events WHERE ts IS NOT NULL),
             w AS (SELECT date_trunc('hour', ts) - (i.i * INTERVAL 60 MINUTE) AS window_start,
                          event_type, c
                   FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) i)
@@ -1498,7 +1503,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_session": f"""
             WITH ev AS (
-              SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+              SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS c
+              FROM events WHERE ts IS NOT NULL),
             l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM ev),
             f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
                                  THEN 1 ELSE 0 END AS brk FROM l),

@@ -54,6 +54,20 @@ def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.table(cols)
 
 
+def adjacent_bigrams(toks, parent: np.ndarray) -> "tuple[pa.Array, np.ndarray]":
+    """(bigrams, bigram_parent) of ADJACENT same-doc token pairs —
+    the shared doc-aware bigram explode behind repetition stats and
+    corpus bigram counts (one implementation; a drifted copy here
+    silently forks the two operators' n-gram definitions)."""
+    if len(parent) < 2:
+        return pa.array([], pa.string()), np.array([], dtype=np.int64)
+    adj = parent[1:] == parent[:-1]
+    bg = pc.binary_join_element_wise(
+        toks.slice(0, len(toks) - 1), toks.slice(1), " "
+    ).filter(pa.array(adj))
+    return bg, parent[:-1][adj]
+
+
 def repetition_batch(
     batch: pa.Table, text_col: str = "text", line_sep: str = "\n"
 ) -> pa.Table:
@@ -92,15 +106,7 @@ def repetition_batch(
 
     # --- top bigram fraction: adjacent-token join inside each doc
     toks, tparent, _ = flat_tokens(text)
-    if len(tparent) > 1:
-        adj = tparent[1:] == tparent[:-1]
-        bg = pc.binary_join_element_wise(
-            toks.slice(0, len(toks) - 1), toks.slice(1), " "
-        ).filter(pa.array(adj))
-        bparent = tparent[:-1][adj]
-    else:
-        bg = pa.array([], pa.string())
-        bparent = np.array([], dtype=np.int64)
+    bg, bparent = adjacent_bigrams(toks, tparent)
     top = np.zeros(n_docs)
     totb = np.bincount(bparent, minlength=n_docs).astype(np.int64)
     if len(bparent):
@@ -193,12 +199,9 @@ def top_bigrams(ds: ray.data.Dataset, k: int = 20, text_col: str = "text") -> ra
 
     def partial(batch: pa.Table) -> pa.Table:
         toks, parent, _ = flat_tokens(batch[text_col])
-        if len(parent) < 2:
+        bg, _bparent = adjacent_bigrams(toks, parent)
+        if not len(bg):
             return pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
-        adj = parent[1:] == parent[:-1]
-        bg = pc.binary_join_element_wise(
-            toks.slice(0, len(toks) - 1), toks.slice(1), " "
-        ).filter(pa.array(adj))
         grp = pa.table({"bigram": bg}).group_by("bigram").aggregate([("bigram", "count")])
         return pa.table({"bigram": grp["bigram"], "n": grp["bigram_count"].cast(pa.int64())})
 

@@ -36,24 +36,41 @@ def _ts_us(ts: "pa.Array | pa.ChunkedArray") -> tuple[np.ndarray, pa.DataType]:
     1000×.  Returns (ticks_us, normalized Arrow type)."""
     if isinstance(ts, pa.ChunkedArray):
         ts = ts.combine_chunks()
+    if ts.null_count:
+        # callers filter null-ts rows first; an unfiltered null here
+        # would silently decay the int64 view to float64/NaN
+        raise ValueError("window ops: null timestamps must be filtered before _ts_us")
     t = pa.timestamp("us", getattr(ts.type, "tz", None))
     if ts.type != t:
         ts = ts.cast(t)
     return np.asarray(ts.cast(pa.int64()).to_numpy(zero_copy_only=False)), t
 
 
+def _drop_null_ts(batch: pa.Table, ts_col: str) -> pa.Table:
+    """Events with a null timestamp belong to no window — filtered
+    before assignment (the SQL oracles mirror with
+    ``WHERE ts IS NOT NULL``); an unfiltered null would decay the
+    int64 tick view to float64/NaN and corrupt every window start."""
+    col = batch[ts_col]
+    if col.null_count:
+        batch = batch.filter(pc.is_valid(col))
+    return batch
+
+
 def _finish_cents(batch: pa.Table, key_col: str) -> pa.Table:
     """Shared cents→float finisher for the windowed aggregates (one
-    copy of the rounding-sensitive math)."""
-    cents = np.asarray(batch["_sum_cents"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    n = np.asarray(batch["n_events"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    copy of the rounding-sensitive math).  Arrow arithmetic so a
+    group whose values were ALL null keeps a NULL sum/avg (SQL
+    ``sum`` semantics) instead of crashing the int64 conversion."""
+    cents = pc.cast(batch["_sum_cents"], pa.float64())
+    n = pc.cast(batch["n_events"], pa.float64())
     return pa.table(
         {
             "window_start": batch["window_start"],
             key_col: batch[key_col],
             "n_events": batch["n_events"].cast(pa.int64()),
-            "sum_value": pa.array(cents / 100.0, pa.float64()),
-            "avg_value": pa.array(cents / (100.0 * n), pa.float64()),
+            "sum_value": pc.divide(cents, 100.0),
+            "avg_value": pc.divide(cents, pc.multiply(n, 100.0)),
         }
     )
 
@@ -71,9 +88,16 @@ def tumbling_window_agg(
     Window assignment is vectorized timestamp truncation inside
     map_batches; the only shuffle is the (tiny) groupby on
     (window_start, key)."""
-    unit = {"1h": "hour", "1d": "day", "1m": "minute"}[window]
+    units = {"1h": "hour", "1d": "day", "1min": "minute", "1m": "minute"}
+    if window not in units:
+        raise ValueError(
+            f"unsupported window {window!r} (one of {sorted(units)}; "
+            "'1m'/'1min' mean MINUTE — there is no month window)"
+        )
+    unit = units[window]
 
     def assign(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch, ts_col)
         w = pc.floor_temporal(batch[ts_col], unit=unit)
         # aggregate in EXACT integer cents: float partial-sum order
         # differs between engines/partitionings, and 2-decimal inputs
@@ -124,9 +148,12 @@ def hopping_window_agg(
     hop_us = hop_minutes * 60 * 1_000_000
 
     def assign(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch, ts_col)
         us, ts_type = _ts_us(batch[ts_col])
         base = (us // hop_us) * hop_us  # latest window containing the event
-        cents = np.asarray(_to_cents(batch[value_col]).to_numpy(zero_copy_only=False))
+        # stays an Arrow array: a numpy round-trip would decay null
+        # values to float64 NaN and change the aggregate column type
+        cents = _to_cents(batch[value_col])
         keys = batch[key_col]
         tables = []
         for i in range(k):
@@ -136,7 +163,7 @@ def hopping_window_agg(
                     {
                         "window_start": pa.array(w).cast(ts_type),
                         key_col: keys,
-                        "_cents": pa.array(cents),
+                        "_cents": cents,
                     }
                 )
             )
@@ -179,14 +206,14 @@ def session_window_agg(
     gap_us = gap_minutes * 60 * 1_000_000
 
     def tag(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch, ts_col)
         us, _ts_type = _ts_us(batch[ts_col])
         users = np.asarray(batch[user_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-        cents = np.asarray(_to_cents(batch[value_col]).to_numpy(zero_copy_only=False))
         return pa.table(
             {
                 "u": pa.array(users),
                 "t": pa.array(us),
-                "_cents": pa.array(cents),
+                "_cents": _to_cents(batch[value_col]),  # Arrow: keeps nulls
                 "_part": pa.array(users % P),
             }
         )
@@ -201,9 +228,15 @@ def session_window_agg(
             )
         u = np.asarray(group["u"].to_numpy(zero_copy_only=False), dtype=np.int64)
         t = np.asarray(group["t"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        c = np.asarray(group["_cents"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        c_arr = group["_cents"]
+        if isinstance(c_arr, pa.ChunkedArray):
+            c_arr = c_arr.combine_chunks()
+        # null values: 0 in the sum, and an ALL-null session keeps a
+        # NULL sum_value (SQL sum semantics, mirrored by the oracle)
+        c = np.asarray(pc.fill_null(c_arr, 0).to_numpy(zero_copy_only=False), dtype=np.int64)
+        cv = np.asarray(pc.is_valid(c_arr).to_numpy(zero_copy_only=False))
         order = np.lexsort((t, u))
-        u, t, c = u[order], t[order], c[order]
+        u, t, c, cv = u[order], t[order], c[order], cv[order]
         n = len(u)
         new_sess = np.empty(n, dtype=bool)
         if n:
@@ -212,12 +245,13 @@ def session_window_agg(
         starts = np.flatnonzero(new_sess)
         counts = np.diff(np.r_[starts, n])
         sums = np.add.reduceat(c, starts) if n else np.empty(0, dtype=np.int64)
+        nn = np.add.reduceat(cv.astype(np.int64), starts) if n else np.empty(0, dtype=np.int64)
         return pa.table(
             {
                 "user_id": pa.array(u[starts]),
                 "session_start": pa.array(t[starts]),
                 "n_events": pa.array(counts.astype(np.int64)),
-                "sum_value": pa.array(sums / 100.0, pa.float64()),
+                "sum_value": pa.array(sums / 100.0, mask=(nn == 0), type=pa.float64()),
             }
         )
 
@@ -227,11 +261,20 @@ def session_window_agg(
         .map_groups(sessions, batch_format="pyarrow")
     )
 
+    # preserve the input's timezone on session_start (tumbling/hopping
+    # keep it via floor_temporal; a bare timestamp("us") cast silently
+    # dropped it and shifted rendered sessions to UTC wall time)
+    try:
+        in_type = ds.schema(fetch_if_missing=True).base_schema.field(ts_col).type
+        out_ts = pa.timestamp("us", getattr(in_type, "tz", None))
+    except Exception:
+        out_ts = pa.timestamp("us")
+
     def cast_ts(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "user_id": batch["user_id"],
-                "session_start": batch["session_start"].cast(pa.timestamp("us")),
+                "session_start": batch["session_start"].cast(out_ts),
                 "n_events": batch["n_events"],
                 "sum_value": batch["sum_value"],
             }

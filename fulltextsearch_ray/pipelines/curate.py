@@ -35,9 +35,10 @@ from ..functions.text import LANG_ORDER, QUALITY_STOPWORDS, STOPWORDS, _stop_hit
 
 
 def curate_features_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """ONE tokenize pass → per-doc (pred_lang, n_tokens, stop_ratio,
-    mean_token_len, quality) — the fused form of lang_id_batch +
-    quality_batch (identical outputs, half the string work)."""
+    """ONE tokenize pass → per-doc (doc_id, text, pred_lang, n_tokens,
+    quality) — the fused form of lang_id_batch + quality_batch
+    (identical pred_lang/quality values, half the string work;
+    stop_ratio/mean_token_len stay internal to the quality score)."""
     n_docs = batch.num_rows
     toks, parent, counts = flat_tokens(batch[text_col])
     hits = np.stack([_stop_hits(toks, parent, n_docs, STOPWORDS[lang]) for lang in LANG_ORDER])
@@ -58,7 +59,7 @@ def curate_features_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         {
             "doc_id": batch["doc_id"],
             text_col: batch[text_col],
-            "pred_lang": pa.array([LANG_ORDER[b] for b in best], pa.string()),
+            "pred_lang": pa.array(np.array(LANG_ORDER, dtype=object)[best], type=pa.string()),
             "n_tokens": pa.array(n_tokens.astype(np.int64)),
             "quality": pa.array(round6(quality), pa.float64()),
         }
@@ -86,7 +87,9 @@ def curate_corpus(
     from ..functions.dedup import simhash_neardup_pairs
 
     P = num_partitions or default_partitions()
-    lang_set = pa.array(list(langs), pa.string()) if langs else None
+    # `is not None`: an EXPLICIT empty allow-list means "no language
+    # passes", not "filter disabled"
+    lang_set = pa.array(list(langs), pa.string()) if langs is not None else None
 
     def features_and_filter(b: pa.Table) -> pa.Table:
         f = curate_features_batch(b, text_col)

@@ -139,3 +139,70 @@ def test_window_aggs_normalize_timestamp_unit(ray_session):
         norm = lambda rows: sorted(tuple(sorted(r.items())) for r in rows)
         assert norm(a) == norm(b), fn.__name__
         assert len(a) > 1
+
+
+def test_window_ops_tolerate_null_ts_and_null_values(ray_session):
+    """Null timestamps are filtered (SQL oracles mirror WHERE ts IS NOT
+    NULL); a group whose values are ALL null keeps a NULL sum instead
+    of crashing the int64 conversion."""
+    import datetime as dt
+
+    import ray.data
+
+    from fulltextsearch_ray.functions.windows import (
+        hopping_window_agg,
+        session_window_agg,
+        tumbling_window_agg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 5)
+    tbl = pa.table(
+        {
+            "ts": pa.array([t0, t0, None, t0], pa.timestamp("us")),
+            "event_type": pa.array(["a", "a", "a", "b"]),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "value": pa.array([None, None, 5.0, 2.5], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    tum = tumbling_window_agg(ds, window="1h").to_pandas().sort_values("event_type")
+    # the null-ts row is gone; 'a' group (all-null values) keeps NULL sum
+    assert tum.n_events.tolist() == [2, 1]
+    assert np.isnan(tum.sum_value.tolist()[0]) and tum.sum_value.tolist()[1] == 2.5
+    hop = hopping_window_agg(ds, size_minutes=120, hop_minutes=60).to_pandas()
+    assert len(hop) == 4  # 2 windows x 2 keys, no crash
+    ses = session_window_agg(ds, gap_minutes=30).to_pandas().sort_values("user_id")
+    assert ses.n_events.tolist() == [2, 1]
+    assert np.isnan(ses.sum_value.tolist()[0]) and ses.sum_value.tolist()[1] == 2.5
+
+
+def test_session_start_preserves_timezone(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from fulltextsearch_ray.functions.windows import session_window_agg
+
+    t0 = dt.datetime(2024, 1, 1, 10, 5)
+    tbl = pa.table(
+        {
+            "ts": pa.array([t0, t0], pa.timestamp("us", tz="+05:30")),
+            "user_id": pa.array([1, 2], pa.int64()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    out = session_window_agg(ray.data.from_arrow(tbl), gap_minutes=30)
+    schema = out.schema().base_schema
+    assert schema.field("session_start").type == pa.timestamp("us", tz="+05:30")
+
+
+def test_tumbling_rejects_unknown_window(ray_session):
+    import ray.data
+
+    from fulltextsearch_ray.functions.windows import tumbling_window_agg
+
+    ds = ray.data.from_arrow(pa.table({"ts": pa.array([], pa.timestamp("us")),
+                                       "event_type": pa.array([], pa.string()),
+                                       "value": pa.array([], pa.float64())}))
+    with pytest.raises(ValueError, match="unsupported window"):
+        tumbling_window_agg(ds, window="15m")
