@@ -57,12 +57,19 @@ def _read_uvarint(data: bytes, pos: int) -> tuple[int, int]:
     out = 0
     shift = 0
     while True:
-        b = data[pos]
+        try:
+            b = data[pos]
+        except IndexError:
+            raise ValueError("corrupt FST image: varint runs past end of buffer") from None
         pos += 1
         out |= (b & 0x7F) << shift
         if b < 0x80:
             return out, pos
         shift += 7
+        if shift > 63:
+            # a run of continuation bytes in corrupt data would grow an
+            # unbounded Python int; real offsets/counts fit 64 bits
+            raise ValueError("corrupt FST image: over-long varint")
 
 
 # ---------------------------------------------------------------------------
@@ -297,12 +304,26 @@ class Fst:
         if len(data) < len(_MAGIC) + 1 or data[-len(_MAGIC) :] != _MAGIC:
             raise ValueError("not an FST image (bad magic)")
         fsize = data[-len(_MAGIC) - 1]
+        if fsize > len(data):
+            raise ValueError("corrupt FST image: footer size exceeds image")
         footer = data[len(data) - fsize :]
         pos = 0
         self.root, pos = _read_uvarint(footer, pos)
         self.n_terms, pos = _read_uvarint(footer, pos)
-        self.out = _OUTPUTS_BY_CODE[footer[pos]]
+        try:
+            self.out = _OUTPUTS_BY_CODE[footer[pos]]
+        except (KeyError, IndexError):
+            raise ValueError("corrupt FST image: unknown output algebra code") from None
+        if self.root >= len(data) - fsize and not (self.root == 0 and self.n_terms == 0):
+            raise ValueError("corrupt FST image: root offset outside body")
         self.data = data
+        # NOTE: only the footer is structurally validated here — a
+        # TRUNCATED body spliced onto an intact footer can still load
+        # and return misses for present terms.  Body corruption that
+        # moves offsets/varints out of range raises a descriptive
+        # 'corrupt FST image' error at traversal time (never a raw
+        # IndexError); full integrity needs an external checksum over
+        # the file (the sidecar store records nbytes per shard).
 
     def get_bytes(self) -> bytes:
         return self.data

@@ -27,13 +27,31 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-KEY_SEP = "\x00"
+KEY_SEP = "\x00\x01"
+_NUL_ESCAPE = "\x00￿"
 
 
 def _composite_key(batch: pa.Table, id_cols: list[str]) -> pa.Array:
-    key = pc.cast(batch.column(id_cols[0]), pa.string())
-    for c in id_cols[1:]:
-        key = pc.binary_join_element_wise(key, pc.cast(batch.column(c), pa.string()), KEY_SEP)
+    """Order-preserving INJECTIVE encoding of the id tuple: each
+    component escapes U+0000 → U+0000 U+FFFF, components join on
+    U+0000 U+0001.  A bare-NUL join would let distinct tuples collide
+    (('x\\x00y','z') vs ('x','y\\x00z')) and swap their rank-assigned
+    doc ids across retries; with the escape, tuple comparison order is
+    exactly preserved (separator < escaped NUL < every other char).
+    Null id components are rejected loudly — inside Ray tasks they
+    would otherwise surface as an opaque TypeError from a sort."""
+    parts = []
+    for c in id_cols:
+        col = pc.cast(batch.column(c), pa.string())
+        if col.null_count:
+            raise ValueError(
+                f"assign_doc_ids: id column {c!r} contains nulls — "
+                "doc-id assignment needs non-null key components"
+            )
+        parts.append(pc.replace_substring(col, pattern="\x00", replacement=_NUL_ESCAPE))
+    key = parts[0]
+    for p in parts[1:]:
+        key = pc.binary_join_element_wise(key, p, KEY_SEP)
     return key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
 
 
@@ -166,22 +184,12 @@ def read_corpus_with_ids(
     ``assign_doc_ids`` instead when ids must be content-deterministic
     (sorted-key rank) rather than layout-deterministic.
     """
-    import glob
-    import os
-
     import pyarrow.parquet as pq
 
-    if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
-    else:
-        files = [path]
-    if not files:
-        raise FileNotFoundError(f"no parquet files under {path}")
-    offsets = [start_id]
-    for f in files:
-        offsets.append(offsets[-1] + pq.ParquetFile(f).metadata.num_rows)
-
-    items = [{"file": f, "offset": o} for f, o in zip(files, offsets[:-1])]
+    # one block per file item (corpus_file_items) — otherwise
+    # from_items packs every item into a single block and the whole
+    # downstream pipeline collapses into ONE task (no parallelism)
+    items, _n_files = corpus_file_items(path, start_id=start_id)
 
     def read_file(batch: pa.Table) -> pa.Table:
         out = []
@@ -191,12 +199,7 @@ def read_corpus_with_ids(
             out.append(t.append_column("doc_id", ids))
         return pa.concat_tables(out)
 
-    # one block per file item — otherwise from_items packs every item
-    # into a single block and the whole downstream pipeline collapses
-    # into ONE task (no parallelism at all)
-    return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
-        read_file, batch_format="pyarrow", batch_size=1
-    )
+    return items.map_batches(read_file, batch_format="pyarrow", batch_size=1)
 
 
 def normalize_corpus(
@@ -210,7 +213,23 @@ def normalize_corpus(
     if doc_id_col is not None:
         if doc_id_col != "doc_id":
             ds = ds.rename_columns({doc_id_col: "doc_id"})
-        return ds
+
+        def canon_ids(b: pa.Table) -> pa.Table:
+            col = b["doc_id"]
+            if col.null_count:
+                raise ValueError("normalize_corpus: doc_id column contains nulls")
+            try:
+                # safe cast: a negative / non-numeric id fails HERE with
+                # a clear message, not as an opaque Arrow error (or a
+                # silent 2^64 wrap) deep inside the invert stage
+                cast = col.cast(pa.uint64())
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+                raise ValueError(
+                    f"normalize_corpus: doc_id column is not uint64-castable: {e}"
+                ) from None
+            return b.set_column(b.column_names.index("doc_id"), "doc_id", cast)
+
+        return ds.map_batches(canon_ids, batch_format="pyarrow")
     if not id_cols:
         raise ValueError("need doc_id_col or id_cols for deterministic ids")
     return assign_doc_ids(ds, id_cols, start_id=start_id)
@@ -237,12 +256,22 @@ _IDENT_PARTS = [
 ]
 
 
+def _synth_identity(i: int) -> "tuple[str, str, str, str]":
+    """(repo, path, commit, lang) identity of synthetic row ``i`` —
+    THE single definition shared by the per-row and vectorized
+    generators (a drifted copy would silently fork the two
+    'reproducible everywhere' corpora for the same index)."""
+    lang = _LANGS[i % len(_LANGS)]
+    repo = f"org{i % 97}/repo{i % 13}"
+    path = f"src/module_{i % 41}/file_{i}.{lang}"
+    commit = hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
+    return repo, path, commit, lang
+
+
 def synth_code_row(i: int, *, heavy_term: str | None = None, heavy_every: int = 2) -> dict:
     """One deterministic source-code-like row (seeded by row index)."""
     rng = np.random.default_rng(42 + i)
-    repo = f"org{i % 97}/repo{i % 13}"
-    path = f"src/module_{i % 41}/file_{i}.{_LANGS[i % len(_LANGS)]}"
-    commit = hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
+    repo, path, commit, _lang = _synth_identity(i)
     n_lines = int(rng.integers(5, 40))
     lines = []
     for _ in range(n_lines):
@@ -305,15 +334,13 @@ def synth_code_batch(start: int, count: int, *, tokens_per_doc: int = 220, heavy
             text += f"\n{heavy_term} {heavy_term} {heavy_term}"
         contents.append(text)
     idx = np.arange(start, start + count)
-    repos = [f"org{i % 97}/repo{i % 13}" for i in idx]
-    paths = [f"src/module_{i % 41}/file_{i}.{_LANGS[i % len(_LANGS)]}" for i in idx]
-    commits = [hashlib.sha1(f"{r}:{p}".encode()).hexdigest() for r, p in zip(repos, paths)]
+    ident = [_synth_identity(int(i)) for i in idx]
     return pa.table(
         {
-            "repo": pa.array(repos, pa.string()),
-            "path": pa.array(paths, pa.string()),
-            "commit": pa.array(commits, pa.string()),
-            "lang": pa.array([_LANGS[i % len(_LANGS)] for i in idx], pa.string()),
+            "repo": pa.array([t[0] for t in ident], pa.string()),
+            "path": pa.array([t[1] for t in ident], pa.string()),
+            "commit": pa.array([t[2] for t in ident], pa.string()),
+            "lang": pa.array([t[3] for t in ident], pa.string()),
             "content": pa.array(contents, pa.string()),
         }
     )
@@ -322,11 +349,27 @@ def synth_code_batch(start: int, count: int, *, tokens_per_doc: int = 220, heavy
 def write_synth_corpus(path: str, n_rows: int, rows_per_file: int = 10_000, **kw) -> str:
     """Write the synthetic corpus as partitioned Parquet (driver-side,
     used by bench.py; deterministic, seeded; skips files that exist —
-    the resumable-output shape)."""
+    the resumable-output shape).  A ``_params.json`` stamp records
+    (n_rows, rows_per_file, kw): a later call with DIFFERENT params
+    wipes and regenerates instead of silently resuming onto stale
+    shards (the old check kept a 25k-row final shard when n_rows grew
+    to 30k and returned a short corpus with no error)."""
+    import json
     import os
+    import shutil
 
     import pyarrow.parquet as pq
 
+    params = {"n_rows": n_rows, "rows_per_file": rows_per_file,
+              "kw": {k: kw[k] for k in sorted(kw)}}
+    stamp = os.path.join(path, "_params.json")
+    if os.path.isdir(path):
+        prev = None
+        if os.path.exists(stamp):
+            with open(stamp) as f:
+                prev = json.load(f)
+        if prev != params:
+            shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
     part = 0
     for start in range(0, n_rows, rows_per_file):
@@ -335,4 +378,6 @@ def write_synth_corpus(path: str, n_rows: int, rows_per_file: int = 10_000, **kw
             tbl = synth_code_batch(start, min(rows_per_file, n_rows - start), **kw)
             pq.write_table(tbl, fn)
         part += 1
+    with open(stamp, "w") as f:
+        json.dump(params, f)
     return path

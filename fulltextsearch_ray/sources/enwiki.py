@@ -211,12 +211,22 @@ def fetch_to_dir(urls: list[str], dest_dir: str) -> list[str]:
     urllib scheme; existing files are skipped (resumable — re-running a
     partially-failed mirror fetches only the missing shards).  Offline
     environments exercise this with ``file://`` URLs."""
+    import hashlib as _hashlib
+    import urllib.parse
     import urllib.request
 
     os.makedirs(dest_dir, exist_ok=True)
     out: list[str] = []
+    # local names: URL basename (query string stripped); when two URLs
+    # share a basename (http://h/a/dump.gz and http://h/b/dump.gz), the
+    # later ones get a short url-hash prefix instead of silently
+    # resolving to the first URL's file and never being fetched
+    claimed: dict[str, str] = {}
     for url in urls:
-        name = url.rstrip("/").rsplit("/", 1)[-1]
+        name = urllib.parse.urlparse(url).path.rstrip("/").rsplit("/", 1)[-1] or "download"
+        if claimed.get(name, url) != url:
+            name = f"{_hashlib.md5(url.encode()).hexdigest()[:10]}-{name}"
+        claimed[name] = url
         dest = os.path.join(dest_dir, name)
         if not os.path.exists(dest):
             tmp = dest + ".part"

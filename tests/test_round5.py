@@ -468,3 +468,86 @@ def test_cut_dup_spans_budget0_on_skewed_corpus(ray_session):
     # every duplicated doc must actually be cut
     assert all(got[i][1] > 0 for i in range(n) if i % 10 < 3)
     assert dt < 120, f"budget-0 spans path took {dt:.1f}s on a 400-doc corpus"
+
+
+# -- fifth review-pass fixes -------------------------------------------------
+
+
+def test_composite_key_injective_and_order_preserving():
+    """Distinct id tuples must never collide (bare-NUL join let
+    ('x\\x00y','z') == ('x','y\\x00z')) and concatenated order must
+    equal tuple order."""
+    from fulltextsearch_ray.sources.corpus import _composite_key
+
+    tuples = [
+        ("x\x00y", "z"),
+        ("x", "y\x00z"),
+        ("x", "y"),
+        ("x", "y\x00"),
+        ("x\x00", "y"),
+        ("a", "b"),
+        ("a\x00b", ""),
+    ]
+    tbl = pa.table({"r": pa.array([t[0] for t in tuples]), "p": pa.array([t[1] for t in tuples])})
+    keys = _composite_key(tbl, ["r", "p"]).to_pylist()
+    assert len(set(keys)) == len(tuples)  # injective
+    order_by_key = sorted(range(len(tuples)), key=lambda i: keys[i])
+    order_by_tuple = sorted(range(len(tuples)), key=lambda i: tuples[i])
+    assert order_by_key == order_by_tuple
+    # null components fail loudly, not as a worker-task TypeError
+    bad = pa.table({"r": pa.array(["a", None]), "p": pa.array(["b", "c"])})
+    with pytest.raises(ValueError, match="contains nulls"):
+        _composite_key(bad, ["r", "p"])
+
+
+def test_write_synth_corpus_regenerates_on_param_change(tmp_path):
+    import pyarrow.parquet as pq
+
+    from fulltextsearch_ray.sources.corpus import write_synth_corpus
+
+    d = str(tmp_path / "corpus")
+    write_synth_corpus(d, 250, rows_per_file=100)
+    total = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in sorted((tmp_path / "corpus").glob("*.parquet")))
+    assert total == 250
+    # growing n_rows must NOT resume onto the stale short final shard
+    write_synth_corpus(d, 300, rows_per_file=100)
+    total = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in sorted((tmp_path / "corpus").glob("*.parquet")))
+    assert total == 300
+    # same params = true resume (files untouched)
+    mtimes = {f.name: f.stat().st_mtime_ns for f in (tmp_path / "corpus").glob("*.parquet")}
+    write_synth_corpus(d, 300, rows_per_file=100)
+    assert {f.name: f.stat().st_mtime_ns for f in (tmp_path / "corpus").glob("*.parquet")} == mtimes
+
+
+def test_fetch_to_dir_basename_collision(tmp_path):
+    from fulltextsearch_ray.sources.enwiki import fetch_to_dir
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    (a / "dump.txt").write_text("shard-a")
+    (b / "dump.txt").write_text("shard-b")
+    dest = str(tmp_path / "mirror")
+    got = fetch_to_dir([f"file://{a}/dump.txt", f"file://{b}/dump.txt"], dest)
+    assert len(got) == 2 and len(set(got)) == 2
+    contents = sorted(open(p).read() for p in got)
+    assert contents == ["shard-a", "shard-b"]
+
+
+def test_corrupt_fst_images_raise_descriptive_errors():
+    from fulltextsearch_ray.fst import Fst, FstBuilder
+
+    b = FstBuilder()
+    for t in ["alpha", "beta", "gamma"]:
+        b.add(t, 1)
+    img = b.finish().get_bytes()
+    Fst(img)  # intact loads
+    with pytest.raises(ValueError, match="bad magic"):
+        Fst(img[:-1])
+    with pytest.raises(ValueError, match="corrupt FST image"):
+        Fst(bytes([255]) * 3 + img[-5:])  # footer size exceeds image? or overlong varint
+    # over-long varint in a doctored footer
+    with pytest.raises(ValueError):
+        Fst(b"\x80" * 40 + bytes([40 + 5]) + b"RFST")
