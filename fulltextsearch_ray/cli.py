@@ -42,8 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     except QueryParseError as e:
         print(f"query error: {e}", file=sys.stderr)
         return 2
-    except (ValueError, FileNotFoundError) as e:
-        print(f"error: {e}", file=sys.stderr)
+    except (ValueError, FileNotFoundError, KeyError) as e:
+        # KeyError: e.g. `metadata --doc N` for an unindexed doc id —
+        # str(KeyError) wraps the message in quotes, so unwrap one level
+        msg = e.args[0] if isinstance(e, KeyError) and e.args else e
+        print(f"error: {msg}", file=sys.stderr)
         return 2
 
 

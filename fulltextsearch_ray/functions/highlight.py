@@ -143,7 +143,13 @@ def highlight_matches(
 
     from ..pipelines.query import get_searcher
 
-    hits = get_searcher(index_dir).search_docs(query)
+    # field-1 matches only: token ids are per-(doc, FIELD) ordinals and
+    # the stage annotates ONE source column (= field 1's text); the
+    # merged-field search_docs shape would uppercase another field's
+    # ordinals onto this column.  Multi-field display = one
+    # highlight_matches per (column, field) with
+    # search_field_tokens(query, field=f).
+    hits = get_searcher(index_dir).search_field_tokens(query, field=1)
     hits_ref = ray.put(
         pa.table(
             {"doc_id": hits["doc_id"].cast(pa.int64()), "token_ids": hits["token_ids"]}

@@ -179,7 +179,10 @@ def _parse_term(s: str, pos: int, name: str) -> tuple[TermQueryAst, int]:
 def _parse_edit(s: str, pos: int) -> tuple[EditQuery, int]:
     word, pos = _parse_term(s, pos, "WORD")
     pos = _skip_ws(s, pos)
-    if pos < len(s) and s[pos] != ",":
+    if pos >= len(s) or s[pos] != ",":
+        # a missing comma at END of input must also report the comma at
+        # the current position, not advance past EOF into a misleading
+        # "Expected value (at len+1)"
         raise QueryParseError("Expected character ,", pos)
     pos += 1
     dist, pos = _parse_term(s, pos, "WORD")

@@ -143,7 +143,9 @@ def build_in_memory(
     )
     is_sentinel = pc.starts_with(tbl["term"], DOCSTATS_TERM_PREFIX)
     docs = decode_docstats_rows(tbl.filter(is_sentinel).select(["docs", "tfs", "positions"]))
-    docs = docs.take(pa.array(np.argsort(docs["doc_id"].to_numpy(zero_copy_only=False))))
+    # no pre-sort: InMemorySearcher.__init__ argsorts the doc-length
+    # arrays itself (a .take here materialized a reordered copy of the
+    # whole docs table only for __init__ to re-sort a sorted input)
     postings = tbl.filter(pc.invert(is_sentinel)).combine_chunks()
     searcher = InMemorySearcher(postings, docs)
     # scoring sums tf across fields — the MaxScore bound scales by this

@@ -65,6 +65,49 @@ K1 = 1.2
 B = 0.75
 
 
+def _group_doc_tokens(docs: np.ndarray, tokens: np.ndarray, widths: np.ndarray) -> pa.Table:
+    """(doc_id, n_matches, token_ids:list) from doc-sorted parallel
+    match arrays — each match covers ``width`` consecutive token ids
+    (grouped arange explode + one ListArray build, no Python loop).
+    Shared by :meth:`IndexSearcher.search_docs` (all fields merged) and
+    :meth:`IndexSearcher.search_field_tokens` (one field)."""
+    if len(docs) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.uint64()),
+                "n_matches": pa.array([], pa.int64()),
+                "token_ids": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+    change = np.empty(len(docs), dtype=bool)
+    change[0] = True
+    np.not_equal(docs[1:], docs[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.r_[starts, len(docs)])
+    toks = tokens.astype(np.int64)
+    total = int(widths.sum())
+    run_starts = np.cumsum(widths) - widths
+    flat = np.repeat(toks, widths) + (np.arange(total, dtype=np.int64) - np.repeat(run_starts, widths))
+    toks_per_doc = np.add.reduceat(widths, starts) if len(starts) else np.empty(0, dtype=np.int64)
+    offsets = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(toks_per_doc, out=offsets[1:])
+    if total <= np.iinfo(np.int32).max:
+        tok_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.int64())
+        )
+    else:  # >2^31 matched tokens in one result: 64-bit offsets
+        tok_col = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(flat, pa.int64())
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[starts], pa.uint64()),
+            "n_matches": pa.array(counts.astype(np.int64)),
+            "token_ids": tok_col,
+        }
+    )
+
+
 def _sum_by_doc(docs: np.ndarray, vals: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
     """(unique sorted docs, per-doc sums) over parallel arrays — the
     merge-by-doc kernel shared by the exhaustive and pruned BM25 paths
@@ -950,43 +993,32 @@ class IndexSearcher:
                 }
             )
         # matches stream in (doc, field, token) order already
-        docs = m.docs
         widths = (
             m.widths.astype(np.int64)
             if isinstance(m, MixedMatches)
-            else np.full(len(docs), m.width, dtype=np.int64)
+            else np.full(len(m.docs), m.width, dtype=np.int64)
         )
-        change = np.empty(len(docs), dtype=bool)
-        change[0] = True
-        np.not_equal(docs[1:], docs[:-1], out=change[1:])
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.r_[starts, len(docs)])
-        # each match covers `width` consecutive token ids — grouped
-        # arange explode (np.repeat + offset subtraction), then one
-        # ListArray build from per-doc token-count offsets: no Python
-        # loop over matches or docs
-        toks = m.tokens.astype(np.int64)
-        total = int(widths.sum())
-        run_starts = np.cumsum(widths) - widths
-        flat = np.repeat(toks, widths) + (np.arange(total, dtype=np.int64) - np.repeat(run_starts, widths))
-        toks_per_doc = np.add.reduceat(widths, starts) if len(starts) else np.empty(0, dtype=np.int64)
-        offsets = np.zeros(len(starts) + 1, dtype=np.int64)
-        np.cumsum(toks_per_doc, out=offsets[1:])
-        if total <= np.iinfo(np.int32).max:
-            tok_col = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), pa.array(flat, pa.int64())
+        return _group_doc_tokens(m.docs, m.tokens, widths)
+
+    def search_field_tokens(self, query: str, field: int = 1) -> pa.Table:
+        """Like :meth:`search_docs` but restricted to matches in ONE
+        field.  Token ids are per-(doc, FIELD) word positions, so the
+        merged-field search_docs shape would annotate another field's
+        ordinals onto this field's text — this is the hit contract the
+        highlight stage needs (annotating one source column = one
+        field)."""
+        m = self.evaluate(query)
+        if len(m.docs) == 0:
+            return _group_doc_tokens(
+                np.empty(0, np.uint64), np.empty(0, np.uint64), np.empty(0, np.int64)
             )
-        else:  # >2^31 matched tokens in one result: 64-bit offsets
-            tok_col = pa.LargeListArray.from_arrays(
-                pa.array(offsets, pa.int64()), pa.array(flat, pa.int64())
-            )
-        return pa.table(
-            {
-                "doc_id": pa.array(docs[starts], pa.uint64()),
-                "n_matches": pa.array(counts.astype(np.int64)),
-                "token_ids": tok_col,
-            }
+        widths = (
+            m.widths.astype(np.int64)
+            if isinstance(m, MixedMatches)
+            else np.full(len(m.docs), m.width, dtype=np.int64)
         )
+        keep = m.fields == np.uint64(field)
+        return _group_doc_tokens(m.docs[keep], m.tokens[keep], widths[keep])
 
     # -- BM25 ---------------------------------------------------------------
 

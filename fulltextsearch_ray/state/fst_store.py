@@ -46,53 +46,32 @@ def _segment_catalog_files(index_dir: str, seg: str) -> list[str]:
 def _iter_segment_terms(index_dir: str, seg: str) -> Iterator[str]:
     """Stream one segment's terms in sorted order, one row group at a
     time (each segment catalog is written term-sorted with disjoint
-    row-group ranges — same contract LazyRowGroupTable relies on)."""
+    row-group ranges — same contract LazyRowGroupTable relies on).
+
+    Runs are keyed by each row group's TRUE first term, never by
+    parquet min statistics: string min stats may be WRITER-TRUNCATED,
+    which can strictly invert two runs' order without any tie ('ab'
+    truncated from 'abd…' sorts before exact 'abc'), and foreign
+    writers may omit stats entirely — either way the FstBuilder's
+    strictly-sorted check would fail on a valid index.  One
+    ParquetFile per file (footer parsed once); phase 1 reads each
+    group's term column for its first value, phase 2 re-reads groups
+    in sorted order — driver memory stays O(#groups), and the sidecar
+    build is a rare offline pass where the extra column read is
+    irrelevant next to correctness."""
     runs: list[tuple] = []
+    readers: dict[str, pq.ParquetFile] = {}
     for f in _segment_catalog_files(index_dir, seg):
-        md = pq.ParquetFile(f).metadata
+        pf = readers[f] = pq.ParquetFile(f)
+        md = pf.metadata
         for rg in range(md.num_row_groups):
             if md.row_group(rg).num_rows == 0:
                 continue  # contributes no terms
-            st = md.row_group(rg).column(0).statistics
-            if st is not None and st.has_min_max:
-                key = st.min
-            else:
-                # stats missing (foreign/older writer): key by the TRUE
-                # first term right away — a placeholder key would sort
-                # the run before all real runs and fail the FstBuilder's
-                # strictly-sorted check even with no tie present
-                key = (
-                    pq.ParquetFile(f)
-                    .read_row_group(rg, columns=["term"])["term"][0]
-                    .as_py()
-                )
-            runs.append((key, f, rg))
+            first = pf.read_row_group(rg, columns=["term"])["term"][0].as_py()
+            runs.append((first, f, rg))
     runs.sort()
-    # parquet string min statistics may be WRITER-TRUNCATED, so two runs
-    # whose truncated mins tie can sort out of true order (the
-    # FstBuilder's strictly-sorted check would then fail loudly at build
-    # time).  Resolve ties by re-keying the tied group on each run's
-    # TRUE first term — row-group term ranges are disjoint within a
-    # segment, so first terms totally order the group.
-    i = 0
-    while i < len(runs):
-        j = i + 1
-        while j < len(runs) and runs[j][0] == runs[i][0]:
-            j += 1
-        if j - i > 1:
-            retied = []
-            for _key, f, rg in runs[i:j]:
-                first = (
-                    pq.ParquetFile(f)
-                    .read_row_group(rg, columns=["term"])["term"][0]
-                    .as_py()
-                )
-                retied.append((first, f, rg))
-            retied.sort()
-            runs[i:j] = retied
-        i = j
     for _key, f, rg in runs:
-        col = pq.ParquetFile(f).read_row_group(rg, columns=["term"])["term"]
+        col = readers[f].read_row_group(rg, columns=["term"])["term"]
         for v in col:
             yield v.as_py()
 
@@ -171,6 +150,16 @@ def build_fst_sidecar(index_dir: str, *, shard_terms: int = 1_000_000) -> dict:
     segments = list(meta.segments)
     d = fst_dir(index_dir)
     os.makedirs(d, exist_ok=True)
+    # INVALIDATE the old sidecar before touching any shard file: a
+    # rebuild overwrites shards in place, so a crash mid-rebuild with
+    # the old fst.json still present (same segment list!) would serve
+    # NEW shard bytes under OLD term ranges — silent misses.  With the
+    # meta unlinked first, a crashed rebuild just means "no sidecar"
+    # and the searcher falls back to the paged catalog scan.
+    try:
+        os.unlink(os.path.join(d, FST_META))
+    except FileNotFoundError:
+        pass
 
     try:
         import ray

@@ -207,3 +207,13 @@ def test_benchmark_verb_matchers_and_predictor(capsys):
     matches = [l for l in out.splitlines() if l.startswith("match-")]
     assert len(matches) == 4
     assert all("agree=True" in l for l in matches)
+
+
+def test_metadata_verb_unknown_doc_one_line_error(small_index, capsys):
+    """`metadata --doc <unindexed>` prints a one-line error and exits 2
+    (the default-path KeyError used to escape as a raw traceback)."""
+    _, idx = small_index
+    rc = main(["metadata", "--index", idx, "--doc", "999999"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "error:" in err and "999999" in err and "Traceback" not in err

@@ -154,3 +154,32 @@ def test_pruned_bm25_multifield_bound_scales_by_fields(ray_session):
     s.meta.num_fields = 1
     wrong = s.bm25_topk_pruned(["alpha", "beta"], k=1)
     assert wrong["doc_id"].to_pylist() == [2], "corpus no longer trips the unscaled bound"
+
+
+def test_highlight_matches_multifield_only_field1_tokens(multifield_fwd_index, tmp_path):
+    """hello appears in doc 1 at title token 1 AND body tokens 3-4;
+    highlight over the TITLE column must uppercase only the title's own
+    match (the merged-field search_docs token list used to apply body
+    ordinals to the title text)."""
+    from fulltextsearch_ray.functions.highlight import highlight_matches
+
+    s, tbl = multifield_fwd_index
+    idx = s.index_dir
+    # field-restricted hit shape
+    hits1 = s.search_field_tokens("WORD(hello)", field=1)
+    assert hits1["doc_id"].to_pylist() == [1]  # title match only in doc 1
+    assert hits1["token_ids"].to_pylist() == [[1]]
+    hits2 = s.search_field_tokens("WORD(hello)", field=2)
+    assert hits2["doc_id"].to_pylist() == [1, 2]  # body matches
+    # end-to-end: annotate the title column
+    docs_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "title": tbl["title"]})
+    )
+    out = (
+        highlight_matches(docs_ds, idx, "WORD(hello)", text_col="title")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # only doc 1 (title match) is annotated, and only its own token
+    assert out.doc_id.tolist() == [1]
+    assert out.annotated.tolist() == ["HELLO World"]

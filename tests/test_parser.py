@@ -83,3 +83,14 @@ def test_trailing_comma_rejected():
     with pytest.raises(QueryParseError) as e:
         parse_query("OR(WORD(a)")
     assert e.value.position <= len("OR(WORD(a)")
+
+
+def test_edit_missing_comma_at_eof_reports_comma_position():
+    """EDIT(word<EOF> must report the missing comma AT the current
+    position, not advance past end-of-string into 'Expected value'."""
+    from fulltextsearch_ray.parser import QueryParseError, parse_query
+
+    with pytest.raises(QueryParseError) as ei:
+        parse_query("EDIT(word ")
+    assert "Expected character ," in str(ei.value)
+    assert "(at 10)" in str(ei.value)
