@@ -231,8 +231,15 @@ def _index_dir_for(sf_dir: str) -> str:
         return cached
     from fulltextsearch_ray.pipelines.build import build_index
 
-    # layout version busts stale caches when the index format evolves
-    tag = hashlib.md5(f"{sf_dir}:v5".encode()).hexdigest()[:10]
+    # layout version busts stale caches when the index format evolves;
+    # the (mtime, size) fingerprint busts them when documents.parquet
+    # is regenerated IN PLACE (same path, new content) — without it
+    # every index-backed gate would serve the old corpus against
+    # oracles running on the new one (same device _ann_index_dir uses)
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"{sf_dir}:v5:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
     idx = os.path.join("/tmp", "ftsray_cache", f"docs-{tag}")
     if not os.path.exists(os.path.join(idx, "meta.json")):
         import ray.data
@@ -404,7 +411,10 @@ def _q_enwiki_parse(sf_dir: str):
 
     from fulltextsearch_ray.sources.enwiki import read_enwiki_corpus
 
-    tag = hashlib.md5(f"{sf_dir}:enwiki-v1".encode()).hexdigest()[:10]
+    _st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"{sf_dir}:enwiki-v1:{_st.st_mtime_ns}:{_st.st_size}".encode()
+    ).hexdigest()[:10]
     xml_dir = os.path.join("/tmp", "ftsray_cache", f"enwiki-{tag}")
     done = os.path.join(xml_dir, "_done")
     if not os.path.exists(done):
@@ -599,6 +609,20 @@ def _q_embed_neardup(sf_dir: str):
     )
 
 
+def _load_query_vectors(sf_dir: str):
+    """(q_ids, q_mat) for the ANN gates — THE query-set contract
+    (vec_id < 5) every ANN oracle mirrors; one definition so a change
+    to the query set cannot silently break a single gate."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), filters=[("vec_id", "<", 5)]
+    )
+    q_ids = np.asarray(qt["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    return q_ids, q_mat
+
+
 def _q_ann(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data
@@ -606,9 +630,7 @@ def _q_ann(sf_dir: str):
     from fulltextsearch_ray.functions.similarity import brute_force_topk
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(path, filters=[("vec_id", "<", 5)])
-    q_ids = np.asarray(qt["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    q_ids, q_mat = _load_query_vectors(sf_dir)
     return brute_force_topk(ray.data.read_parquet(path), q_ids, q_mat, k=10)
 
 
@@ -619,9 +641,7 @@ def _q_ann_lsh(sf_dir: str):
     from fulltextsearch_ray.functions.similarity import lsh_bucketed_topk
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(path, filters=[("vec_id", "<", 5)])
-    q_ids = np.asarray(qt["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    q_ids, q_mat = _load_query_vectors(sf_dir)
     return lsh_bucketed_topk(ray.data.read_parquet(path), q_ids, q_mat, k=10, bits=4)
 
 
@@ -632,9 +652,7 @@ def _q_ann_ivf(sf_dir: str):
     from fulltextsearch_ray.functions.similarity import ivf_topk
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(path, filters=[("vec_id", "<", 5)])
-    q_ids = np.asarray(qt["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    q_ids, q_mat = _load_query_vectors(sf_dir)
     return ivf_topk(
         ray.data.read_parquet(path), q_ids, q_mat, k=10, n_clusters=8, nprobe=3, iters=2
     )
@@ -675,11 +693,7 @@ def _q_ann_index_query(sf_dir: str):
     from fulltextsearch_ray.functions.similarity import query_ann_index
 
     idx = _ann_index_dir(sf_dir, rebuild=False)
-    qt = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), filters=[("vec_id", "<", 5)]
-    )
-    q_ids = np.asarray(qt["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    q_ids, q_mat = _load_query_vectors(sf_dir)
     return query_ann_index(idx, q_ids, q_mat, k=10, nprobe=3)
 
 
@@ -1038,10 +1052,13 @@ def oracle_sql() -> dict[str, str]:
             FROM tokens WHERE term = 'table' GROUP BY doc_id
         """,
         "highlight": """
+            -- case-insensitive: the engine tokenizes lowercased, so a
+            -- doc containing 'Table' matches WORD(table) and annotate
+            -- uppercases the span — the oracle must match it too
             SELECT doc_id,
-                   regexp_replace(text, '\\btable\\b', 'TABLE', 'g') AS annotated
+                   regexp_replace(text, '\\btable\\b', 'TABLE', 'gi') AS annotated
             FROM documents
-            WHERE regexp_matches(text, '\\btable\\b')
+            WHERE regexp_matches(text, '\\btable\\b', 'i')
         """,
         "enwiki_parse": """
             SELECT row_number() OVER (ORDER BY doc_id)::BIGINT AS doc_id,

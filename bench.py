@@ -14,7 +14,9 @@ Sections of the default (no-flag) run:
 only run in the full default pass).
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
-(default 32), GRAFT_BENCH_DOCS (synthetic corpus rows, default 20000).
+(default 32), GRAFT_BENCH_DOCS (synthetic corpus rows, default
+50000; the skew phase uses its own 20000-doc default unless the
+variable is set explicitly).
 
 ``--scaling`` runs the build phase in FRESH processes at num_cpus =
 2, 8 and 32 on the same input (paired rounds, host probes per round;
@@ -200,11 +202,12 @@ def bench_ops(sf_dir: str) -> dict:
         for _ in range(repeats):
             t0 = time.perf_counter()
             r = qs[name](sf_dir)
+            # hasattr covers the no-count()-method case; a bare
+            # except AttributeError here would ALSO swallow remote UDF
+            # AttributeErrors (Ray re-raises task errors as subclasses
+            # of the original type) and record a failed op as fast
             if hasattr(r, "count") and not isinstance(r, (int, float)):
-                try:
-                    r.count()
-                except AttributeError:
-                    pass
+                r.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
@@ -385,9 +388,13 @@ class _RayCpuSampler:
                         continue
                     with open(f"/proc/{pid}/stat") as f:
                         parts = f.read().rsplit(") ", 1)[1].split()
-                except OSError:
+                    cpu = (int(parts[11]) + int(parts[12])) / tick  # utime+stime
+                except (OSError, IndexError, ValueError):
+                    # a worker exiting mid-read yields '' or a torn
+                    # line — skip the pid; an uncaught parse error here
+                    # killed the daemon thread and silently corrupted
+                    # every cores_N / core-normalized metric after it
                     continue
-                cpu = (int(parts[11]) + int(parts[12])) / tick  # utime+stime
                 key = f"{pid}"
                 if cpu > self.totals.get(key, 0.0):
                     self.totals[key] = cpu
@@ -404,18 +411,20 @@ class _RayCpuSampler:
         return sum(self.totals.values())
 
 
-def _child_build_dps(cpus: int, n_docs: int) -> float:
+def _child_build_dps(cpus: int, n_docs: int, argv_prefix: "list[str] | None" = None) -> float:
     """Run `bench.py --phase build` in a fresh process and return its
-    docs/s.  Raises with the child's stderr tail on ANY failure — a
-    crashed child used to surface as an opaque IndexError on an empty
-    stdout, discarding hours of completed rounds and the diagnosis."""
+    docs/s (``argv_prefix`` e.g. ``["taskset", "-c", "0-1"]`` for the
+    pinned protocol — ONE implementation of the child-build contract).
+    Raises with the child's stderr tail on ANY failure — a crashed
+    child used to surface as an opaque IndexError on an empty stdout,
+    discarding hours of completed rounds and the diagnosis."""
     env = dict(os.environ)
     env["RAY_GRAFT_CPUS"] = str(cpus)
     env["GRAFT_BENCH_DOCS"] = str(n_docs)
-    p = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--phase", "build"],
-        capture_output=True, text=True, env=env, timeout=3600,
-    )
+    argv = list(argv_prefix or []) + [
+        sys.executable, os.path.abspath(__file__), "--phase", "build"
+    ]
+    p = subprocess.run(argv, capture_output=True, text=True, env=env, timeout=3600)
     lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
     if p.returncode != 0 or not lines:
         raise RuntimeError(
@@ -474,22 +483,8 @@ def run_scaling(n_docs: int, repeats: int = 3) -> dict:
             "pinned": bool(pin),
         }
         for cpus in (2, 8, 32):
-            if pin:  # pinning needs the explicit argv form
-                env = dict(os.environ)
-                env["RAY_GRAFT_CPUS"] = str(cpus)
-                env["GRAFT_BENCH_DOCS"] = str(n_docs)
-                argv = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
-                        os.path.abspath(__file__), "--phase", "build"]
-                p = subprocess.run(argv, capture_output=True, text=True, env=env, timeout=3600)
-                lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
-                if p.returncode != 0 or not lines:
-                    raise RuntimeError(
-                        f"pinned child build at {cpus} cpus failed (rc={p.returncode}); "
-                        f"stderr tail: {p.stderr[-800:]}"
-                    )
-                r[f"dps_{cpus}"] = json.loads(lines[-1])["queries"]["build_docs_per_sec"]
-            else:
-                r[f"dps_{cpus}"] = _child_build_dps(cpus, n_docs)
+            prefix = ["taskset", "-c", f"0-{cpus - 1}"] if pin else None
+            r[f"dps_{cpus}"] = _child_build_dps(cpus, n_docs, argv_prefix=prefix)
         r["eff_2_8"] = round(r["dps_8"] / (4 * r["dps_2"]), 3) if r["dps_2"] else 0.0
         r["eff_8_32"] = round(r["dps_32"] / (4 * r["dps_8"]), 3) if r["dps_8"] else 0.0
         rounds.append(r)
@@ -630,14 +625,18 @@ def main():
         q["bm25_p99_ms"] = qq["p99_ms"]
         q["bm25_pool_qps"] = qq["pool_qps"]
     if phase == "skew":
-        for k, v in bench_skew().items():
+        for k, v in bench_skew(
+            int(os.environ["GRAFT_BENCH_DOCS"]) if "GRAFT_BENCH_DOCS" in os.environ else 20000
+        ).items():
             q[f"skew_{k}"] = v
     if phase is None:
         d = bench_docs_table(sf_dir)
         q["docs_table_sec"] = d["sec"]
         for k, v in bench_ops(sf_dir).items():
             q[f"op_{k}_sec"] = v
-        for k, v in bench_skew().items():
+        for k, v in bench_skew(
+            int(os.environ["GRAFT_BENCH_DOCS"]) if "GRAFT_BENCH_DOCS" in os.environ else 20000
+        ).items():
             q[f"skew_{k}"] = v
 
     total = round(time.perf_counter() - t_start, 3)

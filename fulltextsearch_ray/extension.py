@@ -125,8 +125,10 @@ class BinaryCompressedCodec:
 
         n = int.from_bytes(buf[:4], "little")
         out = delta_decode(group_varint_decode(buf[4:], n).astype(np.uint64))
-        if count is not None:
-            assert len(out) == count
+        if count is not None and len(out) != count:
+            # real exception, not assert: loud under -O too (same
+            # contract as the sibling codecs)
+            raise ValueError(f"binarycompressed: expected {count}, got {len(out)}")
         return out
 
 

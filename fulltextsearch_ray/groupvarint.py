@@ -2,8 +2,9 @@
 
 Format (same wire layout as ``Common/GroupVarInt.cs:49-172``): values
 are encoded in groups of 4; each group = 1 selector byte (2 bits per
-value giving byte-width-1, little-endian value order) followed by the
-values' little-endian bytes.  The reference's golden test vector
+value giving byte-width-1, value 0 in the HIGH bits / MSB-first)
+followed by the values' BIG-ENDIAN bytes.  The reference's golden
+test vector
 (``GroupVarIntTests.cs:6-29``): ``{80, 320, 31, 255}`` →
 ``00010000 01010000 00000001 01000000 00011111 11111111``.
 
@@ -71,7 +72,13 @@ def packed_ints_encode(values: np.ndarray) -> bytes:
     """Fixed-width bit packing (the reference's ``PackedInt`` codec
     family, ``Common/PackedInts.cs``): all values stored with the bit
     width of the largest.  Header: 1 byte width + 4 bytes count."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    src = np.asarray(values)
+    if src.dtype.kind not in "ui" or (src.dtype.kind == "i" and len(src) and int(src.min()) < 0):
+        # same domain guard as group_varint_encode: a negative input
+        # would wrap through the uint64 cast and round-trip to a
+        # DIFFERENT value with no error
+        raise ValueError("packed_ints_encode requires non-negative integer values")
+    v = np.ascontiguousarray(src, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return bytes([0]) + (0).to_bytes(4, "little")
