@@ -196,6 +196,11 @@ def md5_hex_batch(strings) -> "pa.Array":
     return _duck().execute("SELECT md5(s) AS h FROM tbl").arrow()["h"].combine_chunks()
 
 
+# int32 ListArray offset ceiling (monkeypatch-able in tests — the real
+# threshold needs a >16 GiB batch to cross)
+_LIST_OFFSET_MAX = 2**31 - 1
+
+
 def vec_list_array(mat: np.ndarray) -> "pa.Array":
     """(n, dim) float matrix → Arrow ``list<double>`` column without
     boxing (``mat.tolist()`` allocated n·dim Python floats per batch in
@@ -206,5 +211,13 @@ def vec_list_array(mat: np.ndarray) -> "pa.Array":
 
     m = np.ascontiguousarray(mat, dtype=np.float64)
     n, dim = m.shape
-    offsets = pa.array((np.arange(n + 1, dtype=np.int64) * dim).astype(np.int32))
+    offsets64 = np.arange(n + 1, dtype=np.int64) * dim
+    if n * dim > _LIST_OFFSET_MAX:
+        # >2^31 values in one batch: int32 offsets would wrap negative
+        # (silent .astype) — switch to 64-bit offsets like
+        # pipelines/query.py:_group_doc_tokens does
+        return pa.LargeListArray.from_arrays(
+            pa.array(offsets64), pa.array(m.ravel(), type=pa.float64())
+        )
+    offsets = pa.array(offsets64.astype(np.int32))
     return pa.ListArray.from_arrays(offsets, pa.array(m.ravel(), type=pa.float64()))

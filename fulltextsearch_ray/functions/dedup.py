@@ -101,11 +101,17 @@ def _pairs_pipeline(
     cost dominates at that size.  ``rows_hint`` is the caller's exact
     exploded row count (input rows × band fan-out): when it already
     exceeds the budget the pipeline streams straight into the shuffle
-    without pinning the exploded payload in the object store — the
-    materialize-to-count probe only runs when the size is small or
-    unknown."""
+    without pinning the exploded payload in the object store.  When
+    the count is UNKNOWN, a ``limit(budget+1).count()`` probe decides
+    — the streaming executor stops producing blocks once the limit is
+    met, so a huge exploded dataset is never materialized just to
+    learn it is too big (the payload columns, e.g. full embedding
+    vectors × band fan-out, would otherwise pin/spill the whole
+    corpus); only a provably-small dataset is pinned for the gather."""
     budget = SMALL_PAIRS_ROW_BUDGET if small_rows_budget is None else small_rows_budget
-    if rows_hint is None or rows_hint <= budget:
+    if rows_hint is None:
+        rows_hint = exploded.limit(budget + 1).count()
+    if rows_hint <= budget:
         exploded = exploded.materialize()
         if exploded.count() <= budget:
             tbls = [t for t in ray.get(exploded.to_arrow_refs()) if t.num_rows]
@@ -499,10 +505,11 @@ def minhash_lsh_pairs(
         small_rows_budget=min(
             SMALL_PAIRS_ROW_BUDGET, (128 << 20) // (num_perm * 8 + 24)
         ),
-        # None = let _pairs_pipeline materialize+count the (small)
-        # exploded rows itself — ONE pipeline execution; a driver-side
-        # ds.count() here re-executed the whole upstream tokenize/
-        # fingerprint pass just to size the hint
+        # None = let _pairs_pipeline probe the exploded size with a
+        # bounded limit(budget+1).count() — the probe stops upstream
+        # early on a big corpus instead of pinning the exploded
+        # payload; a driver-side ds.count() here would re-execute the
+        # whole upstream pass just to size the hint
         rows_hint=None if n_rows is None else n_rows * bands,
     )
 
@@ -660,10 +667,11 @@ def simhash_neardup_pairs(
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     return _pairs_pipeline(
         exploded, "key", part_pairs, "hamming", pa.int64(), "min", P,
-        # None = let _pairs_pipeline materialize+count the (small)
-        # exploded rows itself — ONE pipeline execution; a driver-side
-        # ds.count() here re-executed the whole upstream tokenize/
-        # fingerprint pass just to size the hint
+        # None = let _pairs_pipeline probe the exploded size with a
+        # bounded limit(budget+1).count() — the probe stops upstream
+        # early on a big corpus instead of pinning the exploded
+        # payload; a driver-side ds.count() here would re-execute the
+        # whole upstream pass just to size the hint
         rows_hint=None if n_rows is None else n_rows * bands,
     )
 
@@ -1090,10 +1098,11 @@ def embedding_neardup_pairs(
     return _pairs_pipeline(
         exploded, "key", part_pairs, "cosine", pa.float64(), "max", P,
         small_rows_budget=min(200_000, (128 << 20) // row_bytes),
-        # None = let _pairs_pipeline materialize+count the (small)
-        # exploded rows itself — ONE pipeline execution; a driver-side
-        # ds.count() here re-executed the whole upstream tokenize/
-        # fingerprint pass just to size the hint
+        # None = let _pairs_pipeline probe the exploded size with a
+        # bounded limit(budget+1).count() — the probe stops upstream
+        # early on a big corpus instead of pinning the exploded
+        # payload; a driver-side ds.count() here would re-execute the
+        # whole upstream pass just to size the hint
         rows_hint=None if n_rows is None else n_rows * bands,
     )
 

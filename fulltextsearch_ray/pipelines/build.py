@@ -362,19 +362,27 @@ def _build_catalog(seg_path: str, driver_budget_rows: int = 50_000_000) -> tuple
         for f in _g.glob(os.path.join(post_dir, "**", "*.parquet"), recursive=True)
     )
     if footer_rows <= driver_budget_rows:
-        blocks_tbl = pq.read_table(post_dir, columns=_POST_META_COLS, filters=[("bucket", ">=", 0)])
-        catalog_tbl = (
-            blocks_tbl.group_by("term")
-            .aggregate(
-                [("df", "sum"), ("cf", "sum"), ("max_tf", "max"), ("n_docs", "sum"),
-                 ("first_doc", "min"), ("last_doc", "max"), ("term", "count")]
+        try:
+            blocks_tbl = pq.read_table(
+                post_dir, columns=_POST_META_COLS, filters=[("bucket", ">=", 0)]
             )
-            .rename_columns(["term", "df", "cf", "max_tf", "df_docs", "first_doc", "last_doc", "n_blocks"])
-            .sort_by("term")
-        )
-        os.makedirs(cat_dir, exist_ok=True)
-        pq.write_table(catalog_tbl, os.path.join(cat_dir, "part-0.parquet"), row_group_size=65536)
-        return catalog_tbl.num_rows, int(pc.sum(catalog_tbl["cf"]).as_py() or 0)
+            catalog_tbl = (
+                blocks_tbl.group_by("term")
+                .aggregate(
+                    [("df", "sum"), ("cf", "sum"), ("max_tf", "max"), ("n_docs", "sum"),
+                     ("first_doc", "min"), ("last_doc", "max"), ("term", "count")]
+                )
+                .rename_columns(["term", "df", "cf", "max_tf", "df_docs", "first_doc", "last_doc", "n_blocks"])
+                .sort_by("term")
+            )
+            os.makedirs(cat_dir, exist_ok=True)
+            pq.write_table(catalog_tbl, os.path.join(cat_dir, "part-0.parquet"), row_group_size=65536)
+            return catalog_tbl.num_rows, int(pc.sum(catalog_tbl["cf"]).as_py() or 0)
+        except (MemoryError, pa.lib.ArrowMemoryError):
+            # The footer-row budget is a heuristic; a driver that can't
+            # actually hold the block stats falls through to the Ray
+            # groupby path below (the r4 refactor dropped this guard).
+            pass
     postings = ray.data.read_parquet(post_dir, columns=_POST_META_COLS).filter(expr="bucket >= 0")
     catalog = (
         postings.groupby("term")
@@ -840,7 +848,11 @@ def build_index(
         meta.segments.append(segment)
     meta.num_docs += n_docs
     meta.total_tokens += total_tokens
-    meta.num_fields = max(meta.num_fields, len(text_cols) if text_cols else 1)
+    # num_fields=0 means a legacy index of UNKNOWN field count — an
+    # incremental session must keep it unknown (the old segments may be
+    # multi-field), not overwrite it with this session's count.
+    if meta.num_fields:
+        meta.num_fields = max(meta.num_fields, len(text_cols) if text_cols else 1)
     meta.next_doc_id = max(meta.next_doc_id, manifest.max_doc_id + 1)
     _mark("manifest", t0)
     if os.environ.get("FTSRAY_BUILD_TIMING"):

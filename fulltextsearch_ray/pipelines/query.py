@@ -1132,9 +1132,15 @@ class IndexSearcher:
         if row is None:
             return 0.0
         df, mtf = float(row[0]), float(row[2])
-        mtf *= float(getattr(self.meta, "num_fields", 1) or 1)
         N = float(self.num_docs)
         idf = float(np.log((N - df + 0.5) / (df + 0.5) + 1.0))
+        nf = float(getattr(self.meta, "num_fields", 1))
+        if not nf:
+            # legacy meta: field count unknown — use the tf→∞ supremum
+            # of the contribution (valid for ANY field count; looser
+            # prune, still exact results).
+            return idf * (K1 + 1.0)
+        mtf *= nf
         return idf * (mtf * (K1 + 1.0)) / (mtf + K1 * (1.0 - B))
 
     def bm25_topk_pruned(self, terms: list[str], k: int = 10) -> pa.Table:

@@ -217,16 +217,32 @@ def fetch_to_dir(urls: list[str], dest_dir: str) -> list[str]:
 
     os.makedirs(dest_dir, exist_ok=True)
     out: list[str] = []
-    # local names: URL basename (query string stripped); when two URLs
-    # share a basename (http://h/a/dump.gz and http://h/b/dump.gz), the
-    # later ones get a short url-hash prefix instead of silently
-    # resolving to the first URL's file and never being fetched
-    claimed: dict[str, str] = {}
+    # Local names: URL basename (query string stripped).  Collision
+    # handling must be ORDER-INDEPENDENT across runs — "first URL in
+    # the list keeps the bare name" would let a re-run with a
+    # reordered list resolve one URL to another URL's cached bytes.
+    # Two guards: (1) within one call, a basename shared by ≥2
+    # distinct URLs hash-prefixes EVERY claimant; (2) across runs, a
+    # `.fetch_sources.json` manifest records which URL each local
+    # file came from, and a name recorded for a DIFFERENT url is
+    # hash-prefixed instead of served stale.
+    def _basename(u: str) -> str:
+        return urllib.parse.urlparse(u).path.rstrip("/").rsplit("/", 1)[-1] or "download"
+
+    distinct = list(dict.fromkeys(urls))
+    counts: dict[str, int] = {}
+    for u in distinct:
+        counts[_basename(u)] = counts.get(_basename(u), 0) + 1
+    manifest_path = os.path.join(dest_dir, ".fetch_sources.json")
+    try:
+        with open(manifest_path) as f:
+            manifest: dict[str, str] = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        manifest = {}
     for url in urls:
-        name = urllib.parse.urlparse(url).path.rstrip("/").rsplit("/", 1)[-1] or "download"
-        if claimed.get(name, url) != url:
+        name = _basename(url)
+        if counts[name] > 1 or manifest.get(name, url) != url:
             name = f"{_hashlib.md5(url.encode()).hexdigest()[:10]}-{name}"
-        claimed[name] = url
         dest = os.path.join(dest_dir, name)
         if not os.path.exists(dest):
             tmp = dest + ".part"
@@ -237,5 +253,10 @@ def fetch_to_dir(urls: list[str], dest_dir: str) -> list[str]:
                         break
                     w.write(chunk)
             os.replace(tmp, dest)  # atomic: never a half-written dest
+        manifest[name] = url
         out.append(dest)
+    tmp_m = manifest_path + ".tmp"
+    with open(tmp_m, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp_m, manifest_path)
     return out

@@ -107,8 +107,10 @@ class IndexMeta:
     modified_at: float = 0.0
     # max number of indexed FIELDS across sessions: scoring sums tf
     # across a doc's fields, so the MaxScore bound must scale the
-    # catalog's per-(doc,field) max_tf by this (default 1 = the
-    # single-text_col case and every pre-existing index)
+    # catalog's per-(doc,field) max_tf by this.  0 = UNKNOWN (a
+    # meta.json written before this field existed — the index may be
+    # multi-field, so the pruned BM25 path must fall back to the
+    # field-count-free tf→∞ bound, not assume 1).
     num_fields: int = 1
 
     @property
@@ -123,6 +125,12 @@ def segment_dir(index_dir: str, name: str) -> str:
 def load_meta(index_dir: str) -> IndexMeta:
     with open(os.path.join(index_dir, META_FILE)) as f:
         d = json.load(f)
+    # legacy meta (pre-num_fields): the field count is UNKNOWN, not 1 —
+    # a multi-field index loaded through the old default would let the
+    # MaxScore bound mis-prune (tf split across fields beats the
+    # unscaled per-entry bound).  0 routes the pruned path to the
+    # universal tf→∞ bound.
+    d.setdefault("num_fields", 0)
     return IndexMeta(**d)
 
 

@@ -149,3 +149,35 @@ def test_fetch_to_dir_file_urls_resumable(wiki_dir, tmp_path):
     mtime = os.path.getmtime(got[0])
     assert fetch_to_dir(urls, dest) == got  # second run skips (resumable)
     assert os.path.getmtime(got[0]) == mtime
+
+
+def test_fetch_to_dir_collisions_order_independent(wiki_dir, tmp_path):
+    """Two URLs sharing a basename must resolve to the SAME local
+    files regardless of list order, across runs (a reordered re-run
+    used to serve one URL's cached bytes under the other's name)."""
+    import shutil
+
+    src_a = os.path.join(wiki_dir, "a-abstract.xml")
+    dir_b = tmp_path / "other"
+    dir_b.mkdir()
+    src_b = str(dir_b / "a-abstract.xml")
+    shutil.copy(src_a, src_b)
+    with open(src_b, "a") as f:
+        f.write("\n<!-- b -->\n")
+    ua, ub = "file://" + src_a, "file://" + src_b
+    dest = str(tmp_path / "mirror")
+    got1 = fetch_to_dir([ua, ub], dest)
+    # both claimants hash-prefixed: no order-dependent bare-name winner
+    assert len(set(got1)) == 2
+    bytes1 = [open(p).read() for p in got1]
+    got2 = fetch_to_dir([ub, ua], dest)  # reordered re-run
+    assert got2 == [got1[1], got1[0]]
+    assert [open(p).read() for p in got2] == [bytes1[1], bytes1[0]]
+    # cross-run: a dir seeded by a solo fetch of ua must not serve
+    # ua's bytes when ub later claims the same basename
+    dest2 = str(tmp_path / "mirror2")
+    solo = fetch_to_dir([ua], dest2)
+    assert solo == [os.path.join(dest2, "a-abstract.xml")]
+    later = fetch_to_dir([ub], dest2)
+    assert later != solo
+    assert open(later[0]).read() != open(solo[0]).read()

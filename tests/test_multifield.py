@@ -183,3 +183,48 @@ def test_highlight_matches_multifield_only_field1_tokens(multifield_fwd_index, t
     # only doc 1 (title match) is annotated, and only its own token
     assert out.doc_id.tolist() == [1]
     assert out.annotated.tolist() == ["HELLO World"]
+
+
+def test_legacy_meta_unknown_num_fields_still_prunes_exactly(
+    ray_session, tmp_path
+):
+    """A meta.json written BEFORE num_fields existed may describe a
+    multi-field index; loading it as num_fields=1 would re-introduce
+    the unscaled-bound mis-prune.  load_meta marks the count UNKNOWN
+    (0) and the pruned path falls back to the field-count-free tf→∞
+    bound — exact on the tuned mis-prune corpus."""
+    import json
+    import os
+
+    rows = [
+        {"doc_id": 1, "a": " ".join(["alpha"] * 5), "b": " ".join(["alpha"] * 5)},
+        {"doc_id": 2, "a": " ".join(["beta"] * 8), "b": ""},
+        {"doc_id": 3, "a": " ".join(["beta"] * 3), "b": ""},
+        {"doc_id": 4, "a": " ".join(["alpha"] * 5), "b": ""},
+    ]
+    for i in range(5, 61):
+        rows.append({"doc_id": i, "a": " ".join(f"pad{i}x{j}" for j in range(200)), "b": ""})
+    tbl = pa.table({k: [r[k] for r in rows] for k in ("doc_id", "a", "b")})
+    idx = str(tmp_path / "legacyidx")
+    build_index(
+        ray.data.from_arrow(tbl), idx,
+        text_cols=["a", "b"], doc_id_col="doc_id",
+        num_buckets=4, overwrite=True,
+    )
+    # simulate the legacy header: drop the num_fields key in place
+    meta_path = os.path.join(idx, "meta.json")
+    with open(meta_path) as f:
+        d = json.load(f)
+    assert d.pop("num_fields") == 2
+    with open(meta_path, "w") as f:
+        json.dump(d, f)
+    s = IndexSearcher(idx)
+    assert s.meta.num_fields == 0  # unknown, NOT assumed single-field
+    ex = s.bm25_topk(["alpha", "beta"], k=1)
+    pr = s.bm25_topk_pruned(["alpha", "beta"], k=1)
+    assert pr["doc_id"].to_pylist() == ex["doc_id"].to_pylist() == [1]
+    assert pr["score"].to_pylist() == ex["score"].to_pylist()
+    # the unknown-count bound dominates every known-count bound
+    ub_unknown = s._term_upper_bound("alpha")
+    s.meta.num_fields = 2
+    assert ub_unknown >= s._term_upper_bound("alpha")
