@@ -471,13 +471,21 @@ def _main(argv: list[str] | None = None) -> int:
     if args.verb == "metadata" and getattr(args, "store_kind", None):
         import json
 
-        from .state.kvstore import open_metadata_store, store_path
+        from .state.kvstore import open_metadata_store, store_is_stale, store_path
 
         spath = store_path(args.index, args.store_kind)
         if not os.path.exists(spath):
             print(
                 f"error: no {args.store_kind} meta store at {spath} "
                 f"(run: meta-store --index {args.index} --kind {args.store_kind})",
+                file=sys.stderr,
+            )
+            return 2
+        if store_is_stale(args.index, args.store_kind):
+            print(
+                f"error: {args.store_kind} meta store is stale — built before "
+                f"the index's current segments (rerun: meta-store --index "
+                f"{args.index} --kind {args.store_kind})",
                 file=sys.stderr,
             )
             return 2

@@ -47,8 +47,10 @@ from ..stages.invert import (
     read_invert_batches_fn,
 )
 from ..state.index import (
+    SEGMENTS_DIR,
     IndexMeta,
     SegmentManifest,
+    load_manifest,
     load_meta,
     save_manifest,
     save_meta,
@@ -77,10 +79,31 @@ def compact_index(
     import pyarrow.parquet as pq
 
     meta = load_meta(index_dir)
+    # Sweep segment dirs that meta does not reference: a crash between
+    # a previous compaction's save_meta and its old-segment rmtree loop
+    # orphans every pre-compaction dir forever (no later path touches
+    # them — disk roughly doubles per crashed compaction).  meta is the
+    # source of truth and the index is single-writer, so unreferenced
+    # dirs under segments/ are garbage by definition.
+    seg_root = os.path.join(index_dir, SEGMENTS_DIR)
+    if os.path.isdir(seg_root):
+        for d_name in os.listdir(seg_root):
+            if d_name not in meta.segments:
+                shutil.rmtree(os.path.join(seg_root, d_name), ignore_errors=True)
     if len(meta.segments) <= 1:
         return meta
     old_segments = list(meta.segments)
-    new_seg = f"compact-{len(old_segments):03d}-{int(meta.modified_at)}"
+    # Name derived from the INPUT SEGMENT LIST, not wall-clock time:
+    # deterministic across crash retries (same inputs ⇒ same name, so
+    # a partial dir from a crashed attempt is found and cleaned), and
+    # collision-free with any live segment — the old `{count}-{int(
+    # modified_at)}` scheme collided with a prior LIVE compact segment
+    # when two compactions ran within one wall-clock second, and the
+    # partial-dir rmtree below then deleted live data.
+    import hashlib as _hl
+
+    new_seg = "compact-" + _hl.sha1("|".join(old_segments).encode()).hexdigest()[:12]
+    assert new_seg not in old_segments  # can't contain a hash of itself
     seg_path = segment_dir(index_dir, new_seg)
     if os.path.exists(seg_path):
         # a crashed earlier attempt left a partial dir; the name is
@@ -157,15 +180,44 @@ def compact_index(
         for d in docs_dirs
         for f in pq.ParquetDataset(d).files
     )
+    # Sessions may disagree on the docs schema (legacy builds stored
+    # meta columns directly in docs; current ones use docs_meta) — a
+    # plain concat/union raises ArrowInvalid and the index could never
+    # be compacted.  Unify permissively: missing columns fill with
+    # null, which is exactly the searcher's extra-docs-columns
+    # metadata fallback semantics for docs that lack a value.
     if total_docs > docs_driver_budget:
         doc_files = [f for d in docs_dirs for f in pq.ParquetDataset(d).files]
-        (
-            ray.data.read_parquet(doc_files)
-            .sort("doc_id")
-            .write_parquet(os.path.join(seg_path, "docs"))
-        )
+        by_docs_schema: dict[str, list[str]] = {}
+        for f in doc_files:
+            by_docs_schema.setdefault(str(pq.ParquetFile(f).schema_arrow), []).append(f)
+        if len(by_docs_schema) == 1:
+            ds_docs = ray.data.read_parquet(doc_files)
+        else:
+            uni = pa.unify_schemas(
+                [pq.ParquetFile(fs[0]).schema_arrow for fs in by_docs_schema.values()],
+                promote_options="permissive",
+            )
+
+            def conform(b: pa.Table, _u=uni) -> pa.Table:
+                cols = []
+                for fld in _u:
+                    if fld.name in b.column_names:
+                        cols.append(b[fld.name].cast(fld.type))
+                    else:
+                        cols.append(pa.nulls(b.num_rows, fld.type))
+                return pa.table(dict(zip(_u.names, cols)))
+
+            parts = [
+                ray.data.read_parquet(fs).map_batches(conform, batch_format="pyarrow")
+                for fs in by_docs_schema.values()
+            ]
+            ds_docs = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+        ds_docs.sort("doc_id").write_parquet(os.path.join(seg_path, "docs"))
     else:
-        docs = pa.concat_tables(pq.read_table(d) for d in docs_dirs)
+        docs = pa.concat_tables(
+            (pq.read_table(d) for d in docs_dirs), promote_options="permissive"
+        )
         docs = docs.take(pa.array(np.argsort(docs["doc_id"].to_numpy(zero_copy_only=False))))
         pq.write_table(docs, os.path.join(seg_path, "docs", "part-0.parquet"))
 
@@ -382,7 +434,11 @@ def _build_catalog(seg_path: str, driver_budget_rows: int = 50_000_000) -> tuple
             # The footer-row budget is a heuristic; a driver that can't
             # actually hold the block stats falls through to the Ray
             # groupby path below (the r4 refactor dropped this guard).
-            pass
+            # Clear any partial driver-side write first — a torn
+            # part-0.parquet (or a complete one, if the error hit
+            # after write_table) would otherwise coexist with the Ray
+            # output: unreadable footer or doubled df/cf rows.
+            shutil.rmtree(cat_dir, ignore_errors=True)
     postings = ray.data.read_parquet(post_dir, columns=_POST_META_COLS).filter(expr="bucket >= 0")
     catalog = (
         postings.groupby("term")
@@ -846,8 +902,21 @@ def build_index(
 
     if segment not in meta.segments:
         meta.segments.append(segment)
-    meta.num_docs += n_docs
-    meta.total_tokens += total_tokens
+    # Corpus totals are recomputed as the SUM over segment manifests,
+    # not incremented: a segment that was listed in meta but lost its
+    # manifest (version skew, corruption) gets rebuilt above, and a
+    # `+=` would re-add its docs/tokens on top of the counts an
+    # earlier save_meta already included — permanently inflating
+    # num_docs and avgdl (every BM25 idf would be silently wrong).
+    try:
+        manifests = [load_manifest(index_dir, s) for s in meta.segments]
+        meta.num_docs = sum(m.num_docs for m in manifests)
+        meta.total_tokens = sum(m.total_tokens for m in manifests)
+    except (OSError, TypeError, ValueError):
+        # a sibling manifest is unreadable: fall back to the additive
+        # update rather than corrupting the totals with a partial sum
+        meta.num_docs += n_docs
+        meta.total_tokens += total_tokens
     # num_fields=0 means a legacy index of UNKNOWN field count — an
     # incremental session must keep it unknown (the old segments may be
     # multi-field), not overwrite it with this session's count.

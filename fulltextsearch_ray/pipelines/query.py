@@ -1310,9 +1310,22 @@ def dump_postings_dataset(index_dir: str) -> "ray.data.Dataset":
 
 
 @lru_cache(maxsize=8)
-def get_searcher(index_dir: str) -> IndexSearcher:
-    """Process-local searcher cache (one warm searcher per index)."""
+def _get_searcher_cached(index_dir: str, _meta_fp: tuple) -> IndexSearcher:
     return IndexSearcher(index_dir)
+
+
+def get_searcher(index_dir: str) -> IndexSearcher:
+    """Process-local searcher cache (one warm searcher per index).
+
+    Keyed on meta.json's (mtime_ns, size) fingerprint, not the path
+    alone: every build/compact rewrites meta.json via os.replace, so an
+    in-process rebuild invalidates the cache instead of the stale
+    searcher silently omitting new docs (incremental build) or crashing
+    on deleted segment dirs (compaction)."""
+    from ..state.index import META_FILE
+
+    st = os.stat(os.path.join(index_dir, META_FILE))
+    return _get_searcher_cached(index_dir, (st.st_mtime_ns, st.st_size))
 
 
 class SearcherStage:

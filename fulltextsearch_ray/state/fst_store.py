@@ -260,12 +260,20 @@ def load_fst_sidecar(index_dir: str, segments: list[str]) -> "Fst | ShardedFst |
     d = fst_dir(index_dir)
     meta_path = os.path.join(d, FST_META)
     data_path = os.path.join(d, FST_FILE)
-    if not os.path.exists(meta_path):
+
+    def _read_meta() -> "bytes | None":
+        try:
+            with open(meta_path, "rb") as fh:
+                return fh.read()
+        except OSError:
+            return None
+
+    raw = _read_meta()
+    if raw is None:
         return None
     try:
-        with open(meta_path) as fh:
-            info = json.load(fh)
-    except (OSError, json.JSONDecodeError):
+        info = json.loads(raw)
+    except json.JSONDecodeError:
         return None
     if list(info.get("segments", [])) != list(segments):
         return None  # stale: segments were added/compacted since
@@ -278,8 +286,20 @@ def load_fst_sidecar(index_dir: str, segments: list[str]) -> "Fst | ShardedFst |
                 return None
             with open(p, "rb") as fh:
                 shards.append((sm["term_min"], sm["term_max"], int(sm["base"]), Fst(fh.read())))
+        # Re-read the metadata AFTER the shard bytes: a concurrent
+        # rebuild (build_fst_sidecar unlinks fst.json first, then
+        # replaces shard files, then writes the new json) could have
+        # swapped shard bytes under us — OLD ranges/bases paired with
+        # NEW shard images would route terms to the wrong shard.  Any
+        # change (or absence) between the two reads ⇒ treat as no
+        # sidecar; the caller's catalog fallback is always correct.
+        if _read_meta() != raw:
+            return None
         return ShardedFst(shards)
     if not os.path.exists(data_path):
         return None
     with open(data_path, "rb") as fh:
-        return Fst(fh.read())
+        img = fh.read()
+    if _read_meta() != raw:
+        return None  # concurrent rebuild mid-load (see above)
+    return Fst(img)

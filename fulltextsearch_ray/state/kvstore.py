@@ -264,13 +264,24 @@ class PersistentBtree(_FileStore):
             kids.insert(i + 1, right)
         m = 2 * self._order
         if len(keys) <= m:
+            if not leaf and split is not None:
+                # this in-place rewrite publishes pointers to freshly
+                # appended children — same barrier contract as
+                # _patch_root (rare: one per split propagation)
+                self._barrier()
             self._write_node(off, leaf, keys, vals, kids)
             return False, None
-        # split around the median; reuse this offset for the left half
+        # Split around the median.  BOTH halves are APPENDED as new
+        # nodes — the original node at `off` stays intact on disk until
+        # the parent (or root) pointer swings to the new children.
+        # Reusing `off` for the left half overwrote the live node with
+        # keys[:h] BEFORE any pointer landed: a crash in that window
+        # made every committed right-half key unreachable on reopen,
+        # violating the store's append-before-patch discipline.
         h = len(keys) // 2
         mid_key, mid_val = keys[h], vals[h]
         left = self._write_node(
-            off, leaf, keys[:h], vals[:h], kids[: h + 1] if not leaf else []
+            None, leaf, keys[:h], vals[:h], kids[: h + 1] if not leaf else []
         )
         right = self._write_node(
             None, leaf, keys[h + 1 :], vals[h + 1 :], kids[h + 1 :] if not leaf else []
@@ -444,13 +455,20 @@ def build_store_from_index(index_dir: str, kind: str, path: "str | None" = None)
     from .index import load_meta, segment_dir
 
     path = path or store_path(index_dir, kind)
-    if os.path.exists(path):
-        os.remove(path)
+    # Build into a temp file and os.replace at the end: building in
+    # place after deleting the old store meant a crash mid-build left a
+    # valid-looking but PARTIAL store (opens cleanly, get() returns
+    # None for the missing docs) with the previous good one already
+    # destroyed.  The FST sidecar uses the same tmp+replace discipline.
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    segments = list(load_meta(index_dir).segments)
     core = {"doc_id", "doc_len", "sha256"}
     n = 0
-    with open_metadata_store(path, kind) as st:
+    with open_metadata_store(tmp, kind) as st:
         seen: set[int] = set()
-        for seg in load_meta(index_dir).segments:
+        for seg in segments:
             base = segment_dir(index_dir, seg)
             for sub in ("docs_meta", "docs"):
                 d = os.path.join(base, sub)
@@ -474,4 +492,31 @@ def build_store_from_index(index_dir: str, kind: str, path: "str | None" = None)
                     ).encode())
                     n += 1
         st.flush()
+    os.replace(tmp, path)
+    # Coverage stamp (the FST sidecar's staleness device): records
+    # which segments this store was built over, so a reader can detect
+    # a store that predates an incremental session instead of silently
+    # returning None for every new doc.
+    stamp_tmp = path + ".json.tmp"
+    with open(stamp_tmp, "w") as f:
+        json.dump({"kind": kind, "segments": segments, "n_docs": n}, f)
+    os.replace(stamp_tmp, path + ".json")
     return {"path": path, "kind": kind, "n_docs": n}
+
+
+def store_is_stale(index_dir: str, kind: str, path: "str | None" = None) -> "bool | None":
+    """True when the store's coverage stamp names a different segment
+    list than the index's current meta — i.e. the store predates an
+    incremental build or compaction and must be rebuilt.  None when no
+    stamp exists (legacy store: staleness unknowable)."""
+    import json
+
+    from .index import load_meta
+
+    path = path or store_path(index_dir, kind)
+    try:
+        with open(path + ".json") as f:
+            stamp = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+    return list(stamp.get("segments", [])) != list(load_meta(index_dir).segments)

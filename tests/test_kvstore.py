@@ -166,3 +166,134 @@ def test_u64_key_validation_uniform(tmp_path):
                     st.save(bad, b"y")
             assert st._f.seek(0, 2) == size_before  # nothing appended
             assert st.get(5) == b"x"
+
+
+def test_btree_crash_at_any_write_boundary_preserves_committed_keys(tmp_path):
+    """Simulate a process crash at EVERY write-call boundary of EVERY
+    save (order 2 → frequent splits, including root growth): a reopened
+    store must serve every key committed by COMPLETED saves.  The old
+    split reused the live node's offset for its left half, so a crash
+    between that overwrite and the parent patch lost the right half."""
+    import shutil
+
+    from fulltextsearch_ray.state.kvstore import PersistentBtree
+
+    keys = list(range(1, 41))
+    base = str(tmp_path / "base.bin")
+    PersistentBtree(base, order=2).close()
+
+    for k_idx, key in enumerate(keys):
+        # extend the base store with this key AFTER the crash sweep so
+        # `base` always holds exactly the committed prefix
+        for fail_after in range(0, 64):
+            work = str(tmp_path / "work.bin")
+            shutil.copyfile(base, work)
+            st = PersistentBtree(work, order=2)
+            orig_append, orig_write_at = st._append, st._write_at
+            calls = {"n": 0}
+
+            def gate():
+                if calls["n"] >= fail_after:
+                    raise RuntimeError("injected crash")
+                calls["n"] += 1
+
+            st._append = lambda payload: (gate(), orig_append(payload))[1]
+            st._write_at = lambda off, p: (gate(), orig_write_at(off, p))[1]
+            crashed = False
+            try:
+                st.save(key, b"v%d" % key)
+            except RuntimeError:
+                crashed = True
+            st._f.flush()
+            st._f.close()
+            re = PersistentBtree(work, order=2)
+            for prev in keys[:k_idx]:
+                assert re.get(prev) == b"v%d" % prev, (key, fail_after, prev)
+            if not crashed:
+                got = re.get(key)
+                assert got == b"v%d" % key
+            re.close()
+            if not crashed:
+                break
+        else:
+            raise AssertionError("save never completed within 64 write calls")
+        st2 = PersistentBtree(base, order=2)
+        st2.save(key, b"v%d" % key)
+        st2.close()
+
+
+def test_store_build_atomic_and_staleness_stamp(ray_session, tmp_path):
+    """build_store_from_index must (a) never destroy the previous good
+    store on a crashed rebuild (tmp+replace), and (b) stamp the segment
+    coverage so a store predating an incremental session is detected
+    instead of silently serving None for new docs."""
+    import json
+
+    import pyarrow as pa
+    import ray.data
+
+    from fulltextsearch_ray.pipelines.build import build_index
+    from fulltextsearch_ray.state import kvstore
+    from fulltextsearch_ray.state.kvstore import store_is_stale
+
+    idx = str(tmp_path / "idx3")
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aa bb", "cc dd"], pa.string()),
+        "tag": pa.array(["x", "y"], pa.string()),
+    })
+    build_index(ray.data.from_arrow(tbl), idx, text_col="text",
+                doc_id_col="doc_id", meta_cols=("tag",), num_buckets=2,
+                overwrite=True)
+    info = build_store_from_index(idx, "btree")
+    path = info["path"]
+    assert store_is_stale(idx, "btree") is False
+    good_bytes = open(path, "rb").read()
+
+    # crashed rebuild: the good store must survive untouched
+    real_open = kvstore.open_metadata_store
+
+    def crashing_open(p, kind, durable=False):
+        st = real_open(p, kind, durable=durable)
+        real_save = st.save
+        calls = {"n": 0}
+
+        def save(k, v):
+            if calls["n"] >= 1:
+                raise RuntimeError("injected crash")
+            calls["n"] += 1
+            return real_save(k, v)
+
+        st.save = save
+        return st
+
+    import pytest as _pytest
+
+    orig = kvstore.open_metadata_store
+    kvstore.open_metadata_store = crashing_open
+    try:
+        with _pytest.raises(RuntimeError):
+            build_store_from_index(idx, "btree")
+    finally:
+        kvstore.open_metadata_store = orig
+    assert open(path, "rb").read() == good_bytes  # old store intact
+    assert store_is_stale(idx, "btree") is False  # old stamp intact
+
+    # incremental session → stamp mismatch → stale
+    tbl2 = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": pa.array(["ee ff", "gg hh"], pa.string()),
+        "tag": pa.array(["z", "w"], pa.string()),
+    })
+    build_index(ray.data.from_arrow(tbl2), idx, text_col="text",
+                doc_id_col="doc_id", meta_cols=("tag",), num_buckets=2)
+    assert store_is_stale(idx, "btree") is True
+    # rebuild clears it and covers the new docs
+    build_store_from_index(idx, "btree")
+    assert store_is_stale(idx, "btree") is False
+    with open_metadata_store(store_path(idx, "btree"), "btree") as st:
+        assert json.loads(st.get(10))["tag"] == "z"
+    # legacy store (no stamp): unknowable, not an error
+    import os
+    os.remove(store_path(idx, "btree") + ".json")
+    assert store_is_stale(idx, "btree") is None

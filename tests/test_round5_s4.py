@@ -102,3 +102,184 @@ def test_build_catalog_memoryerror_falls_back_to_ray(ray_session, tmp_path, monk
     got = pq.read_table(cat_dir).sort_by("term")
     assert n_terms == want.num_rows
     assert got.select(want.column_names).cast(want.schema).equals(want)
+
+
+def _mini_tbl(ids, words):
+    return pa.table({
+        "doc_id": pa.array(ids, pa.uint64()),
+        "text": pa.array(words),
+    })
+
+
+def test_repeated_compaction_is_safe_and_sweeps_orphans(ray_session, tmp_path):
+    """Two compactions back-to-back (same wall-clock second) must not
+    collide segment names — the old count+timestamp scheme deleted a
+    LIVE compact segment.  Also: an orphaned segment dir (crash between
+    a compaction's save_meta and its cleanup rmtree) is swept."""
+    import os
+
+    import ray.data
+
+    from fulltextsearch_ray.pipelines.build import build_index, compact_index
+    from fulltextsearch_ray.pipelines.query import IndexSearcher
+    from fulltextsearch_ray.state.index import SEGMENTS_DIR, load_meta
+
+    idx = str(tmp_path / "cidx")
+    build_index(ray.data.from_arrow(_mini_tbl([1], ["alpha beta"])), idx,
+                doc_id_col="doc_id", num_buckets=2, overwrite=True)
+    build_index(ray.data.from_arrow(_mini_tbl([2], ["beta gamma"])), idx,
+                doc_id_col="doc_id", num_buckets=2)
+    m1 = compact_index(idx)
+    first_compact = m1.segments[0]
+    # two more sessions, then compact again IMMEDIATELY (same second)
+    build_index(ray.data.from_arrow(_mini_tbl([3], ["gamma delta"])), idx,
+                doc_id_col="doc_id", num_buckets=2)
+    build_index(ray.data.from_arrow(_mini_tbl([4], ["delta epsilon"])), idx,
+                doc_id_col="doc_id", num_buckets=2)
+    # orphan dir simulating a crashed earlier compaction's leftovers
+    orphan = os.path.join(idx, SEGMENTS_DIR, "seg-orphan")
+    os.makedirs(orphan)
+    m2 = compact_index(idx)
+    assert m2.segments[0] != first_compact  # input-derived, no collision
+    assert not os.path.exists(orphan)  # swept
+    s = IndexSearcher(idx)
+    assert s.search_to_string("WORD(beta)") != ""
+    got = {int(d) for d in s.evaluate("OR(WORD(alpha),WORD(epsilon))").docs}
+    assert got == {1, 4}
+    assert load_meta(idx).num_docs == 4
+
+
+def test_rebuild_of_listed_segment_does_not_double_count(ray_session, tmp_path):
+    """A segment listed in meta whose manifest is lost gets rebuilt;
+    meta.num_docs/total_tokens must be RECOMPUTED from manifests, not
+    incremented on top of the previously-counted totals (the old +=
+    permanently inflated avgdl → silently wrong BM25)."""
+    import os
+
+    import ray.data
+
+    from fulltextsearch_ray.pipelines.build import build_index
+    from fulltextsearch_ray.state.index import load_meta, segment_dir
+
+    idx = str(tmp_path / "ridx")
+    src = ray.data.from_arrow(_mini_tbl([1, 2], ["aa bb cc", "dd ee"]))
+    build_index(src, idx, doc_id_col="doc_id", segment="seg-00000",
+                num_buckets=2, overwrite=True)
+    before = load_meta(idx)
+    assert before.num_docs == 2 and before.total_tokens == 5
+    # lose the manifest: segment now listed but "incomplete"
+    os.remove(os.path.join(segment_dir(idx, "seg-00000"), "manifest.json"))
+    build_index(src, idx, doc_id_col="doc_id", segment="seg-00000",
+                num_buckets=2)
+    after = load_meta(idx)
+    assert after.num_docs == 2, "rebuild double-counted num_docs"
+    assert after.total_tokens == 5, "rebuild double-counted total_tokens"
+
+
+def test_compact_unifies_mixed_docs_schemas(ray_session, tmp_path):
+    """A legacy segment whose docs table carries extra metadata columns
+    must still compact with a current segment (plain concat raised
+    ArrowInvalid — the index could never be compacted)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from fulltextsearch_ray.pipelines.build import build_index, compact_index
+    from fulltextsearch_ray.pipelines.query import IndexSearcher
+    from fulltextsearch_ray.state.index import load_meta, segment_dir
+
+    idx = str(tmp_path / "midx")
+    build_index(ray.data.from_arrow(_mini_tbl([1], ["alpha beta"])), idx,
+                doc_id_col="doc_id", num_buckets=2, overwrite=True)
+    build_index(ray.data.from_arrow(_mini_tbl([2], ["beta gamma"])), idx,
+                doc_id_col="doc_id", num_buckets=2)
+    # make segment 0's docs table legacy-shaped: extra 'lang' column
+    seg0 = segment_dir(idx, load_meta(idx).segments[0])
+    f = glob.glob(os.path.join(seg0, "docs", "**", "*.parquet"), recursive=True)[0]
+    t = pq.read_table(f)
+    t = t.append_column("lang", pa.array(["en"] * t.num_rows))
+    pq.write_table(t, f)
+    compact_index(idx)
+    s = IndexSearcher(idx)
+    assert {int(d) for d in s.evaluate("WORD(beta)").docs} == {1, 2}
+    # the legacy metadata column survives (null for the other segment)
+    assert s.get_metadata(1).get("lang") == "en"
+    assert s.get_metadata(2).get("lang") is None
+
+
+def test_get_searcher_cache_invalidated_by_rebuild(ray_session, tmp_path):
+    """An in-process incremental build/compaction must invalidate the
+    get_searcher cache (stale searchers silently omitted new docs and
+    crashed on compacted-away segment dirs)."""
+    import ray.data
+
+    from fulltextsearch_ray.pipelines.build import build_index, compact_index
+    from fulltextsearch_ray.pipelines.query import get_searcher
+
+    idx = str(tmp_path / "gidx")
+    build_index(ray.data.from_arrow(_mini_tbl([1], ["alpha beta"])), idx,
+                doc_id_col="doc_id", num_buckets=2, overwrite=True)
+    s1 = get_searcher(idx)
+    assert {int(d) for d in s1.evaluate("WORD(beta)").docs} == {1}
+    build_index(ray.data.from_arrow(_mini_tbl([2], ["beta gamma"])), idx,
+                doc_id_col="doc_id", num_buckets=2)
+    s2 = get_searcher(idx)
+    assert s2 is not s1
+    assert {int(d) for d in s2.evaluate("WORD(beta)").docs} == {1, 2}
+    compact_index(idx)
+    s3 = get_searcher(idx)
+    assert s3 is not s2
+    assert {int(d) for d in s3.evaluate("WORD(beta)").docs} == {1, 2}
+
+
+def test_fst_sidecar_load_detects_concurrent_rebuild(ray_session, tmp_path):
+    """load_fst_sidecar re-reads fst.json after the shard/image bytes:
+    a rebuild racing the load (json swapped between the two reads) must
+    yield None — old ranges paired with new shard bytes would route
+    terms to the wrong shard."""
+    import json
+    import os
+
+    import ray.data
+
+    from fulltextsearch_ray.pipelines.build import build_index
+    from fulltextsearch_ray.state import fst_store
+    from fulltextsearch_ray.state.fst_store import (
+        build_fst_sidecar,
+        fst_dir,
+        load_fst_sidecar,
+    )
+    from fulltextsearch_ray.state.index import load_meta
+
+    idx = str(tmp_path / "fidx")
+    build_index(ray.data.from_arrow(_mini_tbl([1], ["alpha beta gamma"])), idx,
+                doc_id_col="doc_id", num_buckets=2, overwrite=True)
+    segs = list(load_meta(idx).segments)
+    # force the SHARDED layout (1 term/shard): the race window is the
+    # shard-read loop between the two fst.json reads
+    build_fst_sidecar(idx, shard_terms=1)
+    assert load_fst_sidecar(idx, segs) is not None  # clean load works
+
+    # simulate a racing rebuild: first Fst construction mutates fst.json
+    meta_path = os.path.join(fst_dir(idx), "fst.json")
+    real_fst = fst_store.Fst
+    tripped = {"done": False}
+
+    class RacingFst(real_fst):
+        def __init__(self, img):
+            if not tripped["done"]:
+                tripped["done"] = True
+                info = json.load(open(meta_path))
+                info["n_bytes"] = info.get("n_bytes", 0) + 1  # any change
+                json.dump(info, open(meta_path, "w"))
+            super().__init__(img)
+
+    fst_store.Fst = RacingFst
+    try:
+        assert load_fst_sidecar(idx, segs) is None
+    finally:
+        fst_store.Fst = real_fst
+        build_fst_sidecar(idx, shard_terms=1)  # restore a clean sidecar
+    assert load_fst_sidecar(idx, segs) is not None
