@@ -201,6 +201,21 @@ def md5_hex_batch(strings) -> "pa.Array":
 _LIST_OFFSET_MAX = 2**31 - 1
 
 
+def list_array_auto(offsets64: np.ndarray, values: "pa.Array") -> "pa.Array":
+    """List array over ``values`` with int64 ``offsets64``: 32-bit
+    ListArray below the int32 ceiling, LargeListArray past it (a silent
+    .astype(int32) wraps negative; a checked .cast raises — either way
+    the scale path that exists for big partitions would die at scale).
+    ``pc.binary_join`` returns plain ``string`` for both layouts."""
+    import pyarrow as pa
+
+    if int(offsets64[-1]) > _LIST_OFFSET_MAX:
+        return pa.LargeListArray.from_arrays(pa.array(offsets64, pa.int64()), values)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets64.astype(np.int32), pa.int32()), values
+    )
+
+
 def vec_list_array(mat: np.ndarray) -> "pa.Array":
     """(n, dim) float matrix → Arrow ``list<double>`` column without
     boxing (``mat.tolist()`` allocated n·dim Python floats per batch in

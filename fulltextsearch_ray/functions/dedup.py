@@ -15,8 +15,8 @@ Scale shapes (each documented where it matters):
                  (exact when max_hamming ≤ bands-1).
 * ngram_jaccard— exact Jaccard over word n-gram shingle sets via a
                  df-capped shared-shingle join; packed-pair counting
-                 with a local combiner; per-doc set sizes broadcast
-                 below a budget, distributed co-group join past it.
+                 with a local combiner; per-doc set sizes ride the
+                 pair rows (no sizes join, one corpus pass).
 * embedding    — banded random-hyperplane LSH buckets → per-bucket
                  pairwise cosine ≥ τ (hash-partitioned, capped), pair
                  dedup across bands.  ``method="exact"`` keeps the
@@ -110,7 +110,15 @@ def _pairs_pipeline(
     corpus); only a provably-small dataset is pinned for the gather."""
     budget = SMALL_PAIRS_ROW_BUDGET if small_rows_budget is None else small_rows_budget
     if rows_hint is None:
-        rows_hint = exploded.limit(budget + 1).count()
+        # ONE bounded execution decides AND (in the small case) feeds
+        # the gather: the limited dataset pins at most budget+1 rows,
+        # and when its count is ≤ budget it IS the full dataset — a
+        # separate probe-then-materialize ran the upstream signature
+        # pass twice for every small corpus.
+        limited = exploded.limit(budget + 1).materialize()
+        rows_hint = limited.count()
+        if rows_hint <= budget:
+            exploded = limited
     if rows_hint <= budget:
         exploded = exploded.materialize()
         if exploded.count() <= budget:
@@ -681,84 +689,6 @@ def simhash_neardup_pairs(
 # --------------------------------------------------------------------------
 
 
-def _cogroup_attach(
-    pairs: ray.data.Dataset,
-    sizes: ray.data.Dataset,
-    key_col: str,
-    out_name: str,
-    payload_cols: list[str],
-    num_partitions: int | None = None,
-) -> ray.data.Dataset:
-    """Distributed equi-join ``pairs[key_col] == sizes.doc_id`` that
-    attaches ``sizes.n_shingles`` as ``out_name`` — a tagged union
-    HASH-PARTITIONED on the key (``key % P`` → groupby over P
-    partition ids only), joined inside each partition task with one
-    vectorized searchsorted.  Both sides stay distributed; no per-key
-    task scheduling.  All columns are int64."""
-    from .common import default_partitions
-
-    P = num_partitions or default_partitions()
-
-    def tag_pairs(b: pa.Table) -> pa.Table:
-        if not b.num_columns or not b.num_rows:
-            cols = {c: pa.array([], pa.int64()) for c in payload_cols}
-            cols["_key"] = pa.array([], pa.int64())
-            cols["_sz"] = pa.array([], pa.int64())
-        else:
-            cols = {c: b[c] for c in payload_cols}
-            cols["_key"] = b[key_col]
-            cols["_sz"] = pa.nulls(b.num_rows, pa.int64())
-        t = pa.table(cols)
-        k = np.asarray(t["_key"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        return t.append_column("_part", pa.array(k % P))
-
-    def tag_sizes(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        cols = {c: pa.nulls(n, pa.int64()) for c in payload_cols}
-        cols["_key"] = b["doc_id"]
-        cols["_sz"] = b["n_shingles"]
-        t = pa.table(cols)
-        k = np.asarray(t["_key"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        return t.append_column("_part", pa.array(k % P))
-
-    unioned = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
-        sizes.map_batches(tag_sizes, batch_format="pyarrow")
-    )
-    out_schema = pa.schema([(c, pa.int64()) for c in payload_cols] + [(out_name, pa.int64())])
-
-    def attach(group: pa.Table) -> pa.Table:
-        if not group.num_columns or not group.num_rows:
-            return out_schema.empty_table()
-        valid = np.asarray(pc.is_valid(group["_sz"]).to_numpy(zero_copy_only=False))
-        size_rows = group.filter(pa.array(valid))
-        pair_rows = group.filter(pa.array(~valid))
-        if not pair_rows.num_rows or not size_rows.num_rows:
-            return out_schema.empty_table()
-        s_keys = np.asarray(size_rows["_key"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        s_vals = np.asarray(size_rows["_sz"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        o = np.argsort(s_keys, kind="stable")
-        s_keys, s_vals = s_keys[o], s_vals[o]
-        if len(s_keys) > 1 and (s_keys[1:] == s_keys[:-1]).any():
-            # uniqueness contract (same as the broadcast path and
-            # cut_dup_spans): a duplicated doc_id would silently attach
-            # an arbitrary row's size — every size row for a given doc
-            # lands in this partition (key % P), so the check is local
-            dup = np.unique(s_keys[1:][s_keys[1:] == s_keys[:-1]])
-            raise ValueError(
-                f"ngram_jaccard_pairs: doc_id must be unique; duplicates: {dup.tolist()[:10]}"
-            )
-        p_keys = np.asarray(pair_rows["_key"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        idx = np.searchsorted(s_keys, p_keys)
-        idx = np.minimum(idx, max(len(s_keys) - 1, 0))
-        found = s_keys[idx] == p_keys
-        pair_rows = pair_rows.filter(pa.array(found))
-        cols = {c: pair_rows[c] for c in payload_cols}
-        cols[out_name] = pa.array(s_vals[idx[found]], pa.int64())
-        return pa.table(cols)
-
-    return unioned.groupby("_part").map_groups(attach, batch_format="pyarrow")
-
-
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset,
     *,
@@ -783,11 +713,16 @@ def ngram_jaccard_pairs(
     are dropped from the pair stage (stop-shingle filter, logged — a
     shared boilerplate shingle would otherwise emit O(df²) pairs).
 
-    Per-doc set sizes are computed WITHOUT a shuffle (each doc lives in
-    one batch) and join back as a sorted-array broadcast below
-    ``sizes_broadcast_budget`` rows (``ray.put`` once, searchsorted per
-    batch), falling back to the distributed co-group join past it.
-    SQL-oracle-checkable (shared-shingle join with the same df cap).
+    Per-doc set sizes RIDE ON THE PAIR ROWS: the explode attaches each
+    doc's distinct-shingle count to every (hash, doc) row (docs never
+    span batches, so the per-batch count is the global set size), the
+    pair stage emits ``size_a + size_b`` alongside each packed pair,
+    and the scorer computes ``jacc = c / (sa + sb − c)`` with no sizes
+    join at all — the previous design re-tokenized the ENTIRE corpus a
+    second time just to build a sizes table and then joined it back
+    (broadcast or co-group).  ``sizes_broadcast_budget`` is retained
+    for API compatibility and ignored.  SQL-oracle-checkable (shared-
+    shingle join with the same df cap).
     """
     from .common import default_partitions
 
@@ -796,6 +731,11 @@ def ngram_jaccard_pairs(
     def explode(batch: pa.Table) -> pa.Table:
         sh, dix = shingle_batch(batch[text_col], n)
         doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        if np.unique(doc_ids).size != len(doc_ids):
+            # a within-batch duplicate would silently merge two docs'
+            # shingle sets in the distinct below (cross-batch
+            # duplicates are caught in part_pairs)
+            raise ValueError("ngram_jaccard_pairs: doc_id must be unique")
         # int64 VIEW of the uint64 md5 prefix (Ray groupbys reject
         # uint64 past int64-max; the reinterpret is a bijection) — the
         # shingle STRING never leaves this task
@@ -804,6 +744,10 @@ def ngram_jaccard_pairs(
         # distinct (shingle-hash, doc) within the batch; docs never span
         # batches, so this is globally distinct
         tbl = tbl.group_by(["h", "doc_id"]).aggregate([])
+        d = np.asarray(tbl["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        uniq_d, inv = np.unique(d, return_inverse=True)
+        nsh = np.bincount(inv)[inv]
+        tbl = tbl.append_column("nsh", pa.array(nsh.astype(np.int64)))
         # hash-partition tag — the pair stage groups by P partition
         # ids, never one task per shingle
         hv = np.asarray(tbl["h"].to_numpy(zero_copy_only=False), dtype=np.int64).view(np.uint64)
@@ -811,52 +755,51 @@ def ngram_jaccard_pairs(
 
     shingle_docs = ds.map_batches(explode, batch_format="pyarrow")
 
-    def sizes_batch(batch: pa.Table) -> pa.Table:
-        # per-doc DISTINCT shingle-hash count — no shuffle (doc ⊂
-        # batch); hashed so sizes see exactly the same distinctness as
-        # the pair stage (and the oracle), collisions included
-        sh, dix = shingle_batch(batch[text_col], n)
-        doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        hs = md5_u64_batch(sh).view(np.int64)
-        uniq = pa.table({"s": pa.array(hs), "d": pa.array(dix)}).group_by(["s", "d"]).aggregate([])
-        counts = np.bincount(
-            np.asarray(uniq["d"].to_numpy(zero_copy_only=False)), minlength=batch.num_rows
-        )
-        keep = counts > 0
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids[keep], pa.int64()),
-                "n_shingles": pa.array(counts[keep].astype(np.int64)),
-            }
-        )
-
-    doc_sizes = ds.map_batches(sizes_batch, batch_format="pyarrow")
-
     def part_pairs(group: pa.Table) -> pa.Table:
-        """All (shingle-hash, doc) rows of one hash partition: sort by
-        hash, emit packed doc-pair keys per shingle run (df-capped),
-        pre-aggregated locally (combiner) before the global groupby.
-        Pure int64 numpy sort — no Python-object strings anywhere."""
+        """All (shingle-hash, doc, set-size) rows of one hash partition:
+        sort by hash, emit packed doc-pair keys per shingle run
+        (df-capped) plus the pair's size sum, pre-aggregated locally
+        (combiner) before the global groupby.  Pure int64 numpy sort —
+        no Python-object strings anywhere."""
         sh = np.asarray(group["h"].to_numpy(zero_copy_only=False), dtype=np.int64)
         ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        nsh = np.asarray(group["nsh"].to_numpy(zero_copy_only=False), dtype=np.int64)
         if len(ids) and (int(ids.max()) >= (1 << 31) or int(ids.min()) < 0):
             raise ValueError(
                 "ngram_jaccard packed-pair path requires doc ids in "
                 "[0, 2^31); re-key the corpus or shard the id space"
             )
         order = np.lexsort((ids, sh))
-        sh, ids = sh[order], ids[order]
+        sh, ids, nsh = sh[order], ids[order], nsh[order]
+        # duplicated doc_id guard: the explode is distinct per batch,
+        # so an adjacent equal (hash, doc) row here means the same
+        # doc_id arrived in two input batches — the packed pair key
+        # and the ridden set size would both be wrong; fail loudly
+        # (identical-content duplicates share every shingle, so this
+        # fires on the first shared partition)
+        dup = (sh[1:] == sh[:-1]) & (ids[1:] == ids[:-1])
+        if dup.any():
+            bad = np.unique(ids[1:][dup])[:10]
+            raise ValueError(
+                f"ngram_jaccard_pairs: doc_id must be unique; duplicates: {bad.tolist()}"
+            )
         packed_parts = []
+        sab_parts = []
         for s, g in iter_capped_runs(sh, shingle_df_cap, "ngram_jaccard"):
             gi = ids[s : s + g]
+            gn = nsh[s : s + g]
             iu, ju = np.triu_indices(int(g), k=1)
             packed_parts.append((gi[iu] << np.int64(32)) | gi[ju])
+            sab_parts.append(gn[iu] + gn[ju])
         if not packed_parts:
             return pa.table(
                 {"pair": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64()),
-                 "_p2": pa.array([], pa.int64())}
+                 "sab": pa.array([], pa.int64()), "_p2": pa.array([], pa.int64())}
             )
-        pairs, cnt = np.unique(np.concatenate(packed_parts), return_counts=True)
+        allp = np.concatenate(packed_parts)
+        alls = np.concatenate(sab_parts)
+        pairs, first, cnt = np.unique(allp, return_index=True, return_counts=True)
+        sab = alls[first]  # constant per pair (sizes are per-doc constants)
         # second-stage partition tag on the PAIR (fibonacci mix of the
         # packed key) — the combine groups by P partition ids, not by
         # 10^6+ individual pair keys
@@ -865,6 +808,7 @@ def ngram_jaccard_pairs(
             {
                 "pair": pa.array(pairs),
                 "cnt": pa.array(cnt.astype(np.int64)),
+                "sab": pa.array(sab),
                 "_p2": pa.array((mix % np.uint64(P)).astype(np.int64)),
             }
         )
@@ -872,9 +816,13 @@ def ngram_jaccard_pairs(
     def combine_pairs(group: pa.Table) -> pa.Table:
         pair = np.asarray(group["pair"].to_numpy(zero_copy_only=False), dtype=np.int64)
         cnt = np.asarray(group["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        uniq, inv = np.unique(pair, return_inverse=True)
+        sab = np.asarray(group["sab"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        uniq, first, inv = np.unique(pair, return_index=True, return_inverse=True)
         common = np.bincount(inv, weights=cnt).astype(np.int64)
-        return pa.table({"pair": pa.array(uniq), "common": pa.array(common)})
+        return pa.table(
+            {"pair": pa.array(uniq), "common": pa.array(common),
+             "sab": pa.array(sab[first])}
+        )
 
     pair_counts = (
         shingle_docs.groupby("_part")
@@ -888,94 +836,26 @@ def ngram_jaccard_pairs(
          "jaccard": pa.array([], pa.float64())}
     )
 
-    # size lookup: broadcast the (doc_id-sorted) sizes arrays when
-    # small; the count check runs in the object store, the driver only
-    # concatenates BELOW the budget
-    import ray as _ray
-
-    doc_sizes = doc_sizes.materialize()
-    if doc_sizes.count() <= sizes_broadcast_budget:
-        sizes_tbl = pa.concat_tables(_ray.get(doc_sizes.to_arrow_refs()))
-        s_keys = np.asarray(sizes_tbl["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        s_vals = np.asarray(sizes_tbl["n_shingles"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        o = np.argsort(s_keys, kind="stable")
-        s_keys, s_vals = s_keys[o], s_vals[o]
-        if len(s_keys) > 1 and (s_keys[1:] == s_keys[:-1]).any():
-            # same contract cut_dup_spans enforces: a duplicated doc_id
-            # would make the set-size lookup pick an arbitrary row and
-            # the packed pair key self-collide — fail loudly
-            dup = s_keys[1:][s_keys[1:] == s_keys[:-1]]
-            raise ValueError(
-                f"ngram_jaccard_pairs: doc_id must be unique; duplicates: {np.unique(dup).tolist()[:10]}"
-            )
-        sizes_ref = _ray.put((s_keys, s_vals))
-
-        def score(batch: pa.Table) -> pa.Table:
-            if not batch.num_columns or not batch.num_rows:
-                return empty_out
-            keys, vals = _ray.get(sizes_ref)
-            pair = np.asarray(batch["pair"].to_numpy(zero_copy_only=False), dtype=np.int64)
-            a = pair >> np.int64(32)
-            b = pair & np.int64(0xFFFFFFFF)
-            common = np.asarray(batch["common"].to_numpy(zero_copy_only=False), dtype=np.float64)
-            n_a = vals[np.searchsorted(keys, a)].astype(np.float64)
-            n_b = vals[np.searchsorted(keys, b)].astype(np.float64)
-            union = n_a + n_b - common
-            jacc = round6(common / np.maximum(union, 1.0))
-            keep = jacc >= threshold
-            return pa.table(
-                {
-                    "a": pa.array(a[keep]),
-                    "b": pa.array(b[keep]),
-                    "jaccard": pa.array(jacc[keep], pa.float64()),
-                }
-            )
-
-        return pair_counts.map_batches(score, batch_format="pyarrow")
-
-    # SCALE FALLBACK: sizes too large to broadcast — distributed
-    # co-group join on each pair side
-    def unpack(batch: pa.Table) -> pa.Table:
-        if not batch.num_columns or not batch.num_rows:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "common": pa.array([], pa.int64())}
-            )
-        pair = np.asarray(batch["pair"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        return pa.table(
-            {
-                "a": pa.array(pair >> np.int64(32)),
-                "b": pa.array(pair & np.int64(0xFFFFFFFF)),
-                "common": batch["common"],
-            }
-        )
-
-    joined = _cogroup_attach(
-        _cogroup_attach(
-            pair_counts.map_batches(unpack, batch_format="pyarrow"),
-            doc_sizes, "a", "n_a", ["a", "b", "common"],
-        ),
-        doc_sizes, "b", "n_b", ["a", "b", "common", "n_a"],
-    )
-
-    def score_joined(batch: pa.Table) -> pa.Table:
+    def score(batch: pa.Table) -> pa.Table:
         if not batch.num_columns or not batch.num_rows:
             return empty_out
+        pair = np.asarray(batch["pair"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        a = pair >> np.int64(32)
+        b = pair & np.int64(0xFFFFFFFF)
         common = np.asarray(batch["common"].to_numpy(zero_copy_only=False), dtype=np.float64)
-        n_a = np.asarray(batch["n_a"].to_numpy(zero_copy_only=False), dtype=np.float64)
-        n_b = np.asarray(batch["n_b"].to_numpy(zero_copy_only=False), dtype=np.float64)
-        union = n_a + n_b - common
+        sab = np.asarray(batch["sab"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        union = sab - common
         jacc = round6(common / np.maximum(union, 1.0))
         keep = jacc >= threshold
         return pa.table(
             {
-                "a": batch["a"].filter(pa.array(keep)),
-                "b": batch["b"].filter(pa.array(keep)),
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
                 "jaccard": pa.array(jacc[keep], pa.float64()),
             }
         )
 
-    return joined.map_batches(score_joined, batch_format="pyarrow")
+    return pair_counts.map_batches(score, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------

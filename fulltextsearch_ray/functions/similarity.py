@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -34,9 +35,27 @@ def _to_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     col = batch[vec_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
     n = len(col)
-    dim = flat.size // n if n else 0
+    if not n:
+        return np.empty((0, 0), dtype=np.float64)
+    # Fail loud on null/ragged rows BEFORE the reshape: flatten() drops
+    # a null row's slot, and `flat.size // n` can still divide evenly
+    # (1023·1024 ≡ 0 mod 1024), silently shifting every vector after
+    # the null by one element — garbage cosines with no error.
+    if col.null_count:
+        raise ValueError(
+            f"{vec_col}: {col.null_count} null embedding row(s) in batch — "
+            "filter or impute before similarity/dedup ops"
+        )
+    lens = pc.list_value_length(col)
+    mm = pc.min_max(lens).as_py()
+    if mm["min"] != mm["max"]:
+        raise ValueError(
+            f"{vec_col}: ragged embedding rows in batch "
+            f"(lengths {mm['min']}..{mm['max']})"
+        )
+    dim = int(mm["max"])
+    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
     return flat.reshape(n, dim)
 
 
@@ -193,12 +212,22 @@ def sampled_ivf_centroids(
         keep = md5_u64_batch(ids) % np.uint64(train_mod) == 0
         return batch.select([id_col, vec_col]).filter(pa.array(keep))
 
-    def keep_all(batch: pa.Table) -> pa.Table:  # associative identity
-        return batch
+    # The budget is enforced INSIDE the reduce combiner, not after the
+    # gather: every reduce level truncates to train_budget+1 rows, so
+    # an under-sampled train_mod on a huge corpus raises below after
+    # moving O(fanin × budget) rows — checking only the final table
+    # would concatenate the entire oversized sample on the driver and
+    # OOM before the guard it exists for ever ran.  Below the budget no
+    # truncation occurs (identity), so results are unchanged; at/over
+    # it we raise regardless of which rows survived.
+    cap = train_budget + 1
+
+    def cap_rows(batch: pa.Table) -> pa.Table:
+        return batch.slice(0, cap) if batch.num_rows > cap else batch
 
     sample = _tree_reduce_tables(
         ds.map_batches(sample_batch, batch_format="pyarrow"),
-        keep_all,
+        cap_rows,
         batch_rows=_VECTOR_REDUCE_BATCH_ROWS,
     )
     if sample is None or sample.num_rows < n_clusters:
@@ -208,8 +237,8 @@ def sampled_ivf_centroids(
         )
     if sample.num_rows > train_budget:
         raise ValueError(
-            f"IVF train sample has {sample.num_rows} rows > train_budget="
-            f"{train_budget}; raise train_mod (sparser sample) or the budget"
+            f"IVF train sample exceeds train_budget={train_budget}; "
+            "raise train_mod (sparser sample) or the budget"
         )
     ids = np.asarray(sample[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
     mat = _normalize(_to_matrix(sample, vec_col))

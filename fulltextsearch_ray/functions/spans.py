@@ -47,7 +47,7 @@ import ray
 import ray.data
 
 from ..tokenizer import flat_tokens
-from .common import default_partitions, md5_u64_batch
+from .common import default_partitions, list_array_auto, md5_u64_batch
 
 _SPANS_SCHEMA = pa.schema(
     [
@@ -234,9 +234,7 @@ def _make_cut_fn(dup_ref, gram_len: int, text_col: str, id_col: str):
         kept_toks = toks.filter(pa.array(keep)) if T else toks
         if isinstance(kept_toks, pa.ChunkedArray):
             kept_toks = kept_toks.combine_chunks()
-        kept_list = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int64()).cast(pa.int32()), kept_toks
-        )
+        kept_list = list_array_auto(offsets, kept_toks)
         return pa.table(
             {
                 "doc_id": pa.array(ids),
@@ -496,9 +494,7 @@ def cut_dup_spans(
         kept_toks = toks.filter(pa.array(keep))
         if isinstance(kept_toks, pa.ChunkedArray):
             kept_toks = kept_toks.combine_chunks()
-        kept_list = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int64()).cast(pa.int32()), kept_toks
-        )
+        kept_list = list_array_auto(offsets, kept_toks)
         text_cut = pc.binary_join(kept_list, " ")
         return pa.table(
             {

@@ -283,3 +283,114 @@ def test_fst_sidecar_load_detects_concurrent_rebuild(ray_session, tmp_path):
         fst_store.Fst = real_fst
         build_fst_sidecar(idx, shard_terms=1)  # restore a clean sidecar
     assert load_fst_sidecar(idx, segs) is not None
+
+
+def test_to_matrix_rejects_null_and_ragged_rows():
+    """A null embedding row used to silently shift every later vector
+    when the shrunken flat size still divided the row count (1023·1024
+    ≡ 0 mod 1024) — now a loud ValueError; ragged rows likewise."""
+    from fulltextsearch_ray.functions.similarity import _to_matrix
+
+    ok = pa.table({"embedding": pa.array([[1.0, 2.0], [3.0, 4.0]],
+                                         pa.list_(pa.float64()))})
+    assert _to_matrix(ok, "embedding").shape == (2, 2)
+    withnull = pa.table({"embedding": pa.array([[1.0, 2.0], None],
+                                               pa.list_(pa.float64()))})
+    with pytest.raises(ValueError, match="null embedding"):
+        _to_matrix(withnull, "embedding")
+    ragged = pa.table({"embedding": pa.array([[1.0, 2.0], [3.0]],
+                                             pa.list_(pa.float64()))})
+    with pytest.raises(ValueError, match="ragged"):
+        _to_matrix(ragged, "embedding")
+    empty = pa.table({"embedding": pa.array([], pa.list_(pa.float64()))})
+    assert _to_matrix(empty, "embedding").shape == (0, 0)
+
+
+def test_list_array_auto_large_offsets(monkeypatch):
+    """Past the int32 ceiling the span-cut text rebuild switches to
+    LargeList offsets; binary_join output stays plain string."""
+    import pyarrow.compute as pcc
+
+    from fulltextsearch_ray.functions import common
+
+    offs = np.array([0, 2, 3], dtype=np.int64)
+    vals = pa.array(["a", "b", "c"])
+    small = common.list_array_auto(offs, vals)
+    assert small.type == pa.list_(pa.string())
+    monkeypatch.setattr(common, "_LIST_OFFSET_MAX", 2)
+    big = common.list_array_auto(offs, vals)
+    assert big.type == pa.large_list(pa.string())
+    assert pcc.binary_join(big, " ").to_pylist() == ["a b", "c"]
+    assert pcc.binary_join(big, " ").type == pa.string()
+
+
+def test_cut_dup_spans_large_offset_fallback(ray_session, monkeypatch):
+    """cut_dup_spans' rebuild produces identical text through the
+    LargeList fallback (forced via a tiny threshold)."""
+    import ray.data
+
+    from fulltextsearch_ray.functions import common
+    from fulltextsearch_ray.functions.spans import cut_dup_spans
+
+    texts = ["dup dup dup dup dup one two three four five six seven"] * 3 + [
+        f"unique doc {i} aa{i} bb{i} cc{i} dd{i} ee{i}" for i in range(5)
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    base = {r["doc_id"]: r["text_cut"] for r in
+            cut_dup_spans(ray.data.from_arrow(tbl), gram_len=4, min_count=2).take_all()}
+    monkeypatch.setattr(common, "_LIST_OFFSET_MAX", 1)
+    got = {r["doc_id"]: r["text_cut"] for r in
+           cut_dup_spans(ray.data.from_arrow(tbl), gram_len=4, min_count=2).take_all()}
+    assert got == base
+    # and the distributed (budget-0) rebuild path too
+    got0 = {r["doc_id"]: r["text_cut"] for r in
+            cut_dup_spans(ray.data.from_arrow(tbl), gram_len=4, min_count=2,
+                          broadcast_budget=0).take_all()}
+    assert got0 == base
+
+
+def test_ngram_jaccard_duplicate_doc_id_raises(ray_session):
+    """The ridden set size (and the packed pair key) requires unique
+    doc ids; a duplicated id must fail loudly, not mis-score."""
+    import ray.data
+
+    from fulltextsearch_ray.functions.dedup import ngram_jaccard_pairs
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 2], pa.int64()),
+        "text": pa.array(["aa bb cc dd ee", "aa bb cc dd ff", "aa bb cc dd ff gg"]),
+    })
+    with pytest.raises((ValueError, Exception), match="unique"):
+        ngram_jaccard_pairs(ray.data.from_arrow(tbl), n=3, threshold=0.01).take_all()
+    # cross-BATCH duplicate (two blocks): caught in the pair stage
+    t1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array(["aa bb cc dd ee", "aa bb cc dd ff"])})
+    t2 = pa.table({"doc_id": pa.array([2], pa.int64()),
+                   "text": pa.array(["aa bb cc dd ff gg"])})
+    ds2 = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
+    with pytest.raises((ValueError, Exception), match="unique"):
+        ngram_jaccard_pairs(ds2, n=3, threshold=0.01).take_all()
+
+
+def test_sampled_ivf_budget_enforced_in_combiner(ray_session):
+    """The train budget must fire (bounded) even when the hash sample
+    is far larger than the budget — the old post-gather check would
+    have concatenated the whole oversized sample on the driver first."""
+    import ray.data
+
+    from fulltextsearch_ray.functions.similarity import sampled_ivf_centroids
+
+    rng = np.random.default_rng(11)
+    n = 400
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in rng.normal(size=(n, 8))],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises((ValueError, Exception), match="train_budget"):
+        sampled_ivf_centroids(ds, n_clusters=4, train_mod=1, train_budget=8)
+    # under the budget: unchanged behavior
+    c = sampled_ivf_centroids(ds, n_clusters=4, train_mod=1, train_budget=10_000)
+    assert c.shape == (4, 8)
