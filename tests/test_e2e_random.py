@@ -95,3 +95,97 @@ def test_random_corpus_doc_sets(ray_session, tmp_path, seed):
     assert set(top["doc_id"].to_pylist()) == want_or
     scores = top["score"].to_pylist()
     assert scores == sorted(scores, reverse=True)
+
+
+# -- combined-feature randomized torture (trimmed from a 20-seed run) ---------
+
+
+def _brute_docs(toks_by_doc, kind, arg):
+    if kind == "word":
+        return {d for d, t in toks_by_doc.items() if arg in t}
+    if kind == "wild":
+        return {d for d, t in toks_by_doc.items() if any(x.startswith(arg) for x in t)}
+    if kind == "edit1":
+        def ed1(a, b):
+            if abs(len(a) - len(b)) > 1:
+                return False
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1] <= 1
+        return {d for d, t in toks_by_doc.items() if any(ed1(arg, x) for x in t)}
+    a, b = arg
+    return {d for d, t in toks_by_doc.items()
+            if any(t[i] == a and t[i + 1] == b for i in range(len(t) - 1))}
+
+
+@pytest.mark.parametrize("seed", [1003, 1013, 1017])
+def test_combined_features_random_parity(ray_session, tmp_path, seed):
+    """Random corpus through EVERY feature combination at once —
+    multi-field, incremental sessions, compaction, sharded FST sidecar,
+    lazy catalog paging, LFU caches — all four searcher configurations
+    must agree with a brute-force reference on WORD/WILD/EDIT/SEQ."""
+    import ray.data
+
+    from fulltextsearch_ray.pipelines.build import build_index, compact_index
+    from fulltextsearch_ray.pipelines.query import IndexSearcher
+    from fulltextsearch_ray.state.fst_store import build_fst_sidecar
+    from fulltextsearch_ray.tokenizer import tokenize
+
+    vocab = ["apple", "apply", "appel", "banana", "band", "bandana",
+             "cat", "cart", "card", "care"] + [f"w{i}" for i in range(40)]
+    rng = np.random.default_rng(seed)
+    n_docs = int(rng.integers(20, 60))
+    multifield = bool(rng.integers(0, 2))
+    rows = []
+    for d in range(1, n_docs + 1):
+        def mk():
+            k = int(rng.integers(0, 14))
+            return " ".join(rng.choice(vocab, size=k)) if k else ""
+        rows.append({"doc_id": d, "a": mk(), "b": mk() if multifield else ""})
+    tbl = pa.table({k: [r[k] for r in rows] for k in ("doc_id", "a", "b")})
+    toks = {r["doc_id"]: tokenize(r["a"]) + (tokenize(r["b"]) if multifield else [])
+            for r in rows}
+
+    idx = str(tmp_path / "idx")
+    half = n_docs // 2
+    kw = dict(doc_id_col="doc_id", num_buckets=4)
+    if multifield:
+        kw["text_cols"] = ["a", "b"]
+    else:
+        kw["text_col"] = "a"
+    build_index(ray.data.from_arrow(tbl.slice(0, half)), idx, overwrite=True, **kw)
+    build_index(ray.data.from_arrow(tbl.slice(half)), idx, **kw)
+    if rng.integers(0, 2):
+        compact_index(idx)
+    build_fst_sidecar(idx, shard_terms=int(rng.choice([3, 1_000_000])))
+
+    def hits(s, q):
+        t = s.search_table(q)
+        return set(np.asarray(t["doc_id"].to_numpy(zero_copy_only=False)).tolist())
+
+    searchers = {
+        "parquet": IndexSearcher(idx),
+        "fst": IndexSearcher(idx, term_dict="fst"),
+        "lazy": IndexSearcher(idx, catalog_budget_rows=0),
+        "lfu": IndexSearcher(idx, cache_policy="lfu"),
+    }
+    for _ in range(8):
+        kind = rng.choice(["word", "wild", "edit1", "seq"])
+        if kind == "word":
+            t = str(rng.choice(vocab)); arg, q = t, f"WORD({t})"
+        elif kind == "wild":
+            p = str(rng.choice(["app", "ban", "car", "w1", "ca"]))
+            arg, q = p, f"WILD({p}*)"
+        elif kind == "edit1":
+            t = str(rng.choice(["apple", "band", "cart", "w10"]))
+            arg, q = t, f"EDIT({t},1)"
+        else:
+            a, b = (str(rng.choice(vocab)) for _ in range(2))
+            arg, q = (a, b), f"SEQ(WORD({a}),WORD({b}))"
+        want = _brute_docs(toks, kind, arg)
+        for name, s in searchers.items():
+            assert hits(s, q) == want, (name, q)
