@@ -197,20 +197,32 @@ def bench_ops(sf_dir: str) -> dict:
     repeats = max(int(os.environ.get("GRAFT_OPS_REPEATS", "2")), 1)
     qs = e.queries()
     out = {}
+    errors = {}
     for name in names:
         best = None
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            r = qs[name](sf_dir)
-            # hasattr covers the no-count()-method case; a bare
-            # except AttributeError here would ALSO swallow remote UDF
-            # AttributeErrors (Ray re-raises task errors as subclasses
-            # of the original type) and record a failed op as fast
-            if hasattr(r, "count") and not isinstance(r, (int, float)):
-                r.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                r = qs[name](sf_dir)
+                # hasattr covers the no-count()-method case; a bare
+                # except AttributeError here would ALSO swallow remote UDF
+                # AttributeErrors (Ray re-raises task errors as subclasses
+                # of the original type) and record a failed op as fast
+                if hasattr(r, "count") and not isinstance(r, (int, float)):
+                    r.count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:  # noqa: BLE001 — isolate per op
+            # One broken op must not suppress the round's ENTIRE bench
+            # JSON line; record the failure loudly (null time + errors
+            # field) and keep timing the other ops.
+            print(f"bench op {name} FAILED: {exc!r}", file=sys.stderr)
+            errors[name] = repr(exc)[:300]
+            out[name] = None
+            continue
         out[name] = round(best, 3)
+    if errors:
+        out["_errors"] = errors
     return out
 
 
@@ -633,7 +645,7 @@ def main():
         d = bench_docs_table(sf_dir)
         q["docs_table_sec"] = d["sec"]
         for k, v in bench_ops(sf_dir).items():
-            q[f"op_{k}_sec"] = v
+            q["op_errors" if k == "_errors" else f"op_{k}_sec"] = v
         for k, v in bench_skew(
             int(os.environ["GRAFT_BENCH_DOCS"]) if "GRAFT_BENCH_DOCS" in os.environ else 20000
         ).items():
