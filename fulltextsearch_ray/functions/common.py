@@ -227,12 +227,5 @@ def vec_list_array(mat: np.ndarray) -> "pa.Array":
     m = np.ascontiguousarray(mat, dtype=np.float64)
     n, dim = m.shape
     offsets64 = np.arange(n + 1, dtype=np.int64) * dim
-    if n * dim > _LIST_OFFSET_MAX:
-        # >2^31 values in one batch: int32 offsets would wrap negative
-        # (silent .astype) — switch to 64-bit offsets like
-        # pipelines/query.py:_group_doc_tokens does
-        return pa.LargeListArray.from_arrays(
-            pa.array(offsets64), pa.array(m.ravel(), type=pa.float64())
-        )
-    offsets = pa.array(offsets64.astype(np.int32))
-    return pa.ListArray.from_arrays(offsets, pa.array(m.ravel(), type=pa.float64()))
+    # one int32/int64 offset-ceiling branch lives in list_array_auto
+    return list_array_auto(offsets64, pa.array(m.ravel(), type=pa.float64()))

@@ -747,11 +747,29 @@ def ngram_jaccard_pairs(
         d = np.asarray(tbl["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         uniq_d, inv = np.unique(d, return_inverse=True)
         nsh = np.bincount(inv)[inv]
-        tbl = tbl.append_column("nsh", pa.array(nsh.astype(np.int64)))
+        # one SENTINEL row per doc (nsh = −1 marks it), keyed by a hash
+        # of the doc id over a domain disjoint from word shingles
+        # ("\x00doc:<id>" can never be a word n-gram): two copies of the
+        # same doc_id in DIFFERENT batches — even with no shared shingle
+        # — land adjacent in the same hash partition and trip
+        # part_pairs' duplicate guard, restoring the global uniqueness
+        # check the old sizes-table join provided.  Cost: one extra
+        # 3-int64 row per doc (~1/nsh of the shuffle).
+        sent_strs = np.char.add("\x00doc:", doc_ids.astype("U"))
+        sent_h = md5_u64_batch(pa.array(sent_strs)).view(np.int64)
+        all_h = np.concatenate([
+            np.asarray(tbl["h"].to_numpy(zero_copy_only=False), dtype=np.int64), sent_h,
+        ])
+        all_d = np.concatenate([d, doc_ids])
+        all_n = np.concatenate([nsh.astype(np.int64), np.full(len(doc_ids), -1, np.int64)])
         # hash-partition tag — the pair stage groups by P partition
         # ids, never one task per shingle
-        hv = np.asarray(tbl["h"].to_numpy(zero_copy_only=False), dtype=np.int64).view(np.uint64)
-        return tbl.append_column("_part", pa.array((hv % np.uint64(P)).astype(np.int64)))
+        return pa.table({
+            "h": pa.array(all_h),
+            "doc_id": pa.array(all_d),
+            "nsh": pa.array(all_n),
+            "_part": pa.array((all_h.view(np.uint64) % np.uint64(P)).astype(np.int64)),
+        })
 
     shingle_docs = ds.map_batches(explode, batch_format="pyarrow")
 
@@ -783,6 +801,10 @@ def ngram_jaccard_pairs(
             raise ValueError(
                 f"ngram_jaccard_pairs: doc_id must be unique; duplicates: {bad.tolist()}"
             )
+        # drop the per-doc sentinel rows (nsh = −1) now that the
+        # duplicate check has seen them — they never join a pair run
+        real = nsh >= 0
+        sh, ids, nsh = sh[real], ids[real], nsh[real]
         packed_parts = []
         sab_parts = []
         for s, g in iter_capped_runs(sh, shingle_df_cap, "ngram_jaccard"):

@@ -284,6 +284,27 @@ def compact_index(
         forward_ranges=forward_ranges,
     )
 
+    if not meta.num_fields:
+        # Legacy meta (num_fields=0, field count UNKNOWN) kept pruned
+        # BM25 on the loosest tf→∞ upper bound forever.  Compaction is
+        # the one moment the true count becomes derivable cheaply: one
+        # column-pruned scan of the fields column of the postings just
+        # rewritten (field ids are 1-based varints — the count is the
+        # max id).
+        from ..codecs import varint_decode
+
+        def _max_field(b: pa.Table) -> pa.Table:
+            buf = b"".join(v for v in b["fields"].to_pylist() if v)
+            m = int(varint_decode(buf).max()) if buf else 0
+            return pa.table({"m": pa.array([m], pa.int64())})
+
+        mx = (
+            ray.data.read_parquet(os.path.join(seg_path, "postings"), columns=["fields"])
+            .map_batches(_max_field, batch_format="pyarrow")
+            .max("m")
+        )
+        if mx:
+            meta.num_fields = int(mx)
     meta.segments = [new_seg]
     save_meta(index_dir, meta)
     for s in old_segments:

@@ -239,6 +239,12 @@ def fetch_to_dir(urls: list[str], dest_dir: str) -> list[str]:
             manifest: dict[str, str] = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         manifest = {}
+    def _save_manifest() -> None:
+        tmp_m = manifest_path + ".tmp"
+        with open(tmp_m, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp_m, manifest_path)
+
     for url in urls:
         name = _basename(url)
         if counts[name] > 1 or manifest.get(name, url) != url:
@@ -253,10 +259,12 @@ def fetch_to_dir(urls: list[str], dest_dir: str) -> list[str]:
                         break
                     w.write(chunk)
             os.replace(tmp, dest)  # atomic: never a half-written dest
-        manifest[name] = url
+        if manifest.get(name) != url:
+            # Persist provenance per file, not at loop end — a failure
+            # on a LATER url must not lose the mapping for files
+            # already written, or a re-run could serve one URL's
+            # cached bytes as another same-basename URL's file.
+            manifest[name] = url
+            _save_manifest()
         out.append(dest)
-    tmp_m = manifest_path + ".tmp"
-    with open(tmp_m, "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
-    os.replace(tmp_m, manifest_path)
     return out
