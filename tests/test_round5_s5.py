@@ -5,6 +5,7 @@ and legacy num_fields recovery during compaction."""
 import json
 import os
 
+import numpy as np
 import pyarrow as pa
 import pytest
 import ray.data
@@ -112,3 +113,45 @@ def test_compact_recovers_num_fields_for_legacy_meta(ray_session, tmp_path):
         json.dump(m, f)
     meta = compact_index(idx)
     assert meta.num_fields == 2
+
+
+def test_ngram_jaccard_randomized_brute_force_parity(ray_session):
+    """Pipeline output == O(n²) set-based Jaccard on a random corpus:
+    validates the hash-partitioned packed-pair machinery (incl. the
+    ridden set sizes and sentinel rows) against first principles."""
+    rng = np.random.default_rng(42)
+    vocab = np.array([f"w{i}" for i in range(12)])
+    n_docs, n = 40, 3
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(2, 20)))) for _ in range(n_docs)]
+    # a few near-copies so high-jaccard pairs exist
+    texts[5] = texts[4] + " extra"
+    texts[9] = texts[8]
+
+    def shingles(t):
+        toks = t.split()  # vocab is lowercase alnum: engine tokenizer == split
+        if 0 < len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+
+    ss = [shingles(t) for t in texts]
+    thresh = 0.2
+    exp = {}
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            inter = len(ss[a] & ss[b])
+            if inter:
+                j = inter / len(ss[a] | ss[b])
+                if j >= thresh:
+                    exp[(a, b)] = j
+    assert len(exp) >= 2  # the corpus actually exercises the pair path
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    rows = ngram_jaccard_pairs(ds, n=n, threshold=thresh, shingle_df_cap=10**6).take_all()
+    got = {(r["a"], r["b"]): r["jaccard"] for r in rows}
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        # pipeline rounds to 6 decimals (oracle hash convention)
+        assert abs(got[k] - round(v, 6)) < 1e-9
