@@ -281,7 +281,7 @@ def compact_index(
 
     _write_catalog_and_manifest(
         index_dir, new_seg, seg_path, num_buckets=0, lineage=old_segments,
-        forward_ranges=forward_ranges,
+        forward_ranges=forward_ranges, block_cf=block_cf,
     )
 
     if not meta.num_fields:
@@ -484,7 +484,7 @@ def _build_catalog(seg_path: str, driver_budget_rows: int = 50_000_000) -> tuple
 
 def _write_catalog_and_manifest(
     index_dir: str, segment: str, seg_path: str, num_buckets: int, lineage: list[str],
-    forward_ranges: list | None = None,
+    forward_ranges: list | None = None, block_cf: int = 0,
 ) -> "SegmentManifest":
     """Catalog + file-range + counter/manifest writes shared by
     build_index and compact_index (footer/metadata-gated driver work
@@ -528,6 +528,7 @@ def _write_catalog_and_manifest(
         forward_ranges=forward_ranges or [],
         catalog_stats=_scan_table_stats(os.path.join(seg_path, "catalog"), seg_path),
         docs_stats=_scan_table_stats(docs_dir, seg_path),
+        block_cf=block_cf,
     )
     save_manifest(index_dir, manifest)
     return manifest
@@ -918,6 +919,7 @@ def build_index(
         forward_ranges=forward_ranges,
         catalog_stats=_scan_table_stats(os.path.join(seg_path, "catalog"), seg_path),
         docs_stats=_scan_table_stats(os.path.join(seg_path, "docs"), seg_path),
+        block_cf=block_cf,
     )
     save_manifest(index_dir, manifest)
 

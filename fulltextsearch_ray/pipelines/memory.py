@@ -150,4 +150,6 @@ def build_in_memory(
     searcher = InMemorySearcher(postings, docs)
     # scoring sums tf across fields — the MaxScore bound scales by this
     searcher.meta.num_fields = len(text_cols) if text_cols else 1
+    # known block budget → the tight (split-safe-gated) MaxScore bound
+    searcher._min_block_cf = block_cf
     return searcher

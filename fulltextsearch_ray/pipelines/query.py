@@ -65,6 +65,19 @@ K1 = 1.2
 B = 0.75
 
 
+def _bm25_idf(N: float, df):
+    """Robertson–Spärck-Jones idf with +1 smoothing — the ONE idf
+    definition every scorer and the MaxScore bound share (forked
+    copies would silently break the pruned==exhaustive invariant)."""
+    return np.log((N - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def _bm25_contrib(idf, tf, dl, avgdl):
+    """One term's per-doc BM25 contribution.  ``dl=0`` yields the
+    dl→0 supremum over document lengths (the MaxScore bound shape)."""
+    return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
 def _group_doc_tokens(docs: np.ndarray, tokens: np.ndarray, widths: np.ndarray) -> pa.Table:
     """(doc_id, n_matches, token_ids:list) from doc-sorted parallel
     match arrays — each match covers ``width`` consecutive token ids
@@ -196,8 +209,10 @@ class LazyRowGroupTable:
         # tests assert pruning (loads ≪ len(runs)) without instrumenting
         for f in files:
             md = (metas or {}).get(f)
+            pf = None  # one handle per file for any stat-less groups
             if md is None:
-                md = pq.ParquetFile(f).metadata
+                pf = pq.ParquetFile(f)
+                md = pf.metadata
             self.total_rows += md.num_rows
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(0).statistics
@@ -209,9 +224,9 @@ class LazyRowGroupTable:
                     # the table (or silently dropping the group's rows)
                     if md.row_group(rg).num_rows == 0:
                         continue  # empty group: nothing to serve
-                    keycol = pq.ParquetFile(f).read_row_group(
-                        rg, columns=[columns[0]]
-                    ).column(0)
+                    if pf is None:
+                        pf = pq.ParquetFile(f)
+                    keycol = pf.read_row_group(rg, columns=[columns[0]]).column(0)
                     mm = pc.min_max(keycol)
                     self.runs.append(
                         (mm["min"].as_py(), mm["max"].as_py(), f, rg)
@@ -296,6 +311,7 @@ class IndexSearcher:
     # stay on the column dictionary
     _fst = None
     _auto_fst = None
+    _min_block_cf = 0  # unknown block budget → supremum tf bound
     _auto_fst_pending = False
 
     def __init__(
@@ -320,6 +336,12 @@ class IndexSearcher:
                 self._manifests[seg] = load_manifest(index_dir, seg)
             except (FileNotFoundError, TypeError):
                 self._manifests[seg] = None
+        # smallest posting-block budget any segment was written with —
+        # 0 (unknown) if ANY manifest is legacy/missing.  Gates the
+        # tight MaxScore tf bound in _term_upper_bound: a mid-entry
+        # block split is impossible while max_tf ≤ block_cf/2.
+        bcs = [getattr(m, "block_cf", 0) or 0 for m in self._manifests.values()]
+        self._min_block_cf = min(bcs) if bcs and all(b > 0 for b in bcs) else 0
 
         def table_files(seg: str, sub: str, stats_attr: str):
             """(files, per-file metadata) for one segment table.  When
@@ -902,11 +924,27 @@ class IndexSearcher:
                 d = os.path.join(base, sub)
                 if not os.path.isdir(d):
                     continue
-                t = pq.read_table(d, filters=[("doc_id", "in", remaining)])
-                meta_cols = [c for c in t.column_names if c not in core]
-                ids = t["doc_id"].to_pylist()
-                for j, did in enumerate(ids):
-                    out[int(did)] = {c: t[c][j].as_py() for c in meta_cols}
+                # read per FILE, not per directory: a compacted segment
+                # mixes files of DIFFERENT schemas in one docs_meta dir
+                # (meta and meta-less source sessions), and a directory
+                # read infers the schema from the first fragment only —
+                # columns present only in later files were silently
+                # dropped.  Rows are doc-keyed and disjoint across
+                # files, so per-file dicts merge losslessly.
+                import glob as _glob
+
+                for f in sorted(
+                    _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+                ):
+                    if not remaining:
+                        break
+                    t = pq.read_table(f, filters=[("doc_id", "in", remaining)])
+                    if not t.num_rows:
+                        continue
+                    meta_cols = [c for c in t.column_names if c not in core]
+                    for j, did in enumerate(t["doc_id"].to_pylist()):
+                        out[int(did)] = {c: t[c][j].as_py() for c in meta_cols}
+                    remaining = [w for w in remaining if w not in out]
         return out
 
     def get_metadata(self, doc_id: int) -> dict:
@@ -1106,10 +1144,9 @@ class IndexSearcher:
             # the exhaustive and MaxScore-pruned paths share (a catalog
             # entry-df would double-count multi-field docs).
             df = float(self.term_stats(term)[0]) or float(len(docs))
-            idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
-            tf = tfs.astype(np.float64)
-            dl = self._doc_lens(docs)
-            contrib = idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            contrib = _bm25_contrib(
+                _bm25_idf(N, df), tfs.astype(np.float64), self._doc_lens(docs), avgdl
+            )
             all_docs.append(docs)
             all_contrib.append(contrib)
         if not all_docs:
@@ -1133,15 +1170,34 @@ class IndexSearcher:
             return 0.0
         df, mtf = float(row[0]), float(row[2])
         N = float(self.num_docs)
-        idf = float(np.log((N - df + 0.5) / (df + 0.5) + 1.0))
+        idf = float(_bm25_idf(N, df))
         nf = float(getattr(self.meta, "num_fields", 1))
-        if not nf:
-            # legacy meta: field count unknown — use the tf→∞ supremum
-            # of the contribution (valid for ANY field count; looser
-            # prune, still exact results).
+        # max_tf is per catalog ENTRY; a doc's scored tf sums its
+        # entries, so max_tf×num_fields bounds it ONLY while no entry
+        # was mid-entry-split across posting blocks (stages/invert.py
+        # fallback when one entry exceeds block_cf).  A split leaves a
+        # piece with tf > block_cf/2, so max_tf ≤ block_cf/2 proves
+        # the term split-free; above it — or when any segment's
+        # block_cf is unknown (legacy manifest), or the field count is
+        # unknown (legacy meta) — use the tf→∞ supremum (K1+1), which
+        # is valid for ANY tf and within f(block_cf/2)/(K1+1) ≈ 1e-5
+        # of the tight bound exactly where it replaces it.
+        if not nf or not self._min_block_cf or 2.0 * mtf > self._min_block_cf:
             return idf * (K1 + 1.0)
-        mtf *= nf
-        return idf * (mtf * (K1 + 1.0)) / (mtf + K1 * (1.0 - B))
+        return float(_bm25_contrib(idf, mtf * nf, 0.0, 1.0))
+
+    def _term_floor(self, term: str) -> float:
+        """Most NEGATIVE per-doc contribution a term can make: 0 for
+        idf ≥ 0, else idf·(K1+1) (the tf→∞/dl→0 extreme).  Negative
+        idf arises when a legacy entry-df exceeds N; it breaks
+        MaxScore's scores-only-grow premise — an accumulated doc's
+        FINAL score can sit below its score at prune time, so the
+        prune must budget for the drop (see bm25_topk_pruned)."""
+        row = self._term_row(term)
+        if row is None:
+            return 0.0
+        idf = float(_bm25_idf(float(self.num_docs), float(row[0])))
+        return min(0.0, idf * (K1 + 1.0))
 
     def bm25_topk_pruned(self, terms: list[str], k: int = 10) -> pa.Table:
         """MAXSCORE-style pruned top-k (term-at-a-time).
@@ -1163,19 +1219,31 @@ class IndexSearcher:
         avgdl = self.avgdl or 1.0
         acc_docs = np.empty(0, dtype=np.uint64)
         acc_scores = np.empty(0, dtype=np.float64)
-        remaining = sum(u for u, _ in ubs)
+        # Negative-idf terms (a legacy entry-df exceeding N) break two
+        # MaxScore premises at once.  (1) An unseen doc need not
+        # CONTAIN a remaining term, so a NEGATIVE upper bound must
+        # count 0 — not its negative value — in the unseen-doc budget.
+        # (2) Scores no longer only grow: an accumulated doc's FINAL
+        # score can fall below its score at prune time by as much as
+        # the remaining terms' negative floors, so the prune compares
+        # against kth + rem_floor (a lower bound of the final kth),
+        # not kth itself.
+        remaining = sum(max(u, 0.0) for u, _ in ubs)
+        floors = [self._term_floor(t) for _, t in ubs]  # parallel list:
+        # a term duplicated in the query carries its floor per instance
+        rem_floor = sum(floors)  # ≤ 0
         candidates_only = False
-        for ub, term in ubs:
-            remaining -= ub
+        for i, (ub, term) in enumerate(ubs):
+            remaining -= max(ub, 0.0)
+            rem_floor -= floors[i]
             docs, tfs = self.get_doc_tfs_pruned(
                 term, None if not candidates_only else acc_docs
             )
             if len(docs):
                 df = float(self.term_stats(term)[0]) or float(len(docs))
-                idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
-                tf = tfs.astype(np.float64)
-                dl = self._doc_lens(docs)
-                contrib = idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+                contrib = _bm25_contrib(
+                    _bm25_idf(N, df), tfs.astype(np.float64), self._doc_lens(docs), avgdl
+                )
                 # merge into accumulator (sorted by doc)
                 acc_docs, acc_scores = _sum_by_doc(
                     np.concatenate([acc_docs, docs]),
@@ -1183,7 +1251,7 @@ class IndexSearcher:
                 )
             if not candidates_only and len(acc_docs) > k:
                 kth = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
-                if remaining < kth:
+                if remaining < kth + rem_floor:
                     candidates_only = True  # no unseen doc can reach top-k
         order = np.lexsort((acc_docs, -acc_scores))[:k]
         return pa.table(

@@ -89,6 +89,12 @@ class SegmentManifest:
     # the searcher then falls back to that file's footer.
     catalog_stats: dict = field(default_factory=dict)
     docs_stats: dict = field(default_factory=dict)
+    # posting-block occurrence budget the segment was written with
+    # (0 = unknown/legacy).  The MaxScore prune needs it: a mid-entry
+    # block split is only possible when a term's catalog max_tf
+    # exceeds block_cf/2, so below that threshold max_tf×num_fields is
+    # a provably sound per-doc tf bound.
+    block_cf: int = 0
 
 
 @dataclass
