@@ -561,15 +561,15 @@ class DocStatsStage:
         _warm_heap()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.invert import canonical_doc_texts
+
+        texts = canonical_doc_texts(batch, self.text_col, self.text_cols)
         if self.text_cols:
-            cols = [batch[c].to_pylist() for c in self.text_cols]
-            texts = ["\x1f".join(v or "" for v in row) for row in zip(*cols)]
             lens = sum(
                 (np.asarray(token_counts(batch[c]), dtype=np.int64) for c in self.text_cols),
                 np.zeros(batch.num_rows, dtype=np.int64),
             )
         else:
-            texts = [t if t is not None else "" for t in batch[self.text_col].to_pylist()]
             lens = token_counts(batch[self.text_col])
         out = {
             "doc_id": batch["doc_id"],

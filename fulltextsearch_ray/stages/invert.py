@@ -45,18 +45,21 @@ _HEAP_WARMED = False
 
 
 def _warm_heap(mb: int = 0) -> None:
-    """Keep worker heap pages resident and pre-fault them once.
+    """Keep worker heap pages resident (and optionally pre-fault them).
 
     This environment (like many virtualized hosts) provisions memory
     lazily: the FIRST touch of fresh pages can be 10-40x slower than
     warm pages, making per-task numpy time wildly bimodal (observed
-    1.2s vs 16s on identical blocks).  Two-part fix, applied once per
-    worker process:
+    1.2s vs 16s on identical blocks).  Fix, applied once per worker
+    process:
 
     * ``mallopt(M_MMAP_MAX=0)`` + huge ``M_TRIM_THRESHOLD`` so large
       numpy allocations come from the persistent brk heap instead of
-      fresh (cold) mmaps that are unmapped on free;
-    * touch a scratch buffer so the heap is pre-faulted.
+      fresh (cold) mmaps that are unmapped on free — pages then fault
+      once per WORKER instead of once per allocation;
+    * ``mb > 0`` additionally pre-faults that many MiB up front
+      (OPT-IN; the default callers rely on the mallopt half alone and
+      let first-batch work fault the heap once).
 
     Paid once per worker PROCESS (module-global memo): Ray reuses task
     workers, so with task-pool stages the warmup amortizes exactly as
@@ -176,9 +179,13 @@ def _binary_column(buf: np.ndarray, ends: np.ndarray, value_bounds: np.ndarray) 
     if len(buf) >= (1 << 31):  # real exception: asserts vanish under -O
         raise ValueError("batch payload exceeds int32 binary offsets — lower batch_size")
     offsets = byte_ends[value_bounds].astype(np.int32)
+    # py_buffer wraps the ndarrays via the buffer protocol (keeps them
+    # alive, zero-copy) — .tobytes() here duplicated every encoded
+    # payload on a memory-bandwidth-bound stage
     return pa.Array.from_buffers(
         pa.binary(), len(value_bounds) - 1,
-        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+        [None, pa.py_buffer(np.ascontiguousarray(offsets)),
+         pa.py_buffer(np.ascontiguousarray(buf))],
     )
 
 
@@ -352,10 +359,21 @@ def encode_docstats_row(doc_ids: np.ndarray, doc_lens: np.ndarray, shas: list[st
     }
 
 
+def canonical_doc_texts(batch: pa.Table, text_col: str, text_cols) -> list[str]:
+    """THE canonical per-doc text the sha256 invariant hashes: the
+    '\\x1f'-join of ``text_cols`` (None → "") or the single
+    ``text_col``.  One definition shared by the fused invert sentinel
+    (InvertStage._docstats_table) and the standalone DocStatsStage —
+    the two must produce byte-identical hash inputs or docs and
+    docs_meta silently disagree (a prior fork did exactly that)."""
+    if text_cols:
+        cols = [batch[c].to_pylist() for c in text_cols]
+        return ["\x1f".join(v or "" for v in row) for row in zip(*cols)]
+    return [t if t is not None else "" for t in batch[text_col].to_pylist()]
+
+
 def decode_docstats_rows(tbl: pa.Table) -> pa.Table:
     """Sentinel rows → docs table (doc_id, doc_len, sha256)."""
-    from ..codecs import varint_decode
-
     ids, lens, shas = [], [], []
     for i in range(tbl.num_rows):
         d = varint_decode(tbl["docs"][i].as_py())
@@ -412,11 +430,7 @@ class InvertStage:
     def _docstats_table(self, batch: pa.Table, doc_ids: np.ndarray, counts: np.ndarray) -> pa.Table:
         import hashlib
 
-        if self.text_cols:
-            cols = [batch[c].to_pylist() for c in self.text_cols]
-            texts = ["\x1f".join(v or "" for v in row) for row in zip(*cols)]
-        else:
-            texts = [t or "" for t in batch[self.text_col].to_pylist()]
+        texts = canonical_doc_texts(batch, self.text_col, self.text_cols)
         shas = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
         row = encode_docstats_row(doc_ids, counts, shas, int(counts.sum()))
         return pa.table(
@@ -449,13 +463,26 @@ class InvertStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = np.asarray(batch[self.doc_id_col].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        # duplicate ids within a batch (possible only from a user
+        # doc_id_col — positional/rank assignment is unique by
+        # construction) would MERGE two documents' occurrence streams
+        # into one posting entry with non-monotonic token positions
+        # (phrase/adjacency queries silently wrong) and emit two doc
+        # rows inflating num_docs/avgdl — fail loudly instead.  Ids
+        # duplicated ACROSS batches/sessions are the same contract
+        # violation; they surface as doc-length lookup inconsistencies.
+        if len(doc_ids) > 1 and np.unique(doc_ids).size != len(doc_ids):
+            dup = np.sort(doc_ids)
+            dup = np.unique(dup[1:][dup[1:] == dup[:-1]])[:5]
+            raise ValueError(
+                f"build_index: doc_id must be unique; duplicates in batch: {dup.tolist()}"
+            )
         if self.text_cols:
             terms, occ_docs, occ_fields, occ_tokens, counts = self._tokenize_multi(batch, doc_ids)
             stats = self._docstats_table(batch, doc_ids, counts) if self.emit_docstats else None
             if len(occ_docs) == 0:
                 return stats if stats is not None else POSTINGS_SCHEMA.empty_table()
-            const_field = False
-            return self._invert_sorted(terms, occ_docs, occ_fields, occ_tokens, const_field, stats)
+            return self._invert_sorted(terms, occ_docs, occ_fields, occ_tokens, stats)
         tok = tokenize_batch(batch[self.text_col])
         stats = (
             self._docstats_table(batch, doc_ids, tok.counts) if self.emit_docstats else None
@@ -485,9 +512,12 @@ class InvertStage:
             None if const_field else np.full(len(occ_tokens), self.field_id, dtype=np.uint64)
         )
 
-        return self._invert_sorted(terms, occ_docs, occ_fields, occ_tokens, const_field, stats)
+        return self._invert_sorted(terms, occ_docs, occ_fields, occ_tokens, stats)
 
-    def _invert_sorted(self, terms, occ_docs, occ_fields, occ_tokens, const_field, stats):
+    def _invert_sorted(self, terms, occ_docs, occ_fields, occ_tokens, stats):
+        # single-field fast path is signalled by occ_fields is None —
+        # the one source of truth (_posting_rows_vectorized re-derives
+        # it the same way)
         """Local invert of a (doc, field, token)-ordered token stream:
         stable sort by term only — a stable term sort over an already
         (doc, field, token)-ordered stream yields full
@@ -498,13 +528,14 @@ class InvertStage:
         vocab_order = np.argsort(vocab, kind="stable")
         rank = np.empty(len(vocab), dtype=np.int64)
         rank[vocab_order] = np.arange(len(vocab))
-        order = np.argsort(rank[codes], kind="stable")
+        keyed = rank[codes]  # one O(n) gather, reused below
+        order = np.argsort(keyed, kind="stable")
 
         occ_docs = occ_docs[order]
         if occ_fields is not None:
             occ_fields = occ_fields[order]
         occ_tokens = occ_tokens[order]
-        sorted_codes = rank[codes][order]
+        sorted_codes = keyed[order]
         # term boundaries in the sorted occurrence stream
         counts = np.bincount(sorted_codes, minlength=len(vocab))
         present = counts > 0

@@ -281,3 +281,17 @@ def test_compact_mixed_meta_columns_both_survive(ray_session, tmp_path):
     s = IndexSearcher(idx)
     assert s.get_metadata(1).get("alpha") == "A1"
     assert s.get_metadata(2).get("beta") == "B2"
+
+
+def test_build_rejects_duplicate_doc_ids_in_batch(ray_session, tmp_path):
+    """Duplicate user doc_ids in one batch used to skip the occurrence
+    sort (nondecreasing guard) and silently merge two documents into
+    one posting entry with non-monotonic positions — must fail loud."""
+    idx = str(tmp_path / "idx")
+    tbl = pa.table({
+        "doc_id": pa.array([5, 5], pa.int64()),
+        "text": pa.array(["b a", "a"], pa.string()),
+    })
+    with pytest.raises(Exception, match="must be unique"):
+        build_index(ray.data.from_arrow(tbl), idx,
+                    text_col="text", doc_id_col="doc_id", num_buckets=2)
