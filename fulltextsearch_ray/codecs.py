@@ -23,11 +23,16 @@ import numpy as np
 __all__ = [
     "varint_encode",
     "varint_decode",
+    "varint_encode_offsets",
     "delta_encode",
     "delta_decode",
     "encode_posting_block",
     "decode_posting_block",
+    "decode_posting_columns",
+    "format_posting_text",
     "PostingBlock",
+    "SkipList",
+    "lower_bound_block",
 ]
 
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
@@ -85,6 +90,10 @@ def varint_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None
     corrupt posting data fails loudly under ``python -O`` too."""
     arr = np.frombuffer(buf, dtype=np.uint8)
     if len(arr) == 0:
+        if count:
+            # an empty buffer with a nonzero expected count is the same
+            # corruption as a short one — fail at the codec boundary
+            raise ValueError(f"varint_decode: expected {count}, got 0")
         return np.empty(0, dtype=np.uint64)
     is_end = (arr & 0x80) == 0
     if not is_end[-1]:
@@ -199,21 +208,33 @@ def decode_posting_block(docs: bytes, fields: bytes, tfs: bytes, positions: byte
     e_fields = varint_decode(fields)
     e_tfs = varint_decode(tfs)
     tok_d = varint_decode(positions)
-    cf = len(tok_d)
-    if cf == 0:
+    if len(tok_d) == 0:
+        if int(e_tfs.sum()):
+            # entries promise cf>0 occurrences but the positions payload
+            # is empty: a lost/truncated buffer must not silently decode
+            # as "no occurrences" (a short buffer already fails loudly)
+            raise ValueError(
+                "decode_posting_block: empty positions payload but entries carry cf>0"
+            )
         e = np.empty(0, dtype=np.uint64)
         return e, e.copy(), e.copy(), e_docs, e_fields, e_tfs
+    occ_docs, occ_fields, occ_tokens = _expand_occurrences(e_docs, e_fields, e_tfs, tok_d)
+    return occ_docs, occ_fields, occ_tokens, e_docs, e_fields, e_tfs
+
+
+def _expand_occurrences(e_docs, e_fields, e_tfs, tok_d):
+    """Segmented prefix-sum expansion of per-entry arrays plus
+    concatenated position deltas into occurrence arrays — the ONE copy
+    of the vectorized trick shared by the single-block and many-block
+    decoders (token ids restart per entry: global cumsum minus the
+    cumsum value at each entry start)."""
     reps = e_tfs.astype(np.int64)
     starts = np.zeros(len(e_tfs), dtype=np.int64)
     np.cumsum(reps[:-1], out=starts[1:])
-    occ_docs = np.repeat(e_docs, reps)
-    occ_fields = np.repeat(e_fields, reps)
-    # cumulative sum within entries: global cumsum minus the cumsum
-    # value at each entry start (vectorized segmented prefix sum)
     csum = np.cumsum(tok_d, dtype=np.uint64)
     base = csum[starts] - tok_d[starts]
     occ_tokens = csum - np.repeat(base, reps)
-    return occ_docs, occ_fields, occ_tokens, e_docs, e_fields, e_tfs
+    return np.repeat(e_docs, reps), np.repeat(e_fields, reps), occ_tokens
 
 
 def decode_posting_columns(
@@ -248,6 +269,12 @@ def decode_posting_columns(
     e_tfs = varint_decode(b"".join(tfs_bufs))
     n_entries = len(e_deltas)
     if not len(dfs):
+        if n_entries:
+            # every df says 0 but the payloads decoded entries: corrupt
+            # metadata must not silently discard data
+            raise ValueError(
+                "decode_posting_columns: payload entries present but every df is 0"
+            )
         e = np.empty(0, dtype=np.uint64)
         if pos_bufs is None:
             return e, e.copy(), e.copy()
@@ -260,14 +287,7 @@ def decode_posting_columns(
     if pos_bufs is None:
         return e_docs, e_fields, e_tfs
     tok_d = varint_decode(b"".join(pos_bufs))
-    reps = e_tfs.astype(np.int64)
-    entry_starts = np.zeros(n_entries, dtype=np.int64)
-    np.cumsum(reps[:-1], out=entry_starts[1:])
-    tcsum = np.cumsum(tok_d, dtype=np.uint64)
-    tbase = tcsum[entry_starts] - tok_d[entry_starts]
-    occ_tokens = tcsum - np.repeat(tbase, reps)
-    occ_docs = np.repeat(e_docs, reps)
-    occ_fields = np.repeat(e_fields, reps)
+    occ_docs, occ_fields, occ_tokens = _expand_occurrences(e_docs, e_fields, e_tfs, tok_d)
     return e_docs, e_fields, e_tfs, occ_docs, occ_fields, occ_tokens
 
 
@@ -316,6 +336,10 @@ def lower_bound_block(first_docs: np.ndarray, target_doc: int) -> int:
     reference's block-bisection ``LowerBound``
     (``PostingListVarIntDeltaReader.cs:163-222``).  A target below the
     first block's first_doc answers block 0 (every doc there is
-    already >= target), never -1."""
-    i = int(np.searchsorted(np.asarray(first_docs, dtype=np.uint64), np.uint64(target_doc), side="right")) - 1
+    already >= target), never -1.  side='left' so a target equal to a
+    block's first_doc answers the PREVIOUS block: a document split
+    across blocks (mid-entry/entry fallback in stages/invert.py) makes
+    first_docs[i] == last_doc[i-1], and side='right' skipped the block
+    holding the target's initial occurrences."""
+    i = int(np.searchsorted(np.asarray(first_docs, dtype=np.uint64), np.uint64(target_doc), side="left")) - 1
     return max(i, 0)

@@ -104,8 +104,17 @@ def test_lower_bound_block_metadata():
     first_docs = np.array([1, 100, 200, 300], dtype=np.uint64)
     assert lower_bound_block(first_docs, 1) == 0
     assert lower_bound_block(first_docs, 150) == 1
-    assert lower_bound_block(first_docs, 200) == 2
+    # a target EQUAL to a block's first_doc answers the previous block:
+    # a doc split across blocks (entry/mid-entry fallback) makes
+    # first_docs[i] == last_doc[i-1], and skipping block i-1 would drop
+    # the target's initial occurrences
+    assert lower_bound_block(first_docs, 200) == 1
+    assert lower_bound_block(first_docs, 201) == 2
     assert lower_bound_block(first_docs, 9999) == 3
+    # duplicate first_docs (one doc spanning 3+ blocks): answer the
+    # FIRST of the run
+    dup = np.array([100, 100, 100, 500], dtype=np.uint64)
+    assert lower_bound_block(dup, 100) == 0
 
 
 def test_varint_decode_rejects_truncated_stream():
@@ -128,7 +137,8 @@ def test_lower_bound_block_below_first():
     assert lower_bound_block(fd, 5) == 0      # was -1 (wrapped to last block)
     assert lower_bound_block(fd, 10) == 0
     assert lower_bound_block(fd, 99) == 0
-    assert lower_bound_block(fd, 100) == 1
+    assert lower_bound_block(fd, 100) == 0    # boundary-split safe (side='left')
+    assert lower_bound_block(fd, 101) == 1
     assert lower_bound_block(fd, 10**9) == 1
 
 

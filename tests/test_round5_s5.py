@@ -295,3 +295,29 @@ def test_build_rejects_duplicate_doc_ids_in_batch(ray_session, tmp_path):
     with pytest.raises(Exception, match="must be unique"):
         build_index(ray.data.from_arrow(tbl), idx,
                     text_col="text", doc_id_col="doc_id", num_buckets=2)
+
+
+def test_codec_corrupt_inputs_fail_loudly():
+    """Empty-but-expected payloads must raise at the codec boundary,
+    not decode as 'no data'."""
+    from fulltextsearch_ray.codecs import (
+        decode_posting_block,
+        decode_posting_columns,
+        encode_posting_block,
+        varint_decode,
+        varint_encode,
+    )
+
+    with pytest.raises(ValueError, match="expected 5"):
+        varint_decode(b"", count=5)
+    # a block whose positions payload was lost entirely
+    blk = encode_posting_block(
+        np.array([1, 2], dtype=np.uint64),
+        np.array([1, 1], dtype=np.uint64),
+        np.array([1, 1], dtype=np.uint64),
+    )
+    with pytest.raises(ValueError, match="positions payload"):
+        decode_posting_block(blk.docs, blk.fields, blk.tfs, b"")
+    # all-zero dfs with non-empty payloads
+    with pytest.raises(ValueError, match="every df is 0"):
+        decode_posting_columns([blk.docs], [blk.fields], [blk.tfs], None, np.array([0]))
