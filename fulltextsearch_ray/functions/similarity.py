@@ -55,7 +55,16 @@ def _to_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
             f"(lengths {mm['min']}..{mm['max']})"
         )
     dim = int(mm["max"])
-    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+    flat_arr = col.flatten()
+    if flat_arr.null_count:
+        # an element-level null inside a list row passes the row-level
+        # check but decodes as NaN — one NaN poisons a k-means centroid
+        # and the next iteration argmaxes EVERY vector into it
+        raise ValueError(
+            f"{vec_col}: {flat_arr.null_count} null element(s) inside embedding "
+            "rows in batch — filter or impute before similarity/dedup ops"
+        )
+    flat = np.asarray(flat_arr.to_numpy(zero_copy_only=False), dtype=np.float64)
     return flat.reshape(n, dim)
 
 
@@ -405,25 +414,21 @@ def _score_allowed(
     if not len(live):
         return _EMPTY_CAND
     sims = q["mat"][live] @ mat.T  # (n_live, n_batch)
-    sims = np.where(allowed[live], sims, -np.inf)
-    out_q, out_n, out_s = [], [], []
-    for row, qi in enumerate(live):
-        s = sims[row]
-        cand = np.flatnonzero(np.isfinite(s))
-        if len(cand) > k:
-            # deterministic batch-local top-k: (cosine desc, neighbor
-            # asc) — the same tie-break as _final_topk and the SQL
-            # oracle, so ties at the k-boundary never depend on batch
-            # composition or argpartition's arbitrary pick
-            cand = cand[np.lexsort((ids[cand], -s[cand]))[:k]]
-        out_q.extend([int(q["ids"][qi])] * len(cand))
-        out_n.extend(ids[cand].tolist())
-        out_s.extend(s[cand].tolist())
+    # fully vectorized batch-local top-k: COO-expand the allowed pairs
+    # and reuse _topk_reduce_arrays' (cosine desc, neighbor asc)
+    # tie-break — the same order as _final_topk and the SQL oracle.
+    # (The previous per-query Python loop was O(n_queries) interpreter
+    # work per batch — the scoring hot path's dominant cost at scale.)
+    rows, cols = np.nonzero(allowed[live])
+    qs = q["ids"][live[rows]]
+    ns = ids[cols]
+    ss = sims[rows, cols]
+    tq, tn, ts, _rank = _topk_reduce_arrays(qs, ns, ss, k)
     return pa.table(
         {
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "cosine": pa.array(out_s, pa.float64()),
+            "query_id": pa.array(tq, pa.int64()),
+            "neighbor_id": pa.array(tn, pa.int64()),
+            "cosine": pa.array(ts, pa.float64()),
         }
     )
 
@@ -566,6 +571,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     stats: dict | None = None,
     train_mod: int | None = None,
+    exclude_self: bool = True,
 ) -> pa.Table:
     """IVF approximate top-k: score only vectors in each query's
     ``nprobe`` nearest coarse clusters.  ``train_mod`` switches the
@@ -603,7 +609,7 @@ def ivf_topk(
         m = _normalize(_to_matrix(batch, vec_col))
         assign = np.argmax(m @ c.T, axis=1)
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-        return _score_allowed(q, ids, m, q["member"][:, assign], k)
+        return _score_allowed(q, ids, m, q["member"][:, assign], k, exclude_self=exclude_self)
 
     cand_ds = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=1024)
     return _distributed_topk(cand_ds, k, stats=stats)
@@ -624,10 +630,8 @@ def project_embeddings(
     seed) — deterministic everywhere, nothing broadcast or re-shipped.
     Emits one row per (vector, output dimension): ``(id, p, val)``
     with values rounded to 1e-6 for oracle-exact comparison."""
-    from .common import round6
-
     def proj(batch: pa.Table) -> pa.Table:
-        mat = _to_matrix(batch, vec_col).astype(np.float64)
+        mat = _to_matrix(batch, vec_col)  # already float64
         planes = lsh_hyperplanes(mat.shape[1], bits=out_dim, seed=seed)
         out = round6(mat @ planes.T)  # (rows, out_dim)
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -677,6 +681,15 @@ def build_ann_index(
 
     if overwrite and os.path.exists(index_dir):
         shutil.rmtree(index_dir)
+    elif os.path.exists(os.path.join(index_dir, "meta.json")) or os.path.isdir(
+        os.path.join(index_dir, "vectors")
+    ):
+        # a second build into a live index dir would ADD new vector
+        # files beside the old corpus's (write_parquet appends
+        # UUID-named files) and queries would score a silent mix
+        raise ValueError(
+            f"build_ann_index: {index_dir!r} already holds an index — pass overwrite=True"
+        )
     os.makedirs(index_dir, exist_ok=True)
     if train_mod:
         cents = sampled_ivf_centroids(
@@ -751,9 +764,12 @@ def read_ann_assignments(index_dir: str) -> ray.data.Dataset:
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         n_clusters = json.load(f)["n_clusters"]
-    ds = ray.data.read_parquet(
-        _cluster_files(index_dir, range(n_clusters)), columns=["vec_id", "cluster_id"]
-    )
+    files = _cluster_files(index_dir, range(n_clusters))
+    if not files:  # empty/fully-filtered corpus: no vector files exist
+        return ray.data.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
+        )
+    ds = ray.data.read_parquet(files, columns=["vec_id", "cluster_id"])
 
     def project(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -774,6 +790,7 @@ def query_ann_index(
     k: int = 10,
     nprobe: int = 4,
     stats: dict | None = None,
+    exclude_self: bool = True,
 ) -> pa.Table:
     """Serve IVF top-k from a persisted index: read ONLY the probed
     cluster partitions (file-level pruning — the unprobed vectors never
@@ -802,7 +819,7 @@ def query_ann_index(
         ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         cluster = np.asarray(batch["cluster_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         mat = _to_matrix(batch, "vec")  # stored normalized
-        return _score_allowed(q, ids, mat, q["member"][:, cluster], k)
+        return _score_allowed(q, ids, mat, q["member"][:, cluster], k, exclude_self=exclude_self)
 
     cand_ds = vec_ds.map_batches(score_batch, batch_format="pyarrow", batch_size=1024)
     return _distributed_topk(cand_ds, k, stats=stats)
@@ -833,6 +850,10 @@ def popcount64(x: np.ndarray) -> np.ndarray:
 
 def lsh_bucket(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """Sign-pattern bucket id per row (uint64)."""
+    if planes.shape[0] > 64:
+        # a uint64 bucket id holds 64 sign bits; shifts past 63 wrap to
+        # weight 0 and the extra planes would be SILENTLY ignored
+        raise ValueError(f"lsh_bucket: at most 64 hyperplanes (got {planes.shape[0]})")
     signs = (mat @ planes.T) > 0
     weights = (1 << np.arange(planes.shape[0], dtype=np.uint64))
     return (signs.astype(np.uint64) * weights[None, :]).sum(axis=1)
@@ -849,6 +870,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     stats: dict | None = None,
+    exclude_self: bool = True,
 ) -> pa.Table:
     """Approximate top-k: only vectors whose LSH bucket is within
     Hamming distance ``multiprobe`` of the query's bucket are scored
@@ -878,7 +900,7 @@ def lsh_bucketed_topk(
             allowed = popcount64(q["buckets"][:, None] ^ buckets[None, :]) <= multiprobe
         else:
             allowed = q["buckets"][:, None] == buckets[None, :]
-        return _score_allowed(q, ids, mat, allowed, k)
+        return _score_allowed(q, ids, mat, allowed, k, exclude_self=exclude_self)
 
     cand_ds = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=1024)
     return _distributed_topk(cand_ds, k, stats=stats)
