@@ -59,12 +59,17 @@ _SPANS_SCHEMA = pa.schema(
 )
 
 
-def _grams_full(texts: "pa.Array | pa.ChunkedArray", gram_len: int):
+def _grams_full(texts: "pa.Array | pa.ChunkedArray", gram_len: int, with_pos: bool = True):
     """(hash, window doc_index, window pos, tokens, token doc_index,
     per-doc token counts) for every length-``gram_len`` token window of
     a batch; docs with fewer tokens emit no windows (matching the
     oracle's ``len >= L`` filter).  Windows come out doc-contiguous
-    with ascending positions."""
+    with ascending positions.  ``with_pos=False`` skips the window
+    doc-index/position bookkeeping (gparent/pos return empty) — the
+    corpus-wide COUNT pass only needs the hashes and runs over every
+    batch of the corpus."""
+    if gram_len < 1:
+        raise ValueError(f"gram_len must be >= 1 (got {gram_len})")
     toks, parent, counts = flat_tokens(texts)
     T = len(toks)
     empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
@@ -76,16 +81,19 @@ def _grams_full(texts: "pa.Array | pa.ChunkedArray", gram_len: int):
     if not inside.any():
         return (*empty, toks, parent, counts)
     grams = joined.filter(pa.array(inside))
+    # int64 VIEW of the uint64 md5 prefix: Ray Data shuffles/groupbys
+    # reject uint64 values past int64-max, and the reinterpret is a
+    # bijection so grouping semantics (and the oracle mirror) are
+    # unchanged.  The hash never appears in any output column.
+    h = md5_u64_batch(grams).view(np.int64)
+    if not with_pos:
+        return h, empty[1], empty[2], toks, parent, counts
     idx = np.flatnonzero(inside)
     gparent = parent[idx]
     starts = np.zeros(len(counts) + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
     pos = idx - starts[gparent]
-    # int64 VIEW of the uint64 md5 prefix: Ray Data shuffles/groupbys
-    # reject uint64 values past int64-max, and the reinterpret is a
-    # bijection so grouping semantics (and the oracle mirror) are
-    # unchanged.  The hash never appears in any output column.
-    return md5_u64_batch(grams).view(np.int64), gparent, pos, toks, parent, counts
+    return h, gparent, pos, toks, parent, counts
 
 
 def grams_with_pos(
@@ -95,6 +103,17 @@ def grams_with_pos(
     :func:`_grams_full`."""
     h, gparent, pos, _, _, counts = _grams_full(texts, gram_len)
     return h, gparent, pos, counts
+
+
+def _require_unique_ids(ids: np.ndarray, where: str) -> None:
+    """Duplicate doc_ids merge two documents' window streams — the
+    mark sort then sees a POSITION RESET inside one 'doc' and emits
+    corrupt spans (end_tok < start_tok) or silently merged coverage.
+    Same contract as the index build and the dedup ops: fail loudly."""
+    if len(ids) > 1 and np.unique(ids).size != len(ids):
+        u = np.sort(ids)
+        bad = np.unique(u[1:][u[1:] == u[:-1]])[:5]
+        raise ValueError(f"{where}: doc_id must be unique; duplicates: {bad.tolist()}")
 
 
 def _mark_against(dup_sorted: np.ndarray, h: np.ndarray) -> np.ndarray:
@@ -135,7 +154,7 @@ def _dup_hash_dataset(
     occurrence count >= min_count."""
 
     def partial(b: pa.Table) -> pa.Table:
-        h, _, _, _ = grams_with_pos(b[text_col], gram_len)
+        h = _grams_full(b[text_col], gram_len, with_pos=False)[0]
         uh, cnt = np.unique(h, return_counts=True)
         return pa.table(
             {"h": pa.array(uh, pa.int64()), "cnt": pa.array(cnt.astype(np.int64))}
@@ -188,11 +207,12 @@ def _make_mark_fn(dup_ref, gram_len: int, text_col: str, id_col: str):
 
     def mark(batch: pa.Table) -> pa.Table:
         dup = ray.get(dup_ref)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        _require_unique_ids(ids, "dup_spans")
         h, gparent, pos, _ = grams_with_pos(batch[text_col], gram_len)
         marked = _mark_against(dup, h)
         if not marked.any():
             return _SPANS_SCHEMA.empty_table()
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
         return spans_from_marks(ids[gparent[marked]], pos[marked], gram_len)
 
     return mark
@@ -213,6 +233,7 @@ def _make_cut_fn(dup_ref, gram_len: int, text_col: str, id_col: str):
         dup = ray.get(dup_ref)
         h, gparent, pos, toks, parent, counts = _grams_full(batch[text_col], gram_len)
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        _require_unique_ids(ids, "cut_dup_spans")
         marked = _mark_against(dup, h)
         T = len(toks)
         starts = np.zeros(len(counts) + 1, dtype=np.int64)
@@ -291,10 +312,11 @@ def _dup_spans_distributed(
     )
 
     def emit_windows(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        _require_unique_ids(ids, "dup_spans")
         h, gparent, pos, _ = grams_with_pos(b[text_col], gram_len)
         if not len(h):
             return mark_schema.empty_table()
-        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
         return pa.table(
             {
                 "h": pa.array(h, pa.int64()),
@@ -334,7 +356,7 @@ def _dup_spans_distributed(
         dup_set = np.unique(np.asarray(group["h"].to_numpy(zero_copy_only=False), dtype=np.int64)[is_dup])
         wins = group.filter(pa.array(~is_dup))
         wh = np.asarray(wins["h"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        keep = np.isin(wh, dup_set)
+        keep = _mark_against(dup_set, wh)  # dup_set is sorted (np.unique)
         docs = np.asarray(wins["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)[keep]
         pos = np.asarray(wins["pos"].to_numpy(zero_copy_only=False), dtype=np.int64)[keep]
         return pa.table(
@@ -353,7 +375,15 @@ def _dup_spans_distributed(
         docs = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         pos = np.asarray(group["pos"].to_numpy(zero_copy_only=False), dtype=np.int64)
         order = np.lexsort((pos, docs))
-        return spans_from_marks(docs[order], pos[order], gram_len)
+        docs, pos = docs[order], pos[order]
+        # identical-content duplicate docs across batches collide on
+        # (doc, pos) here — the cross-batch half of the uniqueness
+        # contract (the per-batch half is checked at emit_windows)
+        dup = (docs[1:] == docs[:-1]) & (pos[1:] == pos[:-1])
+        if dup.any():
+            bad = np.unique(docs[1:][dup])[:5]
+            raise ValueError(f"dup_spans: doc_id must be unique; duplicates: {bad.tolist()}")
+        return spans_from_marks(docs, pos, gram_len)
 
     return marks.groupby("_dpart").map_groups(merge_group, batch_format="pyarrow")
 
