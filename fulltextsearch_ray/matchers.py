@@ -32,6 +32,8 @@ from .parser import AstQuery, EditQuery, WildQuery, WordQuery
 __all__ = [
     "wildcard_to_regex",
     "wildcard_prefix",
+    "wildcard_match",
+    "prefix_upper_bound",
     "expand_pattern",
     "levenshtein_mask",
 ]
@@ -48,9 +50,13 @@ def wildcard_to_regex(pattern: str) -> str:
     parts = []
     for ch in pattern:
         if ch == "*":
-            parts.append(".*")
+            # [\s\S], not '.': the FST path's WildcardDfaMatcher matches
+            # ANY character incl. newline — the two documented-equivalent
+            # paths must agree on terms containing '\n' (unreachable via
+            # the tokenizer today, but nothing here enforces that)
+            parts.append("[\\s\\S]*")
         elif ch == "?":
-            parts.append(".")
+            parts.append("[\\s\\S]")
         else:
             parts.append(re.escape(ch))
     return "".join(parts)
@@ -89,7 +95,7 @@ def _terms_to_codepoint_matrix(terms: list[str], width: int) -> tuple[np.ndarray
     """(n_terms, width) int32 codepoint matrix (-1 padded) + lengths."""
     n = len(terms)
     lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
-    mat = np.full((n, width), -1, dtype=np.int64)
+    mat = np.full((n, width), -1, dtype=np.int32)
     for i, t in enumerate(terms):
         lt = min(len(t), width)
         mat[i, :lt] = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)[:lt]

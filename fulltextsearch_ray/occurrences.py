@@ -116,6 +116,19 @@ def lex_sort(occ: OccurrenceList) -> OccurrenceList:
     return OccurrenceList(occ.docs[order], occ.fields[order], occ.tokens[order])
 
 
+def _is_lex_sorted(d: np.ndarray, f: np.ndarray, t: np.ndarray) -> bool:
+    """O(n) check that (doc, field, token) is already non-decreasing —
+    query-path inputs (cached postings, _eval outputs) always are, so
+    the single-input merges can skip an O(n log n) re-sort."""
+    if len(d) < 2:
+        return True
+    asc = (d[1:] > d[:-1]) | (
+        (d[1:] == d[:-1])
+        & ((f[1:] > f[:-1]) | ((f[1:] == f[:-1]) & (t[1:] >= t[:-1])))
+    )
+    return bool(asc.all())
+
+
 def or_merge(lists: Sequence[OccurrenceList]) -> OccurrenceList:
     """N-ary OR: ordered union that PRESERVES duplicates.
 
@@ -128,6 +141,13 @@ def or_merge(lists: Sequence[OccurrenceList]) -> OccurrenceList:
     lists = [l for l in lists if len(l.docs)]
     if not lists:
         return empty_occurrences()
+    if len(lists) == 1:
+        # single-branch OR (every exact WORD query): the cached posting
+        # list is already in match order — skip the O(n log n) re-sort
+        l = OccurrenceList(_as_u64(lists[0].docs), _as_u64(lists[0].fields), _as_u64(lists[0].tokens))
+        if _is_lex_sorted(l.docs, l.fields, l.tokens):
+            return l
+        return lex_sort(l)
     docs = np.concatenate([_as_u64(l.docs) for l in lists])
     fields = np.concatenate([_as_u64(l.fields) for l in lists])
     tokens = np.concatenate([_as_u64(l.tokens) for l in lists])
@@ -168,6 +188,10 @@ def phrase_chains(lists: Sequence[OccurrenceList]) -> Matches:
             break
         rep = cnt[mask]
         d, f, t = np.repeat(d[mask], rep), np.repeat(f[mask], rep), np.repeat(t[mask], rep)
+    if _is_lex_sorted(d, f, t):
+        # masking + repeat preserve list-0's order, which callers feed
+        # sorted — the closing sort is usually a skippable no-op
+        return Matches(d, f, t, width=n)
     out = lex_sort(OccurrenceList(d, f, t))
     return Matches(out.docs, out.fields, out.tokens, width=n)
 

@@ -33,7 +33,9 @@ def _expand(pattern, terms):
 
 
 def test_wildcard_translation():
-    assert wildcard_to_regex("ab*c?") == "ab.*c."
+    # [\s\S] (any char INCLUDING newline), matching the FST path's
+    # WildcardDfaMatcher semantics — '.' would diverge on '\n' terms
+    assert wildcard_to_regex("ab*c?") == "ab[\\s\\S]*c[\\s\\S]"
     assert wildcard_prefix("abc*def") == "abc"
     assert wildcard_prefix("*x") == ""
     assert wildcard_prefix("plain") == "plain"
