@@ -578,7 +578,7 @@ def _q_simhash(sf_dir: str):
 
 def _q_neardup_components(sf_dir: str):
     """MinHash-LSH pairs → connected components (near-dup clusters,
-    min-id canonical labels) via distributed label propagation."""
+    min-id canonical labels) via distributed contraction (local exact solves + star-edge levels)."""
     from fulltextsearch_ray.functions.components import connected_components
     from fulltextsearch_ray.functions.dedup import minhash_lsh_pairs
 

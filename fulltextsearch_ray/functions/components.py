@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .common import default_partitions
+from .common import default_partitions, sorted_runs
 
 _PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 _LVL_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("kind", pa.int8())])
@@ -83,10 +83,9 @@ def _contract_group(group: pa.Table) -> pa.Table:
     r = np.asarray(group["root"].to_numpy(zero_copy_only=False), dtype=np.int64)
     order = np.lexsort((r, n))
     n, r = n[order], r[order]
-    first = np.concatenate([[True], n[1:] != n[:-1]])
-    starts = np.flatnonzero(first)
+    starts, counts = sorted_runs(n)
     m = r[starts]  # per-node min root (rows sorted by (node, root))
-    group_idx = np.cumsum(first) - 1
+    group_idx = np.repeat(np.arange(len(starts)), counts)
     mapping = pa.table(
         {
             "u": pa.array(n[starts]),
@@ -187,9 +186,17 @@ def connected_components(
     def project(b: pa.Table) -> pa.Table:
         if not b.num_columns or not b.num_rows:
             return _PAIR_SCHEMA.empty_table()
-        return pa.table(
-            {"a": b[a_col].cast(pa.int64()), "b": b[b_col].cast(pa.int64())}
-        ).cast(_PAIR_SCHEMA)
+        a, bb = b[a_col].cast(pa.int64()), b[b_col].cast(pa.int64())
+        if a.null_count or bb.null_count:
+            # a null endpoint would round-trip NaN→INT64_MIN downstream,
+            # creating one phantom node that silently BRIDGES every
+            # null-bearing pair into a single component (and
+            # canonical_docs would then kill every member)
+            raise ValueError(
+                f"connected_components: null ids in pair columns "
+                f"({a_col}: {a.null_count}, {b_col}: {bb.null_count})"
+            )
+        return pa.table({"a": a, "b": bb}).cast(_PAIR_SCHEMA)
 
     # Materialize once: feeds the count AND the first contraction (or
     # single-task solve) without re-executing the caller's candidate
@@ -307,6 +314,10 @@ def canonical_docs(
     (minimum-id) member and every unpaired document — the final
     "drop the duplicates" step of a dedup pipeline.
 
+    ``num_partitions`` sizes BOTH the component computation and the
+    anti-join fallback (it forwards to :func:`connected_components`
+    unless ``cc_kwargs`` overrides it explicitly).
+
     The kill set (non-canonical member ids) is usually a small
     fraction of the corpus: below ``broadcast_budget`` rows it ships
     once via ``ray.put`` (sorted array, searchsorted per batch — no
@@ -315,6 +326,7 @@ def canonical_docs(
     ``id % P`` and each partition task drops its matches — doc rows
     shuffle once, driver holds nothing.
     """
+    cc_kwargs.setdefault("num_partitions", num_partitions)
     comp = connected_components(pairs, **cc_kwargs)
 
     def kill_rows(b: pa.Table) -> pa.Table:
