@@ -109,30 +109,31 @@ def _pairs_pipeline(
     vectors × band fan-out, would otherwise pin/spill the whole
     corpus); only a provably-small dataset is pinned for the gather."""
     budget = SMALL_PAIRS_ROW_BUDGET if small_rows_budget is None else small_rows_budget
-    if rows_hint is None:
+    small = False
+    if rows_hint is None or rows_hint <= budget:
         # ONE bounded execution decides AND (in the small case) feeds
         # the gather: the limited dataset pins at most budget+1 rows,
-        # and when its count is ≤ budget it IS the full dataset — a
-        # separate probe-then-materialize ran the upstream signature
-        # pass twice for every small corpus.
+        # and when its count is ≤ budget it IS the full dataset.  A
+        # caller-supplied under-budget rows_hint goes through the SAME
+        # bounded probe — an undercounting hint must not fully
+        # materialize (pin) an over-budget exploded payload just to
+        # discover the mistake.
         limited = exploded.limit(budget + 1).materialize()
-        rows_hint = limited.count()
-        if rows_hint <= budget:
+        if limited.count() <= budget:
             exploded = limited
-    if rows_hint <= budget:
-        exploded = exploded.materialize()
-        if exploded.count() <= budget:
-            tbls = [t for t in ray.get(exploded.to_arrow_refs()) if t.num_rows]
-            if not tbls:
-                return ray.data.from_arrow(
-                    pa.schema(
-                        [("a", pa.int64()), ("b", pa.int64()), (value_col, value_type)]
-                    ).empty_table()
-                )
-            gathered = pa.concat_tables(tbls).combine_chunks()
+            small = True
+    if small:
+        tbls = [t for t in ray.get(exploded.to_arrow_refs()) if t.num_rows]
+        if not tbls:
             return ray.data.from_arrow(
-                _dedup_pairs_table(part_pairs(gathered), value_col, agg)
+                pa.schema(
+                    [("a", pa.int64()), ("b", pa.int64()), (value_col, value_type)]
+                ).empty_table()
             )
+        gathered = pa.concat_tables(tbls).combine_chunks()
+        return ray.data.from_arrow(
+            _dedup_pairs_table(part_pairs(gathered), value_col, agg)
+        )
 
     def tag(b: pa.Table) -> pa.Table:
         k = np.asarray(b[key_col].to_numpy(zero_copy_only=False)).astype(np.uint64)
@@ -202,12 +203,15 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc
     from .common import md5_hex_batch
 
     def to_hash(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "h": md5_hex_batch(pc.fill_null(batch[text_col], "")),
-                id_col: batch[id_col],
-            }
-        )
+        t = batch[text_col]
+        h = md5_hex_batch(pc.fill_null(t, ""))
+        if t.null_count:
+            # SQL GROUP BY keeps NULL as its OWN group, distinct from
+            # '' — mirror it ("NULL" cannot collide: md5 hex is 32
+            # chars).  fill_null alone silently merged a NULL doc with
+            # an empty doc and the apply path dropped a non-duplicate.
+            h = pc.if_else(pc.is_null(t), pa.scalar("NULL"), h)
+        return pa.table({"h": h, id_col: batch[id_col]})
 
     from ray.data.aggregate import Count, Min
 
@@ -473,6 +477,16 @@ def minhash_lsh_pairs(
         if n:
             change[0] = True
             change[1:] = (bk[1:] != bk[:-1]) | (subb[1:] != subb[:-1])
+            # a doc_id twice in one (bucket, band-signature) run means a
+            # DUPLICATED input id (same doc emitted by two batches) —
+            # triu would emit a silent (x, x) self-pair at est 1.0 and
+            # a pair-drop consumer would delete the doc entirely
+            dupid = (~change[1:]) & (ids[1:] == ids[:-1])
+            if dupid.any():
+                bad = np.unique(ids[1:][dupid])[:5]
+                raise ValueError(
+                    f"minhash_lsh_pairs: doc_id must be unique; duplicates: {bad.tolist()}"
+                )
         starts = np.flatnonzero(change)
         counts = np.diff(np.r_[starts, n])
         out_a, out_b, out_e = [], [], []  # numpy chunks, concatenated once
@@ -587,8 +601,15 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     (rows × 64) bit matrix with per-doc segmented reduction, and LUT
     hex encoding of the output column — no per-document loop anywhere.
     """
-    packed, _present = _simhash_packed(batch, text_col)
-    return pa.table({"doc_id": batch["doc_id"], "simhash": _hex16(packed)})
+    packed, present = _simhash_packed(batch, text_col)
+    # token-less docs (empty/punctuation-only/NULL text) emit NO row —
+    # the oracle's tf CTE (GROUP BY doc_id, term) has nothing to group
+    # for them, and a fabricated all-zero fingerprint row would break
+    # row-count parity (and pair every empty doc with every other)
+    keep = pa.array(present)
+    return pa.table(
+        {"doc_id": batch["doc_id"].filter(keep), "simhash": _hex16(packed[present])}
+    )
 
 
 def simhash_neardup_pairs(
@@ -649,6 +670,12 @@ def simhash_neardup_pairs(
         h = np.asarray(group["h"].to_numpy(zero_copy_only=False), dtype=np.uint64)
         order = np.lexsort((ids, keys))
         keys, ids, h = keys[order], ids[order], h[order]
+        dupid = (keys[1:] == keys[:-1]) & (ids[1:] == ids[:-1])
+        if dupid.any():  # duplicated input id → silent (x, x) pair
+            bad = np.unique(ids[1:][dupid])[:5]
+            raise ValueError(
+                f"simhash_neardup_pairs: doc_id must be unique; duplicates: {bad.tolist()}"
+            )
         out_a, out_b, out_h = [], [], []
         for s, g in iter_capped_runs(keys, max_bucket, "simhash_neardup"):
             gi = ids[s : s + g]
@@ -749,13 +776,17 @@ def ngram_jaccard_pairs(
         nsh = np.bincount(inv)[inv]
         # one SENTINEL row per doc (nsh = −1 marks it), keyed by a hash
         # of the doc id over a domain disjoint from word shingles
-        # ("\x00doc:<id>" can never be a word n-gram): two copies of the
-        # same doc_id in DIFFERENT batches — even with no shared shingle
-        # — land adjacent in the same hash partition and trip
-        # part_pairs' duplicate guard, restoring the global uniqueness
-        # check the old sizes-table join provided.  Cost: one extra
-        # 3-int64 row per doc (~1/nsh of the shuffle).
-        sent_strs = np.char.add("\x00doc:", doc_ids.astype("U"))
+        # ("D:<id>" can never be a word n-gram: the tokenizer lowercases
+        # and keeps only [\w-] chars, so neither 'D' nor ':' appears in
+        # any shingle — and unlike a NUL prefix, pa.array does not
+        # truncate it, so sentinels spread across partitions instead of
+        # all hashing to md5('')): two copies of the same doc_id in
+        # DIFFERENT batches — even with no shared shingle — land
+        # adjacent in the same hash partition and trip part_pairs'
+        # duplicate guard, restoring the global uniqueness check the
+        # old sizes-table join provided.  Cost: one extra 3-int64 row
+        # per doc (~1/nsh of the shuffle).
+        sent_strs = np.char.add("D:", doc_ids.astype("U"))
         sent_h = md5_u64_batch(pa.array(sent_strs)).view(np.int64)
         all_h = np.concatenate([
             np.asarray(tbl["h"].to_numpy(zero_copy_only=False), dtype=np.int64), sent_h,
@@ -953,6 +984,12 @@ def embedding_neardup_pairs(
         ids = np.asarray(group["vid"].to_numpy(zero_copy_only=False), dtype=np.int64)
         order = np.lexsort((ids, keys))
         keys, ids = keys[order], ids[order]
+        dupid = (keys[1:] == keys[:-1]) & (ids[1:] == ids[:-1])
+        if dupid.any():  # duplicated input id → silent (x, x) pair
+            bad = np.unique(ids[1:][dupid])[:5]
+            raise ValueError(
+                f"embedding_neardup_pairs: vec_id must be unique; duplicates: {bad.tolist()}"
+            )
         mat = _to_matrix(group, "vec")[order]
         out_a, out_b, out_c = [], [], []
         for s, g in iter_capped_runs(keys, max_bucket, "embedding_neardup"):

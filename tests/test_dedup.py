@@ -71,7 +71,11 @@ def test_simhash_batch_matches_per_doc():
         {"doc_id": pa.array(range(len(TEXTS)), pa.int64()), "text": pa.array(TEXTS, pa.string())}
     )
     out = simhash_batch(batch)
-    assert out["simhash"].to_pylist() == [ref(t) for t in TEXTS]
+    # token-less docs emit NO row (the oracle's tf CTE has nothing to
+    # group for them) — parity holds over the docs that do tokenize
+    want = {i: ref(t) for i, t in enumerate(TEXTS) if ref(t) != "0" * 16}
+    got = dict(zip(out["doc_id"].to_pylist(), out["simhash"].to_pylist()))
+    assert got == want
 
 
 @pytest.fixture()
