@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..tokenizer import TOKEN_RE, flat_tokens
+from ..tokenizer import flat_tokens
 from .common import (
     iter_capped_runs,
     md5_u64,
@@ -230,8 +230,13 @@ _MERSENNE31 = np.uint64((1 << 31) - 1)
 
 def _shingles(text: str, n: int) -> list[str]:
     """Per-doc reference shingling (tests / tiny inputs only — the
-    pipeline hot path uses :func:`shingle_batch`)."""
-    toks = TOKEN_RE.findall((text or "").lower())
+    pipeline hot path uses :func:`shingle_batch`).  Delegates to the
+    SAME Arrow tokenizer as shingle_batch: Python str.lower() diverges
+    from utf8proc on U+0130 ('İ' → 'i'+combining dot vs 'i'), the
+    exact trap tokenizer.py documents — a hand-rolled twin here made
+    the 'matches shingle_batch exactly' claim false on such input."""
+    toks_arr, _parent, _counts = flat_tokens(pa.array([text], pa.string()))
+    toks = toks_arr.to_pylist()
     if len(toks) >= n:
         return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
     return [" ".join(toks)] if toks else []

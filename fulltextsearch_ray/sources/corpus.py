@@ -33,6 +33,10 @@ _NUL_ESCAPE = "\x00￿"
 
 def _composite_key(batch: pa.Table, id_cols: list[str]) -> pa.Array:
     """Order-preserving INJECTIVE encoding of the id tuple: each
+    component is CAST TO STRING first, so non-string id columns rank
+    lexicographically ('10' < '2') — ids stay unique and deterministic
+    (the hard contract) but doc_id order tracks the string form, not
+    numeric order.  Each
     component escapes U+0000 → U+0000 U+FFFF, components join on
     U+0000 U+0001.  A bare-NUL join would let distinct tuples collide
     (('x\\x00y','z') vs ('x','y\\x00z')) and swap their rank-assigned
@@ -62,13 +66,15 @@ def sample_key_boundaries(ds: ray.data.Dataset, id_cols: list[str], num_ranges: 
 
     def sample_batch(batch: pa.Table) -> pa.Table:
         key = _composite_key(batch, id_cols)
-        ks = sorted(key.to_pylist())
-        step = max(len(ks) // 32, 1)
-        return pa.table({"k": pa.array(ks[::step], type=pa.string())})
+        # UNSORTED stride sample: the driver sorts the pooled samples
+        # anyway, so boundary quality is equivalent and each batch
+        # skips an O(n log n) Python-object sort of all its keys
+        step = max(len(key) // 32, 1)
+        return pa.table({"k": key.take(pa.array(range(0, len(key), step)))})
 
     # projection pushdown: the sampling pass reads ONLY the key columns
     sample = ds.select_columns(id_cols).map_batches(sample_batch, batch_format="pyarrow")
-    keys = sorted(r["k"] for r in sample.take_all())  # small: ≤32 per block
+    keys = sorted(r["k"] for r in sample.take_all())  # small: ≤64 per block
     if not keys or num_ranges <= 1:
         return []
     idx = np.linspace(0, len(keys) - 1, num_ranges + 1).astype(int)[1:-1]
@@ -137,6 +143,19 @@ def assign_doc_ids(
         rid = int(group["_range"][0].as_py())
         keys = np.asarray(group["_key"].to_pylist(), dtype=object)
         order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        if len(ks) > 1:
+            dup = ks[1:] == ks[:-1]
+            if dup.any():
+                # duplicate key tuples would receive run-order-dependent
+                # doc ids (stable argsort ties break by block arrival
+                # order) — SILENT nondeterminism across retries; the
+                # uniqueness requirement is the documented contract
+                bad = [k for k in np.unique(ks[1:][dup])[:3]]
+                raise ValueError(
+                    f"assign_doc_ids: duplicate id tuples (keys identify "
+                    f"documents); first offenders: {bad}"
+                )
         rank = np.empty(len(keys), dtype=np.int64)
         rank[order] = np.arange(len(keys))
         doc_id = (start_id + offs[rid] + rank).astype(np.uint64)
@@ -195,6 +214,12 @@ def read_corpus_with_ids(
         out = []
         for f, off in zip(batch["file"].to_pylist(), batch["offset"].to_pylist()):
             t = pq.read_table(f, columns=columns)
+            if "doc_id" in t.column_names:
+                raise ValueError(
+                    f"read_corpus_with_ids: {f!r} already has a 'doc_id' "
+                    "column — positional assignment would duplicate it; "
+                    "use normalize_corpus(doc_id_col='doc_id') instead"
+                )
             ids = pa.array(np.arange(off, off + t.num_rows, dtype=np.uint64), pa.uint64())
             out.append(t.append_column("doc_id", ids))
         return pa.concat_tables(out)
@@ -212,6 +237,14 @@ def normalize_corpus(
     """Canonicalize any corpus to have a ``doc_id`` uint64 column."""
     if doc_id_col is not None:
         if doc_id_col != "doc_id":
+            names = ds.schema().names
+            if "doc_id" in names:
+                # renaming would create a DUPLICATE doc_id column and
+                # surface as an opaque KeyError deep inside a Ray task
+                raise ValueError(
+                    f"normalize_corpus: corpus already has a 'doc_id' column "
+                    f"alongside doc_id_col={doc_id_col!r} — drop or rename one"
+                )
             ds = ds.rename_columns({doc_id_col: "doc_id"})
 
         def canon_ids(b: pa.Table) -> pa.Table:
@@ -371,13 +404,21 @@ def write_synth_corpus(path: str, n_rows: int, rows_per_file: int = 10_000, **kw
         if prev != params:
             shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
+    # stamp BEFORE the shard loop: an interrupted run then resumes via
+    # the per-file exists skip on rerun (stamp-at-the-end made every
+    # interruption wipe all finished shards — the "resumable" skip was
+    # unreachable in practice); atomic per-shard writes keep a torn
+    # last shard from being mistaken for a finished one
+    if not os.path.exists(stamp):
+        with open(stamp, "w") as f:
+            json.dump(params, f)
     part = 0
     for start in range(0, n_rows, rows_per_file):
         fn = os.path.join(path, f"part-{part:05d}.parquet")
         if not os.path.exists(fn):
             tbl = synth_code_batch(start, min(rows_per_file, n_rows - start), **kw)
-            pq.write_table(tbl, fn)
+            tmp = fn + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, fn)
         part += 1
-    with open(stamp, "w") as f:
-        json.dump(params, f)
     return path

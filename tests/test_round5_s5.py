@@ -407,3 +407,46 @@ def test_connected_components_rejects_null_ids(ray_session):
     )
     with pytest.raises(Exception, match="null ids"):
         connected_components(pairs).take_all()
+
+
+def test_assign_doc_ids_rejects_duplicate_keys(ray_session):
+    """Duplicate id tuples got run-order-dependent doc ids (stable
+    argsort tie broken by block arrival order) — silent nondeterminism
+    across retries; must fail loudly."""
+    from fulltextsearch_ray.sources.corpus import assign_doc_ids
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(["a", "b", "a"], pa.string()),
+                  "text": pa.array(["x", "y", "z"], pa.string())})
+    )
+    with pytest.raises(Exception, match="duplicate id tuples"):
+        assign_doc_ids(ds, ["k"]).take_all()
+
+
+def test_write_synth_corpus_resumes_after_interruption(tmp_path):
+    """An interrupted run must resume from finished shards, not wipe
+    them (the stamp used to be written only at the end)."""
+    import pyarrow.parquet as pq
+
+    from fulltextsearch_ray.sources.corpus import write_synth_corpus
+
+    d = str(tmp_path / "synth")
+    write_synth_corpus(d, 300, rows_per_file=100)
+    # simulate interruption: delete the final shard, keep the stamp
+    os.remove(os.path.join(d, "part-00002.parquet"))
+    first = os.path.join(d, "part-00000.parquet")
+    mtime = os.path.getmtime(first)
+    write_synth_corpus(d, 300, rows_per_file=100)
+    assert os.path.getmtime(first) == mtime  # finished shard untouched
+    assert sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+               for f in sorted(os.listdir(d)) if f.endswith(".parquet")) == 300
+
+
+def test_shingles_matches_arrow_tokenizer_on_u0130():
+    """_shingles must delegate to the SAME utf8proc tokenizer as
+    shingle_batch — Python str.lower() diverges on U+0130."""
+    from fulltextsearch_ray.functions.dedup import _shingles, shingle_batch
+
+    text = "İstanbul kebap İyi"
+    sh, _ = shingle_batch(pa.array([text], pa.string()), 2)
+    assert set(_shingles(text, 2)) == set(sh.to_pylist())
